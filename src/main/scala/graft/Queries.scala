@@ -41,11 +41,148 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q_project_keep / q_project_drop — column keep/drop projection
+    * (SURVEY §2.2 P1/P2). Catalyst prunes the parquet scan to the kept
+    * columns (ReadSchema shows only these leaves).
+    */
+  val qProjectKeep: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qProjectKeepSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val qProjectDrop: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .drop("p_retailprice", "p_type")
+      .orderBy("p_partkey")
+
+  val qProjectDropSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q_stats_bounds — dataset-statistics accumulators (SURVEY §2.4 A1/A2):
+    * bounds union min/max + distinct value set, one all-to-one reduce.
+    */
+  val qStatsBounds: Q = (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      round(min("l_quantity"), 2).as("min_qty"),
+      round(max("l_quantity"), 2).as("max_qty"),
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"),
+      array_sort(collect_set("l_returnflag")).as("flags"),
+      count(lit(1)).as("n_rows"))
+
+  val qStatsBoundsSql: String =
+    """SELECT round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+      |  round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags,
+      |  count(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  /** q_range_filter — the bbox-predicate shape on a non-geo table (SURVEY
+    * §2.2 P5): a 2-D range predicate over (value, ts) pushed to parquet
+    * row-group stats, residual-free.
+    */
+  val qRangeFilter: Q = (s, dir) => {
+    def nanos(date: String): Long =
+      java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    Tables.events(s, dir)
+      .where(col("value") >= 100d && col("value") <= 200d &&
+        col("ts_ns") >= nanos("2024-01-02") && col("ts_ns") < nanos("2024-01-05"))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val qRangeFilterSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE value >= 100 AND value <= 200
+      |  AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+      |ORDER BY event_id""".stripMargin
+
+  /** q_geo_roundtrip — the geometry codec surface (SURVEY §2.8 F1-F7)
+    * driven through an oracle-checkable identity: synthesize a point per
+    * customer from integer-derived lon/lat, encode to WKB, and read the
+    * coordinates back through envelope accessors. The oracle reproduces the
+    * arithmetic without geometry; values are integral so equality is exact.
+    */
+  val qGeoRoundtrip: Q = (s, dir) => {
+    import graft.functions.GeoFunctions._
+    val c = Tables.customer(s, dir)
+      .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
+      .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
+      .withColumn("geom", st_point(col("lon"), col("lat")))
+    c.select(
+      col("c_custkey"),
+      st_xmin(col("geom")).as("lon2"),
+      st_ymax(col("geom")).as("lat2"),
+      st_geometry_type(col("geom")).as("gtype"))
+      .orderBy("c_custkey")
+  }
+
+  val qGeoRoundtripSql: String =
+    """SELECT c_custkey,
+      |  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon2,
+      |  CAST((c_custkey * 13) % 180 - 90 AS DOUBLE) AS lat2,
+      |  'Point' AS gtype
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q_bbox_cells — antimeridian-aware bbox_intersects as column arithmetic
+    * (SURVEY §2.2 P5 + §2.8 F8), oracle-checked by replicating the unwrap
+    * branches in SQL. Data boxes are synthesized from supplier keys so some
+    * cross the antimeridian.
+    */
+  val qBboxCells: Q = (s, dir) => {
+    import graft.functions.GeoFunctions._
+    val sup = Tables.supplier(s, dir)
+      .withColumn("xmin", (pmod(col("s_suppkey") * 37, lit(350)) - 170).cast("double"))
+      .withColumn("xmax",
+        when(pmod(col("s_suppkey"), lit(5)) === 0, (-pmod(col("s_suppkey") * 11, lit(170))).cast("double"))
+          .otherwise((pmod(col("s_suppkey") * 37, lit(350)) - 170 + 5).cast("double")))
+      .withColumn("ymin", (pmod(col("s_suppkey") * 17, lit(170)) - 85).cast("double"))
+      .withColumn("ymax", (pmod(col("s_suppkey") * 17, lit(170)) - 85 + 5).cast("double"))
+    val box = graft.geo.Bbox(150, -40, -150, 40) // crosses the antimeridian
+    sup.where(bbox_intersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), box))
+      .select("s_suppkey", "xmin", "ymin", "xmax", "ymax")
+      .orderBy("s_suppkey")
+  }
+
+  val qBboxCellsSql: String =
+    """WITH cells AS (
+      |  SELECT s_suppkey,
+      |    CAST((s_suppkey * 37) % 350 - 170 AS DOUBLE) AS xmin,
+      |    CAST(CASE WHEN s_suppkey % 5 = 0 THEN -((s_suppkey * 11) % 170)
+      |         ELSE (s_suppkey * 37) % 350 - 170 + 5 END AS DOUBLE) AS xmax,
+      |    CAST((s_suppkey * 17) % 170 - 85 AS DOUBLE) AS ymin,
+      |    CAST((s_suppkey * 17) % 170 - 85 + 5 AS DOUBLE) AS ymax
+      |  FROM supplier)
+      |SELECT s_suppkey, xmin, ymin, xmax, ymax FROM cells
+      |WHERE ymax >= -40 AND ymin <= 40
+      |  AND xmax >= (-180 - (180 - 150))
+      |  AND (CASE WHEN xmin > 0 AND xmax < 0 THEN xmin - 360 ELSE xmin END) <= -150
+      |ORDER BY s_suppkey""".stripMargin
+
   def all: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q_project_keep" -> qProjectKeep,
+    "q_project_drop" -> qProjectDrop,
+    "q_stats_bounds" -> qStatsBounds,
+    "q_range_filter" -> qRangeFilter,
+    "q_geo_roundtrip" -> qGeoRoundtrip,
+    "q_bbox_cells" -> qBboxCells
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q_project_keep" -> qProjectKeepSql,
+    "q_project_drop" -> qProjectDropSql,
+    "q_stats_bounds" -> qStatsBoundsSql,
+    "q_range_filter" -> qRangeFilterSql,
+    "q_geo_roundtrip" -> qGeoRoundtripSql,
+    "q_bbox_cells" -> qBboxCellsSql
   )
 }

@@ -10,8 +10,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
+      // rejects ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long instead.
+      // Callers filter on `ts_ns` (pushable INT64 comparisons) and get a
+      // microsecond-truncated `ts` timestamp for event-time logic.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -166,7 +166,29 @@ object Queries {
       |  AND (CASE WHEN xmin > 0 AND xmax < 0 THEN xmin - 360 ELSE xmin END) <= -150
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q_extract_bbox — the reference's flagship extract path (SURVEY §3.2)
+    * on the real GeoParquet fixture: bbox (34,-7,36,-6) must select exactly
+    * Tanzania (extract_test.go:70-95). The oracle replays the expanded
+    * antimeridian-aware predicate on the same file's bbox struct leaves.
+    */
+  private val fixturePath = "/root/repo/src/test/resources/cases/example-v1.1.0.parquet"
+
+  val qExtractBbox: Q = (s, _) => {
+    val gf = graft.operators.Extract(s, fixturePath,
+      graft.operators.Extract.Options(bbox = Some(graft.geo.Bbox(34, -7, 36, -6))))
+    gf.df.select(col("name"), col("iso_a3"), col("pop_est")).orderBy("name")
+  }
+
+  val qExtractBboxSql: String =
+    s"""SELECT name, iso_a3, pop_est
+      |FROM read_parquet('$fixturePath')
+      |WHERE bbox.ymax >= -7 AND bbox.ymin <= -6
+      |  AND bbox.xmax >= 34
+      |  AND (CASE WHEN bbox.xmin > 0 AND bbox.xmax < 0 THEN bbox.xmin - 360 ELSE bbox.xmin END) <= 36
+      |ORDER BY name""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_extract_bbox" -> qExtractBbox,
     "q1_agg" -> q1Agg,
     "q_project_keep" -> qProjectKeep,
     "q_project_drop" -> qProjectDrop,
@@ -177,6 +199,7 @@ object Queries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_extract_bbox" -> qExtractBboxSql,
     "q1_agg" -> q1AggSql,
     "q_project_keep" -> qProjectKeepSql,
     "q_project_drop" -> qProjectDropSql,

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.functions.GeoFunctions
+import graft.meta.{FooterIO, GeoMetadata}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoParquet read/write on top of the stock parquet datasource
+  * (SURVEY.md §2.1 S2/S7/S8, §7.4).
+  *
+  * Reads are plain `spark.read.parquet` — column pruning, filter pushdown
+  * and row-group pruning come from Catalyst — plus a footer `geo` metadata
+  * attach. Writes are `df.write.parquet` followed by a distributed-safe
+  * footer rewrite stamping the `geo` entry (with dataset stats computed in
+  * one aggregate pass) onto every part file.
+  */
+object GeoParquet {
+
+  /** A DataFrame with its parsed `geo` footer metadata (None for plain
+    * parquet inputs).
+    */
+  final case class GeoFrame(df: DataFrame, meta: Option[GeoMetadata]) {
+    def primaryColumn: String =
+      meta.map(_.primaryColumn).getOrElse(GeoMetadata.DefaultGeometryColumn)
+  }
+
+  def read(spark: SparkSession, path: String): GeoFrame =
+    GeoFrame(spark.read.parquet(path), FooterIO.readGeoMetadata(path))
+
+  /** One-pass dataset statistics for the given WKB geometry columns:
+    * bounds union + distinct GeoJSON type names (reference
+    * featurewriter.go:250-307; geo.go:198-247). Types are sorted for
+    * deterministic metadata. At scale this is a single partial-aggregated
+    * reduce to one row — no shuffle of data rows.
+    */
+  def geometryStats(df: DataFrame, geomCols: Seq[String])
+      : Map[String, (Seq[Double], Seq[String])] = {
+    if (geomCols.isEmpty) return Map.empty
+    val aggs: Seq[Column] = geomCols.flatMap { c =>
+      val env = GeoFunctions.st_envelope(col(c))
+      Seq(
+        min(env.getField("xmin")).as(s"${c}__xmin"),
+        min(env.getField("ymin")).as(s"${c}__ymin"),
+        max(env.getField("xmax")).as(s"${c}__xmax"),
+        max(env.getField("ymax")).as(s"${c}__ymax"),
+        array_sort(collect_set(GeoFunctions.st_geometry_type(col(c)))).as(s"${c}__types"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    geomCols.map { c =>
+      val bounds =
+        if (row.isNullAt(row.fieldIndex(s"${c}__xmin"))) Seq.empty[Double]
+        else Seq(
+          row.getDouble(row.fieldIndex(s"${c}__xmin")),
+          row.getDouble(row.fieldIndex(s"${c}__ymin")),
+          row.getDouble(row.fieldIndex(s"${c}__xmax")),
+          row.getDouble(row.fieldIndex(s"${c}__ymax")))
+      val types = row.getSeq[String](row.fieldIndex(s"${c}__types"))
+      c -> (bounds, types)
+    }.toMap
+  }
+
+  /** Write a GeoParquet dataset.
+    *
+    * @param meta base metadata; defaults to the spec default for
+    *             `primaryColumn`. Computed stats overwrite its per-column
+    *             bbox + geometry_types unless `computeStats` is false.
+    * @param compression parquet codec (reference CLI default zstd,
+    *                    convert.go:36)
+    * @param rowGroupRows approximate rows per row group, mapped to
+    *                     `parquet.block.size` via a sampled row-size
+    *                     estimate (SURVEY §4: byte-based approximation)
+    */
+  def write(
+      df: DataFrame,
+      path: String,
+      meta: Option[GeoMetadata] = None,
+      primaryColumn: String = GeoMetadata.DefaultGeometryColumn,
+      compression: String = "zstd",
+      computeStats: Boolean = true,
+      rowGroupRows: Option[Int] = None): GeoMetadata = {
+    val base = meta.getOrElse(GeoMetadata.default(primaryColumn))
+    val geomCols = base.columnNames.filter(df.columns.contains)
+    val finalMeta =
+      if (computeStats && geomCols.nonEmpty)
+        base.withStats(geometryStats(df, geomCols))
+      else base
+
+    var writer = df.write.mode("overwrite").option("compression", compression)
+    rowGroupRows.foreach { n =>
+      // crude per-row size estimate from a driver-side sample
+      val sample = df.limit(100).collect()
+      val rowBytes = if (sample.isEmpty) 256L
+        else math.max(64L, sample.map(estimateRowSize).sum / sample.length)
+      writer = writer.option("parquet.block.size", (n * rowBytes).toString)
+    }
+    writer.parquet(path)
+    FooterIO.writeGeoMetadata(path, finalMeta)
+    finalMeta
+  }
+
+  private def estimateRowSize(row: Row): Long =
+    (0 until row.length).map { i =>
+      row.get(i) match {
+        case null => 1L
+        case b: Array[Byte] => b.length.toLong
+        case s: String => s.length.toLong
+        case _ => 8L
+      }
+    }.sum
+}

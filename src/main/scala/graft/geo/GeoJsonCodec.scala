@@ -33,8 +33,11 @@ object GeoJsonCodec {
     }
     val coords = Option(node.get("coordinates")).getOrElse(
       throw new IllegalArgumentException(s"missing coordinates for $typ"))
+    // empty coordinates arrays are valid GeoJSON empties
     typ match {
-      case "Point"           => gf.createPoint(coord(coords))
+      case "Point"           =>
+        if (coords.isArray && coords.size() == 0) gf.createPoint()
+        else gf.createPoint(coord(coords))
       case "MultiPoint"      => gf.createMultiPoint(coordSeq(coords).map(gf.createPoint))
       case "LineString"      => gf.createLineString(coordSeq(coords))
       case "MultiLineString" =>

@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.geo.Bbox
+import graft.operators.{Convert, Extract}
+import org.apache.spark.sql.SparkSession
+
+/** Minimal CLI over the library operators, mirroring the reference's
+  * command surface (cmd/gpq/command): convert, extract, describe, validate.
+  *
+  * Usage:
+  *   runMain graft.tools.Gpq convert <in> <out> [--compression=c] [--input-primary-column=c]
+  *   runMain graft.tools.Gpq extract <in> <out> [--bbox=xmin,ymin,xmax,ymax]
+  *       [--drop-cols=a,b] [--keep-only-cols=a,b]
+  *   runMain graft.tools.Gpq describe <in>
+  *   runMain graft.tools.Gpq validate <in> [--metadata-only]
+  */
+object Gpq {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("gpq")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: gpq <convert|extract|describe|validate> ...")
+    val cmd = args.head
+    val positional = args.tail.filterNot(_.startsWith("--"))
+    val flags = args.tail.filter(_.startsWith("--")).map { f =>
+      f.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+
+    val spark = session()
+    try {
+      cmd match {
+        case "convert" =>
+          val Array(in, out) = positional.take(2)
+          Convert.run(spark, in, out, Convert.Options(
+            inputPrimaryColumn = flags.get("input-primary-column"),
+            compression = flags.getOrElse("compression", "zstd"),
+            rowGroupRows = flags.get("row-group-length").map(_.toInt)))
+          println(s"converted $in -> $out")
+        case "extract" =>
+          val Array(in, out) = positional.take(2)
+          Extract.run(spark, in, out, Extract.Options(
+            bbox = flags.get("bbox").map(Bbox.fromString),
+            dropCols = flags.get("drop-cols").toSeq.flatMap(_.split(",")),
+            keepOnlyCols = flags.get("keep-only-cols").toSeq.flatMap(_.split(","))),
+            compression = flags.getOrElse("compression", "zstd"))
+          println(s"extracted $in -> $out")
+        case "describe" =>
+          println(graft.operators.Describe.json(spark, positional.head))
+        case "validate" =>
+          val report = graft.operators.Validate.report(spark, positional.head,
+            metadataOnly = flags.contains("metadata-only"))
+          println(report.toJson)
+          if (report.failed) sys.exit(1)
+        case other =>
+          throw new IllegalArgumentException(s"unknown command: $other")
+      }
+    } finally spark.stop()
+  }
+}

@@ -187,7 +187,7 @@ object Queries {
       |  AND (CASE WHEN bbox.xmin > 0 AND bbox.xmax < 0 THEN bbox.xmin - 360 ELSE bbox.xmin END) <= 36
       |ORDER BY name""".stripMargin
 
-  def all: Map[String, Q] = Map(
+  def all: Map[String, Q] = QueriesLlm.all ++ Map(
     "q_extract_bbox" -> qExtractBbox,
     "q1_agg" -> q1Agg,
     "q_project_keep" -> qProjectKeep,
@@ -198,7 +198,7 @@ object Queries {
     "q_bbox_cells" -> qBboxCells
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = QueriesLlm.oracles ++ Map(
     "q_extract_bbox" -> qExtractBboxSql,
     "q1_agg" -> q1AggSql,
     "q_project_keep" -> qProjectKeepSql,

@@ -1,0 +1,327 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators as driver-checkable queries
+  * (BASELINE.json north-star: dedup, similarity search, text analysis,
+  * multimodal columns). Oracle SQL is provided wherever DuckDB can express
+  * the same computation; sketch-based operators (MinHash/SimHash/LSH) get
+  * deterministic rows-only queries plus ScalaTest coverage.
+  */
+object QueriesLlm {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_dedup_exact — exact dedup keeping first doc per key (key = text
+    * prefix so sf data actually contains duplicates). Hash-groupBy +
+    * semi-join: the shuffle carries (hash, id) only.
+    */
+  val qDedupExact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.exact(docs, substring(col("text"), 1, 30), col("doc_id"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY substr(text, 1, 30) ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_dedup_window — first event per user (window-rank dedup shape). */
+  val qDedupWindow: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  val qDedupWindowSql: String =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** q_text_stats — per-document token/char/punctuation statistics + md5
+    * fingerprint, all codegen'd column algebra.
+    */
+  val qTextStats: Q = (s, dir) => {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.tokenCount(t).as("n_tokens"),
+      length(t).as("len"),
+      size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).as("n_punct"),
+      round(TextStats.meanWordLength(t), 6).as("mean_word_len"),
+      TextStats.fingerprintMd5(t).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  length(text) AS len,
+      |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+      |  round(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |         x -> length(x)), 'sum')::DOUBLE
+      |         / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS mean_word_len,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q_lang_id — stopword-marker language ID (argmax, first-wins ties). */
+  val qLangId: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val qLangIdSql: String = {
+    def cnt(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val markers = TextStats.LangMarkers
+    val scores = markers.map { case (l, w) => s"${cnt(w)} AS c_$l" }.mkString(",\n    ")
+    val g = "greatest(" + markers.map { case (l, _) => s"c_$l" }.mkString(", ") + ")"
+    val cases = markers.map { case (l, _) => s"WHEN c_$l = g AND g > 0 THEN '$l'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM (
+       |  SELECT doc_id, lang, $g AS g, c_en, c_es, c_de, c_fr, c_zh FROM (
+       |    SELECT doc_id, lang,
+       |    $scores
+       |    FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_quality — composite quality score (deterministic heuristic). */
+  val qQuality: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qQualitySql: String = {
+    val cnt = s"len(regexp_extract_all(lower(text), '\\b(${TextStats.StopwordsEn.mkString("|")})\\b'))"
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / length(text) END AS pr,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |              x -> length(x)), 'sum')::DOUBLE
+      |              / len(regexp_split_to_array(trim(text), '\s+')) END AS mwl,
+      |    CNT AS c_en
+      |  FROM documents)
+      |SELECT doc_id, round(
+      |  (CASE WHEN len BETWEEN 100 AND 20000 THEN 1.0
+      |        WHEN len < 100 THEN len / 100.0 ELSE 20000.0 / len END) * 0.3
+      |  + (CASE WHEN pr <= 0.2 THEN 1.0
+      |          ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2) END) * 0.3
+      |  + least(1.0, (CASE WHEN n_tok = 0 THEN 0 ELSE c_en::DOUBLE / n_tok END) * 5) * 0.2
+      |  + (CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin.replace("CNT", cnt)
+  }
+
+  /** q_ngram_jaccard — exact unigram Jaccard between consecutive docs
+    * (the verification kernel of near-dup dedup, SQL-expressible).
+    */
+  val qNgramJaccard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val qNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+      |  FROM documents WHERE length(trim(text)) > 0)
+      |SELECT a.doc_id AS id_a,
+      |  round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0
+      |    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+      |         / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin
+
+  /** q_minhash_pairs — MinHash+LSH near-dup pairs. The corpus is augmented
+    * with perturbed copies (id + 1e6) so real near-dups exist at every
+    * scale factor; LSH candidates verified by exact shingle Jaccard.
+    * Not SQL-expressible (sketch recall) → rows-only check.
+    */
+  val qMinhashPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near duplicate tail")).as("text"))
+    Dedup.minhashNearDupPairs(
+      docs.union(copies), col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_simhash_pairs — SimHash near-dup pairs on the same augmented corpus. */
+  val qSimhashPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    Dedup.simhashNearDupPairs(docs.union(copies), col("doc_id"), col("text"),
+      maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_embed_topk — brute-force cosine top-20 to vec_id 0's embedding.
+    * Oracle casts to DOUBLE[] so both engines do double math.
+    */
+  val qEmbedTopk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.topK(emb.where(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), query, 20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select("rank", "vec_id")
+  }
+
+  val qEmbedTopkSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rank,
+      |       e.vec_id
+      |FROM embeddings e, q WHERE e.vec_id <> 0
+      |ORDER BY rank LIMIT 20""".stripMargin
+
+  /** q_embed_neardup — exact cosine near-dup pairs in an id-bounded slice
+    * (bounded quadratic work at any sf; LSH path covered by
+    * [[Similarity.annNearDupPairs]] + spec).
+    */
+  val qEmbedNeardup: Q = (s, dir) =>
+    Similarity.neardupPairsExact(Tables.embeddings(s, dir), col("vec_id"),
+      col("embedding"), threshold = 0.35, maxId = 500)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  val qEmbedNeardupSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 500 AND b.vec_id < 500
+      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q_multimodal_meta — multimodal metadata plumbing: synthesize payload
+    * table, resize metadata; the arithmetic is SQL-expressible so the
+    * schema/stage shape is oracle-checked (decode itself is the stub).
+    */
+  val qMultimodalMeta: Q = (s, dir) => {
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id"))
+    Multimodal.resizeMeta(media, 256)
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .orderBy("media_id")
+  }
+
+  val qMultimodalMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    (doc_id % 1920 + 1)::INT AS width,
+      |    (doc_id % 1080 + 1)::INT AS height
+      |  FROM documents)
+      |SELECT media_id, mime,
+      |  CASE WHEN greatest(width, height) <= 256 THEN width
+      |       ELSE ceil(width * (256.0 / greatest(width, height)))::INT END AS w,
+      |  CASE WHEN greatest(width, height) <= 256 THEN height
+      |       ELSE ceil(height * (256.0 / greatest(width, height)))::INT END AS h
+      |FROM m ORDER BY media_id""".stripMargin
+
+  /** q_multimodal_features — the decode/feature-extract stage (stubbed
+    * decode, real plumbing): deterministic rows-only check.
+    */
+  val qMultimodalFeatures: Q = (s, dir) => {
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id"))
+    Multimodal.extractFeatures(media, col("payload"))
+      .select(col("media_id"), size(col("features")).as("dim"),
+        round(aggregate(col("features"), lit(0d), (a, x) => a + x), 4).as("fsum"))
+      .orderBy("media_id")
+  }
+
+  /** q_events_hourly — event-time windowed aggregation (the batch shape of
+    * the streaming pipeline; see graft.streaming for the readStream form).
+    */
+  val qEventsHourly: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("hour", "event_type")
+
+  val qEventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** q_join_enrich — broadcast-join enrichment + grouped revenue (general
+    * join coverage; the dimension side is broadcast, no shuffle of fact).
+    */
+  val qJoinEnrich: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val qJoinEnrichSql: String =
+    """SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  def all: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_window" -> qDedupWindow,
+    "q_text_stats" -> qTextStats,
+    "q_lang_id" -> qLangId,
+    "q_quality" -> qQuality,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_minhash_pairs" -> qMinhashPairs,
+    "q_simhash_pairs" -> qSimhashPairs,
+    "q_embed_topk" -> qEmbedTopk,
+    "q_embed_neardup" -> qEmbedNeardup,
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_events_hourly" -> qEventsHourly,
+    "q_join_enrich" -> qJoinEnrich)
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_window" -> qDedupWindowSql,
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality" -> qQualitySql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_embed_topk" -> qEmbedTopkSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_join_enrich" -> qJoinEnrichSql)
+}

@@ -1,0 +1,214 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every path is shuffle-partitionable on a key — exact dedup
+  * shuffles on the content hash (bounded per-group size), LSH shuffles on
+  * band keys (bucket sizes bounded by hash uniformity), and pair
+  * verification joins only within candidate buckets, never cross-joining
+  * the corpus. Nothing collects to the driver.
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Keep the first row (by `orderCol`) per exact key. Implemented as a
+    * min-order semi-join rather than a window so the shuffle carries only
+    * (key, order) pairs and skewed giant groups don't serialize through a
+    * single window partition.
+    */
+  def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
+    val keyed = df.withColumn("_dk", xxhash64(key)).withColumn("_ord", orderCol)
+    val winners = keyed.groupBy("_dk").agg(min("_ord").as("_ord"))
+    keyed.join(winners, Seq("_dk", "_ord"), "left_semi").drop("_dk", "_ord")
+  }
+
+  /** Exact-dup groups: (key hash, count) for groups with >1 member. */
+  def exactGroups(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(xxhash64(key).as("dup_key")).count().where(col("count") > 1)
+
+  // ---------------- shingling + MinHash ----------------
+
+  /** Distinct word n-gram shingles of a text column (pure column algebra:
+    * split → sliding windows via transform over an index sequence).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = TextStats.tokens(text)
+    val count = size(words) - (n - 1)
+    // sequence(1, 0) would descend; guard short texts to an empty set
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+  }
+
+  /** Deterministic 64-bit mixing constants (splitmix64 stream). */
+  private[llm] def mixConstants(n: Int): IndexedSeq[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    (0 until n).map { _ =>
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** MinHash signature. Shingles are hashed ONCE (xxhash64), then each of
+    * the `numHashes` functions is an XOR permutation of that base hash —
+    * so signature cost is one string hash + numHashes long ops per
+    * shingle, not numHashes string hashes (the difference is ~50× wall
+    * clock at corpus scale). XOR by a fixed constant is a bijection on
+    * Int64, which is all MinHash needs from its hash family.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
+
+  /** Same, over an already-hashed shingle column. IMPORTANT: pass a bound
+    * attribute (a real column), not an expression — each per-function
+    * array_min references the input, and an inline expression would be
+    * re-evaluated numHashes times (no CSE across lambda bodies).
+    */
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column = {
+    val mixes = mixConstants(numHashes)
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashes, h => h.bitwiseXOR(lit(mixes(i)))))
+    }: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` rows-per-band chunks,
+    * each hashed to one bucket key. Equal band key ⇒ candidate pair.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Candidate near-dup pairs (idA < idB) via MinHash LSH, verified with
+    * exact shingle Jaccard ≥ `threshold`.
+    *
+    * One explode + one shuffle on band keys; bucket self-join only.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // shingle once, reuse three times (signature + both verify sides);
+    // MEMORY_AND_DISK so huge corpora spill instead of recomputing
+    val prepared = df.select(
+      id.as("id"),
+      wordShingles(text, shingleSize).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = prepared
+      // materialize base hashes as a bound column so the per-function
+      // minima reference it instead of re-hashing shingles numHashes times
+      .withColumn("hv", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignatureFromHashes(col("hv"), numHashes))
+      .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as("bands"))
+    // candidate generation shuffles (band, id) pairs only — shingle arrays
+    // never enter the LSH shuffle
+    val exploded = sigs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    // skew guard: degenerate signatures (boilerplate/near-empty docs) can
+    // produce quadratic hot buckets; cap bucket size like production LSH
+    // dedup pipelines do — oversized buckets carry no near-dup signal
+    val bucketed = exploded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+    val a = bucketed.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val b = bucketed.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // verify candidates against exact shingle Jaccard (joins back to the
+    // shingle table; candidate cardinality ~ O(dups), not O(corpus²))
+    val shA = prepared.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = prepared.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0d).otherwise(
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** Drop every document that has a verified near-dup with a smaller id
+    * (greedy keep-first; transitive chains collapse toward the smallest id
+    * in practice — the standard single-pass approximation).
+    */
+  def dedupByPairs(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id_b").as("_loser")).distinct()
+    df.join(losers, id === col("_loser"), "left_anti")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over word hashes: per bit, sum +1/-1 votes across
+    * words, take the sign.
+    *
+    * The word hashes come from codegen'd xxhash64; the 64-bit vote fold is
+    * a scalar UDF — a single primitive-typed pass per document, which
+    * beats the pure-column alternative (64 separate array aggregates) by
+    * an order of magnitude at corpus scale while staying a narrow,
+    * deterministic map.
+    */
+  private val simhashFold = udf { (hashes: Seq[Long]) =>
+    val votes = Array.ofDim[Int](64)
+    hashes.foreach { h =>
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  def simhash(text: Column): Column =
+    simhashFold(transform(TextStats.tokens(text), w => xxhash64(w)))
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 16-bit chunks (a pair within
+    * Hamming distance ≤ 3 of 64 bits must agree on at least one chunk),
+    * verify with bit_count.
+    */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+                          maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"), simhash(text).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

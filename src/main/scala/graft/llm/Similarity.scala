@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a narrow codegen'd map + TakeOrdered,
+  * no shuffle of the corpus, scalable to any size (cost = one scan).
+  * Scale path: random-hyperplane LSH bucketing so candidate generation
+  * touches only matching buckets; planes are deterministic literals (seeded)
+  * so signatures are reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** dot(a, b) computed in double (zip_with + aggregate; codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0d).otherwise(dot(a, b) / d)
+  }
+
+  def cosineToLiteral(vec: Column, query: Array[Float]): Column =
+    cosine(vec, lit(query))
+
+  /** Brute-force top-k by cosine to a literal query vector. */
+  def topK(df: DataFrame, id: Column, vec: Column, query: Array[Float],
+           k: Int): DataFrame =
+    df.select(id.as("vec_id"), cosine(vec, lit(query)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Exact near-dup pairs above a cosine threshold within an id-bounded
+    * slice (the bounded slice keeps the quadratic candidate set fixed-size
+    * at any scale factor; the unbounded scale path is [[annNearDupPairs]]).
+    */
+  /** Unit-normalize once so pair similarity is a bare dot product — norms
+    * are computed N times instead of N² times in any pairwise stage.
+    */
+  def normalized(vec: Column): Column = {
+    val n = norm(vec)
+    when(n === 0, transform(vec, x => x.cast("double")))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  def neardupPairsExact(df: DataFrame, id: Column, vec: Column,
+                        threshold: Double, maxId: Long): DataFrame = {
+    val s = df.where(id < maxId).select(id.as("id"), normalized(vec).as("v"))
+    val a = s.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = s.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("v_a"), col("v_b")))
+      .where(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Deterministic random hyperplanes: `tables` tables × `bits` planes. */
+  def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long = 42L)
+      : Seq[Seq[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Pack sign bits of plane dot products into one bucket key per table. */
+  def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** IVF/LSH-bucketed ANN top-k: candidates = rows sharing any table's
+    * bucket with the query, then exact cosine rank. At 100 TB the bucket
+    * join replaces the full scan: each table's groupBy key is the bucket id,
+    * and only matching buckets are read when the bucket column is used for
+    * partitioning/Z-ordering at write time.
+    */
+  def annTopK(df: DataFrame, id: Column, vec: Column, query: Array[Float],
+              k: Int, dim: Int = 64, tables: Int = 8, bits: Int = 12): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits)
+    val queryCol = lit(query)
+    val sigCols = planes.zipWithIndex.map { case (tp, t) =>
+      signature(vec, tp).as(s"sig_$t")
+    }
+    // query signatures evaluated on a literal, per table
+    val querySigs: Seq[(Int, Column)] = planes.zipWithIndex.map { case (tp, t) =>
+      t -> signature(queryCol, tp)
+    }
+    val withSigs = df.select((Seq(id.as("vec_id"), vec.as("v")) ++ sigCols): _*)
+    val candidate = querySigs.map { case (t, qs) => col(s"sig_$t") === qs }
+      .reduce(_ || _)
+    withSigs.where(candidate)
+      .select(col("vec_id"), cosine(col("v"), queryCol).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN near-dup pairs: bucket self-join per table, verify cosine. */
+  def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                      threshold: Double, dim: Int = 64, tables: Int = 6,
+                      bits: Int = 10): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits)
+    val prepared = df.select(id.as("id"), normalized(vec).as("v"))
+    val tagged = prepared.select(col("id"), col("v"),
+      posexplode(array(planes.map(tp => signature(col("v"), tp)): _*))
+        .as(Seq("table_idx", "bucket")))
+    val a = tagged.select(col("table_idx"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = tagged.select(col("table_idx"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", dot(col("v_a"), col("v_b")))
+      .where(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

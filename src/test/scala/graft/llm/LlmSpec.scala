@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about databases and distributed query engines"),
+      (4L, "el gato esta en la casa y el perro es de la calle"),
+      (5L, ""),
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first by order") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 6L)) && pairs.contains((2L, 6L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("dedupByPairs removes higher-id near-dups") {
+    val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+    val kept = Dedup.dedupByPairs(docs, col("doc_id"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("simhash: identical texts same hash; near-dups within small hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(6L))
+    val hamming12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val hamming13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hamming12 < hamming13, s"near-dup hamming $hamming12 !< unrelated $hamming13")
+    val pairs = Dedup.simhashNearDupPairs(docs, col("doc_id"), col("text"),
+      maxHamming = hamming12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 6L)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard column function") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0) == 0d)
+  }
+
+  test("cosine and topK") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.topK(vecs, col("vec_id"), col("embedding"),
+      Array(1f, 0f, 0f), 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("ann topK finds the exact match and respects k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val query = rows(5)._2
+    val res = Similarity.annTopK(df, col("vec_id"), col("embedding"), query,
+      k = 5, dim = 16, tables = 8, bits = 8).collect()
+    assert(res.nonEmpty && res.length <= 5)
+    // the identical vector shares every bucket, so it must be rank 1
+    assert(res.head.getLong(0) == 5L)
+    assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("ann near-dup pairs finds planted duplicate vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dup = (100L until 110L).map(i => (i, base((i - 100).toInt)._2.map(x => x * 1.001f)))
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.annNearDupPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.99, dim = 16, tables = 6, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, (i + 100).toLong)), s"missing pair $i")
+    }
+  }
+
+  test("text stats basics") {
+    import spark.implicits._
+    val df = Seq("one two  three", "", "  ").toDF("text")
+    val counts = df.select(TextStats.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(3, 0, 0))
+    val lang = Seq("the cat and the dog of it", "el gato y la casa de un es")
+      .toDF("text").select(TextStats.langId(col("text"))).collect().map(_.getString(0))
+    assert(lang.toSeq == Seq("en", "es"))
+    val fp = Seq("A  B", "a b").toDF("text")
+      .select(TextStats.fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1)) // normalization: case + whitespace
+    val roll = Seq("abc").toDF("text")
+      .select(TextStats.fingerprintRolling(col("text"))).head.getLong(0)
+    assert(roll == (((('a'.toLong * 31) + 'b') * 31) + 'c') % 1000000007L)
+  }
+
+  test("multimodal plumbing: synthetic payloads, features, frames") {
+    import spark.implicits._
+    val src = (0L until 30L).map(i => Tuple1(i * 3001L)).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(src, col("doc_id"))
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media, col("payload"))
+    val row = feats.where(col("media_id") === 3001L).select("features").head
+    assert(row.getSeq[Float](0).length == Multimodal.FeatureDim)
+    // deterministic: same id -> same features
+    val again = Multimodal.extractFeatures(media, col("payload"))
+      .where(col("media_id") === 3001L).select("features").head
+    assert(row.getSeq[Float](0) == again.getSeq[Float](0))
+    val resized = Multimodal.resizeMeta(media, 256)
+    val dims = resized.select(greatest(col("meta.width"), col("meta.height")))
+      .collect().map(_.getInt(0))
+    assert(dims.forall(_ <= 256))
+    val frames = Multimodal.sampleFrames(media, 10000L)
+    assert(frames.count() > media.count() / 3) // video rows fan out
+  }
+}

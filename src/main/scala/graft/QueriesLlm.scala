@@ -55,13 +55,19 @@ object QueriesLlm {
     */
   val qTextStats: Q = (s, dir) => {
     val t = col("text")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextStats.tokenCount(t).as("n_tokens"),
-      length(t).as("len"),
-      size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).as("n_punct"),
-      round(TextStats.meanWordLength(t), 6).as("mean_word_len"),
-      TextStats.fingerprintMd5(t).as("fp_md5"))
+    // tokens materialized once as a bound column — inline reuse would
+    // re-split the text for every stat (no CSE across expressions)
+    Tables.documents(s, dir)
+      .withColumn("_toks", TextStats.tokens(t))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        length(t).as("len"),
+        regexp_count(t, lit("[.,!?;:]")).as("n_punct"),
+        round(when(size(col("_toks")) === 0, 0d).otherwise(
+          aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+            / size(col("_toks"))), 6).as("mean_word_len"),
+        TextStats.fingerprintMd5(t).as("fp_md5"))
       .orderBy("doc_id")
   }
 

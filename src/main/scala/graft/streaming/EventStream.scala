@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (SURVEY.md §2.9 is
+  * empty for the reference — this is the pipeline-side extension: the same
+  * event-time logic as q_events_hourly, expressed as an incremental
+  * streaming job with watermarks and custom session state).
+  *
+  * The batch and streaming plans share the transformation functions below,
+  * so correctness is testable in batch (DuckDB oracle) while deployment can
+  * run `readStream` with checkpointing unchanged.
+  */
+object EventStream {
+
+  /** events schema as read from parquet (ts normalized to micros; parquet
+    * nanos arrive as long — see Tables.load).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_ns", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(StructType(schema.fields.map(f =>
+        if (f.name == "ts_ns") f.copy(name = "ts") else f)))
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+  }
+
+  /** Tumbling-window aggregation with late-data watermark: the canonical
+    * incremental rollup (5-minute windows, 10-minute lateness bound keeps
+    * state finite on unbounded streams).
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  // ---- custom session state (flatMapGroupsWithState) ----
+
+  final case class Event(event_id: Long, user_id: Long, ts_us: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(firstTs: Long, lastTs: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization: a user's events belong to one session until
+    * a `gapUs` quiet period; emits the closed session. State per active
+    * user only — bounded by concurrent users, not stream length.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.lastTs <= gapUs =>
+                cur = Some(s.copy(lastTs = e.ts_us, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, s.firstTs, s.lastTs, s.n, s.total)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch form of the same sessionization (lag + cumulative-sum session
+    * ids), used for oracle-style equivalence checks of the streaming path.
+    */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .drop("session_id")
+  }
+}

@@ -42,16 +42,21 @@ object Gpq {
 
     val spark = session()
     try {
+      // URL inputs (http/https fetched; hadoop schemes passed through)
+      def resolved(p: Array[String]): Array[String] =
+        p.zipWithIndex.map { case (v, i) =>
+          if (i == 0) graft.sources.Remote.resolve(v) else v
+        }
       cmd match {
         case "convert" =>
-          val Array(in, out) = positional.take(2)
+          val Array(in, out) = resolved(positional.take(2))
           Convert.run(spark, in, out, Convert.Options(
             inputPrimaryColumn = flags.get("input-primary-column"),
             compression = flags.getOrElse("compression", "zstd"),
             rowGroupRows = flags.get("row-group-length").map(_.toInt)))
           println(s"converted $in -> $out")
         case "extract" =>
-          val Array(in, out) = positional.take(2)
+          val Array(in, out) = resolved(positional.take(2))
           Extract.run(spark, in, out, Extract.Options(
             bbox = flags.get("bbox").map(Bbox.fromString),
             dropCols = flags.get("drop-cols").toSeq.flatMap(_.split(",")),
@@ -59,9 +64,11 @@ object Gpq {
             compression = flags.getOrElse("compression", "zstd"))
           println(s"extracted $in -> $out")
         case "describe" =>
-          println(graft.operators.Describe.json(spark, positional.head))
+          println(graft.operators.Describe.json(spark,
+            graft.sources.Remote.resolve(positional.head)))
         case "validate" =>
-          val report = graft.operators.Validate.report(spark, positional.head,
+          val report = graft.operators.Validate.report(spark,
+            graft.sources.Remote.resolve(positional.head),
             metadataOnly = flags.contains("metadata-only"))
           println(report.toJson)
           if (report.failed) sys.exit(1)

@@ -55,19 +55,22 @@ object QueriesLlm {
     */
   val qTextStats: Q = (s, dir) => {
     val t = col("text")
-    // tokens materialized once as a bound column — inline reuse would
-    // re-split the text for every stat (no CSE across expressions)
+    // the collapsed form + token count are materialized once as bound
+    // columns — inline reuse would re-run the regexes per stat (no CSE
+    // across expressions); everything stays flat strings → codegen
     Tables.documents(s, dir)
-      .withColumn("_toks", TextStats.tokens(t))
+      .withColumn("_c", TextStats.collapsed(t))
+      .withColumn("_tc",
+        when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
       .select(
         col("doc_id"),
-        size(col("_toks")).as("n_tokens"),
+        col("_tc").as("n_tokens"),
         length(t).as("len"),
         regexp_count(t, lit("[.,!?;:]")).as("n_punct"),
-        round(when(size(col("_toks")) === 0, 0d).otherwise(
-          aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w)).cast("double")
-            / size(col("_toks"))), 6).as("mean_word_len"),
-        TextStats.fingerprintMd5(t).as("fp_md5"))
+        round(when(col("_tc") === 0, 0d).otherwise(
+          (length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")), 6)
+          .as("mean_word_len"),
+        md5(lower(col("_c"))).as("fp_md5"))
       .orderBy("doc_id")
   }
 

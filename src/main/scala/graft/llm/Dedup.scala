@@ -93,24 +93,76 @@ object Dedup {
     *
     * One explode + one shuffle on band keys; bucket self-join only.
     */
+  /** JVM fast path for the per-document LSH prepare stage: shingle set +
+    * band keys in one primitive-typed pass. Spark's higher-order array
+    * functions (transform/aggregate) evaluate interpreted — for a
+    * ~200-shingle document the column-algebra version costs ~1 ms/doc vs
+    * ~10 µs here. Semantics identical: \\s+ word split, space-joined
+    * n-grams, distinct, xxhash64(seed 42), XOR-permutation minima, band
+    * keys folded with the band index as seed chain.
+    */
+  private def shingleBandsUdf(n: Int, numHashes: Int, bands: Int) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val mixes = mixConstants(numHashes).toArray
+    val rowsPerBand = numHashes / bands
+    udf { (text: String) =>
+      val words =
+        if (text == null || text.trim.isEmpty) Array.empty[String]
+        else text.trim.split("\\s+")
+      if (words.length < n) None
+      else {
+        val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + n <= words.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          shingleSet += sb.toString
+          i += 1
+        }
+        val shingles = shingleSet.toArray
+        val hashes = shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+        val sig = Array.tabulate(numHashes) { k =>
+          var m = Long.MaxValue
+          var h = 0
+          while (h < hashes.length) {
+            val v = hashes(h) ^ mixes(k)
+            if (v < m) m = v
+            h += 1
+          }
+          m
+        }
+        val keys = Array.tabulate(bands) { b =>
+          var acc = 42L
+          acc = XXH64.hashInt(b, acc)
+          var j = 0
+          while (j < rowsPerBand) { acc = XXH64.hashLong(sig(b * rowsPerBand + j), acc); j += 1 }
+          acc
+        }
+        Some((shingles, keys))
+      }
+    }
+  }
+
+  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+    val sa = a.toSet; val sb = b.toSet
+    val union = sa.union(sb).size
+    if (union == 0) 0d else sa.intersect(sb).size.toDouble / union
+  }
+
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // shingle once, reuse three times (signature + both verify sides);
     // MEMORY_AND_DISK so huge corpora spill instead of recomputing
-    val prepared = df.select(
-      id.as("id"),
-      wordShingles(text, shingleSize).as("shingles"))
-      .where(size(col("shingles")) > 0)
+    val sb = shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb")
+    val prepared = df.select(id.as("id"), sb)
+      .where(col("sb").isNotNull)
+      .select(col("id"), col("sb._1").as("shingles"), col("sb._2").as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = prepared
-      // materialize base hashes as a bound column so the per-function
-      // minima reference it instead of re-hashing shingles numHashes times
-      .withColumn("hv", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignatureFromHashes(col("hv"), numHashes))
-      .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as("bands"))
+    val sigs = prepared.select(col("id"), col("bands"))
     // candidate generation shuffles (band, id) pairs only — shingle arrays
     // never enter the LSH shuffle
     val exploded = sigs.select(col("id"),
@@ -134,7 +186,7 @@ object Dedup {
     val shA = prepared.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = prepared.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -164,9 +216,13 @@ object Dedup {
     * an order of magnitude at corpus scale while staying a narrow,
     * deterministic map.
     */
-  private val simhashFold = udf { (hashes: Seq[Long]) =>
+  private val simhashFold = udf { (words: Seq[String]) =>
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
     val votes = Array.ofDim[Int](64)
-    hashes.foreach { h =>
+    words.foreach { w =>
+      // same hash as functions.xxhash64 (seed 42)
+      val h = XXH64.hashUTF8String(UTF8String.fromString(w), 42L)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -182,8 +238,7 @@ object Dedup {
     sig
   }
 
-  def simhash(text: Column): Column =
-    simhashFold(transform(TextStats.tokens(text), w => xxhash64(w)))
+  def simhash(text: Column): Column = simhashFold(TextStats.tokens(text))
 
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -18,7 +18,16 @@ object TextStats {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace-collapsed text: the flat-string basis for token math
+    * (plain string functions are codegen'd; array higher-order functions
+    * are interpreted — prefer the flat forms in hot paths).
+    */
+  def collapsed(text: Column): Column = regexp_replace(trim(text), "\\s+", " ")
+
+  def tokenCount(text: Column): Column = {
+    val c = collapsed(text)
+    when(length(c) === 0, 0).otherwise(regexp_count(c, lit(" ")) + 1)
+  }
 
   /** BPE-ish subword count: word-piece chunks of ≤4 chars plus
     * digit/punctuation singletons, approximating a BPE vocab's token rate
@@ -35,10 +44,14 @@ object TextStats {
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0d).otherwise(punctCount(text).cast("double") / length(text))
 
-  def meanWordLength(text: Column): Column =
-    when(tokenCount(text) === 0, 0d).otherwise(
-      aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        tokenCount(text))
+  /** Mean word length without arrays: in the collapsed form, total word
+    * chars = length - (n_tokens - 1) separators.
+    */
+  def meanWordLength(text: Column): Column = {
+    val tc = tokenCount(text)
+    when(tc === 0, 0d).otherwise(
+      (length(collapsed(text)) - (tc - 1)).cast("double") / tc)
+  }
 
   /** Stopword hit count for one language's marker list. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
@@ -90,8 +103,7 @@ object TextStats {
   }
 
   /** Stable document fingerprint (md5 of the normalized text). */
-  def fingerprintMd5(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprintMd5(text: Column): Column = md5(lower(collapsed(text)))
 
   /** Polynomial rolling hash over characters, mod 1e9+7 — stays in 64-bit
     * range in any engine, no UDF (functions.aggregate over the char array).

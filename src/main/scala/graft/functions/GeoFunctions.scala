@@ -32,13 +32,20 @@ object GeoFunctions {
     GeoCodec.encodeWkb(gf.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
   }
 
-  // envelope of a WKB geometry as struct(xmin,ymin,xmax,ymax); null-safe
+  // envelope of a WKB geometry as struct(xmin,ymin,xmax,ymax); null-safe.
+  // (UDF form kept for spark.udf.register; the Column API below uses the
+  // native Catalyst expressions in WkbExpressions.scala.)
   val stEnvelopeUdf = udf { (b: Array[Byte]) =>
     Option(GeoCodec.envelope(GeoCodec.decodeWkb(b)))
       .map(e => (e.xmin, e.ymin, e.xmax, e.ymax))
   }
 
   val stGeometryTypeUdf = udf((b: Array[Byte]) => Option(GeoCodec.geoJsonType(GeoCodec.decodeWkb(b))))
+
+  private def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
   val stIsValidWkbUdf = udf { (b: Array[Byte]) =>
     if (b == null || b.isEmpty) true
@@ -64,13 +71,12 @@ object GeoFunctions {
   def wkb_to_geojson(c: Column): Column = wkbToGeoJsonUdf(c)
   def geojson_to_wkb(c: Column): Column = geoJsonToWkbUdf(c)
   def st_point(x: Column, y: Column): Column = stPointUdf(x, y)
-  def st_envelope(c: Column): Column =
-    stEnvelopeUdf(c).cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+  def st_envelope(c: Column): Column = exprColumn(WkbEnvelope(exprOf(c)))
   def st_xmin(c: Column): Column = st_envelope(c).getField("xmin")
   def st_ymin(c: Column): Column = st_envelope(c).getField("ymin")
   def st_xmax(c: Column): Column = st_envelope(c).getField("xmax")
   def st_ymax(c: Column): Column = st_envelope(c).getField("ymax")
-  def st_geometry_type(c: Column): Column = stGeometryTypeUdf(c)
+  def st_geometry_type(c: Column): Column = exprColumn(WkbGeometryType(exprOf(c)))
   def st_envelope_intersects(c: Column, box: Bbox): Column = stEnvelopeIntersectsUdf(box)(c)
 
   /** Antimeridian-aware bbox-vs-bbox intersection over four leaf columns,

@@ -105,10 +105,22 @@ object FooterIO {
     if (crc.exists()) crc.delete()
   }
 
-  /** Attach the `geo` metadata to every part file of a written dataset. */
-  def writeGeoMetadata(path: String, meta: GeoMetadata): Unit = {
+  /** Attach the `geo` metadata to every part file of a written dataset.
+    * With many part files and a SparkSession the O(1)-per-file footer
+    * rewrites fan out across executors (each task touches only its file);
+    * small outputs stay on the driver.
+    */
+  def writeGeoMetadata(path: String, meta: GeoMetadata,
+                       spark: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
     val json = meta.json
-    dataFiles(path).foreach(f =>
-      appendKeyValue(f, Map(GeoMetadata.MetadataKey -> json)))
+    val files = dataFiles(path)
+    spark match {
+      case Some(s) if files.length > 8 =>
+        val paths = files.map(_.getAbsolutePath)
+        s.sparkContext.parallelize(paths, math.min(paths.length, 64))
+          .foreach(p => appendKeyValue(new File(p), Map(GeoMetadata.MetadataKey -> json)))
+      case _ =>
+        files.foreach(f => appendKeyValue(f, Map(GeoMetadata.MetadataKey -> json)))
+    }
   }
 }

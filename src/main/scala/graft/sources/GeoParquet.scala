@@ -94,7 +94,7 @@ object GeoParquet {
       writer = writer.option("parquet.block.size", (n * rowBytes).toString)
     }
     writer.parquet(path)
-    FooterIO.writeGeoMetadata(path, finalMeta)
+    FooterIO.writeGeoMetadata(path, finalMeta, Some(df.sparkSession))
     finalMeta
   }
 

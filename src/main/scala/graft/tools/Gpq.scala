@@ -30,6 +30,16 @@ object Gpq {
   }
 
   def main(args: Array[String]): Unit = {
+    val spark = session()
+    val code = try run(spark, args) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** CLI body, separated from session/exit handling for testability.
+    * Returns the process exit code (1 = validation failures, like the
+    * reference's validate command).
+    */
+  def run(spark: SparkSession, args: Array[String]): Int = {
     require(args.nonEmpty, "usage: gpq <convert|extract|describe|validate> ...")
     val cmd = args.head
     val positional = args.tail.filterNot(_.startsWith("--"))
@@ -40,8 +50,7 @@ object Gpq {
       }
     }.toMap
 
-    val spark = session()
-    try {
+    {
       // URL inputs (http/https fetched; hadoop schemes passed through)
       def resolved(p: Array[String]): Array[String] =
         p.zipWithIndex.map { case (v, i) =>
@@ -55,6 +64,7 @@ object Gpq {
             compression = flags.getOrElse("compression", "zstd"),
             rowGroupRows = flags.get("row-group-length").map(_.toInt)))
           println(s"converted $in -> $out")
+          0
         case "extract" =>
           val Array(in, out) = resolved(positional.take(2))
           Extract.run(spark, in, out, Extract.Options(
@@ -63,18 +73,20 @@ object Gpq {
             keepOnlyCols = flags.get("keep-only-cols").toSeq.flatMap(_.split(","))),
             compression = flags.getOrElse("compression", "zstd"))
           println(s"extracted $in -> $out")
+          0
         case "describe" =>
           println(graft.operators.Describe.json(spark,
             graft.sources.Remote.resolve(positional.head)))
+          0
         case "validate" =>
           val report = graft.operators.Validate.report(spark,
             graft.sources.Remote.resolve(positional.head),
             metadataOnly = flags.contains("metadata-only"))
           println(report.toJson)
-          if (report.failed) sys.exit(1)
+          if (report.failed) 1 else 0
         case other =>
           throw new IllegalArgumentException(s"unknown command: $other")
       }
-    } finally spark.stop()
+    }
   }
 }

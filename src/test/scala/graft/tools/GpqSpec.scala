@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.meta.FooterIO
+import java.nio.file.Files
+
+/** Command-level e2e coverage (reference layer 4,
+  * cmd/gpq/command/command_test.go): the full convert → extract →
+  * describe → validate chain through the CLI entry point.
+  */
+class GpqSpec extends SparkSpec {
+
+  val gj = "src/test/resources/geojson"
+
+  test("convert -> extract -> describe -> validate chain") {
+    val dir = Files.createTempDirectory("gpqcli").toString
+    assert(Gpq.run(spark, Array("convert", s"$gj/example.geojson",
+      s"$dir/example.parquet")) == 0)
+    assert(FooterIO.readGeoMetadata(s"$dir/example.parquet").isDefined)
+
+    assert(Gpq.run(spark, Array("extract", s"$dir/example.parquet",
+      s"$dir/tz.parquet", "--bbox=34,-7,36,-6")) == 0)
+    val rows = spark.read.parquet(s"$dir/tz.parquet").collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("name") == "Tanzania")
+
+    assert(Gpq.run(spark, Array("describe", s"$dir/tz.parquet")) == 0)
+    assert(Gpq.run(spark, Array("validate", s"$dir/tz.parquet")) == 0)
+  }
+
+  test("validate exits 1 on a non-GeoParquet file") {
+    assert(Gpq.run(spark, Array("validate", s"$sf/lineitem.parquet")) == 1)
+  }
+
+  test("unknown command and bad flags error") {
+    intercept[IllegalArgumentException](Gpq.run(spark, Array("frobnicate", "x")))
+    intercept[IllegalArgumentException](
+      Gpq.run(spark, Array("extract", "a.parquet", "b.parquet", "--bbox=1,2,3")))
+  }
+
+  test("extract with keep and drop flags") {
+    val dir = Files.createTempDirectory("gpqcli2").toString
+    Gpq.run(spark, Array("convert", s"$gj/example.geojson", s"$dir/e.parquet"))
+    assert(Gpq.run(spark, Array("extract", s"$dir/e.parquet", s"$dir/keep.parquet",
+      "--keep-only-cols=name,geometry")) == 0)
+    assert(spark.read.parquet(s"$dir/keep.parquet").columns.toSet ==
+      Set("name", "geometry"))
+    // keep xor drop is enforced
+    intercept[IllegalArgumentException] {
+      Gpq.run(spark, Array("extract", s"$dir/e.parquet", s"$dir/x.parquet",
+        "--keep-only-cols=name,geometry", "--drop-cols=iso_a3"))
+    }
+  }
+}

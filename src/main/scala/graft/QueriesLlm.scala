@@ -286,6 +286,40 @@ object QueriesLlm {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** q_sessionize — gap-based sessionization (batch form of the streaming
+    * flatMapGroupsWithState path in graft.streaming.EventStream; 30-minute
+    * inactivity gap). Lag + cumulative-sum window algebra, fully
+    * SQL-expressible.
+    */
+  val qSessionize: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    graft.streaming.EventStream.sessionizeBatch(events, 30L * 60 * 1000000)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_id, value,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** q_join_enrich — broadcast-join enrichment + grouped revenue (general
     * join coverage; the dimension side is broadcast, no shuffle of fact).
     */
@@ -319,9 +353,11 @@ object QueriesLlm {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
+    "q_sessionize" -> qSessionize,
     "q_join_enrich" -> qJoinEnrich)
 
   def oracles: Map[String, String] = Map(
+    "q_sessionize" -> qSessionizeSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_window" -> qDedupWindowSql,
     "q_text_stats" -> qTextStatsSql,

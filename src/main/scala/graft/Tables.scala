@@ -20,7 +20,7 @@ object Tables {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

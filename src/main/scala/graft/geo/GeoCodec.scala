@@ -38,14 +38,39 @@ object GeoCodec {
     if (text == null || text.isEmpty) null
     else wktReader.get().read(text)
 
-  /** Type-sniffing decode (reference geo.go:107-117). */
-  def decode(value: Any, encoding: String = ""): Geometry = value match {
-    case null => null
-    case b: Array[Byte] if encoding.isEmpty || encoding == WkbEncoding => decodeWkb(b)
-    case s: String if encoding.isEmpty || encoding == WktEncoding => decodeWkt(s)
-    case other =>
-      throw new IllegalArgumentException(
-        s"unsupported geometry value/encoding: ${other.getClass.getSimpleName}/$encoding")
+  /** Type-sniffing decode with reference-exact error classification
+    * (geo.go:107-144): wrong value type for a declared encoding and
+    * unknown encodings are distinct errors.
+    */
+  def decode(value: Any, encoding: String = ""): Geometry = {
+    if (value == null) return null
+    val enc =
+      if (encoding.nonEmpty) encoding
+      else value match {
+        case _: Array[Byte] => WkbEncoding
+        case _: String => WktEncoding
+        case _ => ""
+      }
+    enc match {
+      case WkbEncoding => value match {
+        case b: Array[Byte] => decodeWkb(b)
+        case other => throw new IllegalArgumentException(
+          s"expected bytes for wkb geometry, got ${typeName(other)}")
+      }
+      case WktEncoding => value match {
+        case s: String => decodeWkt(s)
+        case other => throw new IllegalArgumentException(
+          s"expected string for wkt geometry, got ${typeName(other)}")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported encoding: $other")
+    }
+  }
+
+  private def typeName(v: Any): String = v match {
+    case _: Array[Byte] => "bytes"
+    case _: String => "string"
+    case other => other.getClass.getSimpleName
   }
 
   def encodeWkb(geom: Geometry): Array[Byte] =

@@ -15,10 +15,15 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** dot(a, b) computed in double (zip_with + aggregate; codegen'd). */
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** dot(a, b) in double via the native [[graft.functions.ArrayDot]]
+    * expression — a primitive codegen loop; the zip_with+aggregate
+    * equivalent evaluates interpreted per element.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v)
+    ColumnBridge.column(graft.functions.ArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

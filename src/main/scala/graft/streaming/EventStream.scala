@@ -34,7 +34,7 @@ object EventStream {
         if (f.name == "ts_ns") f.copy(name = "ts") else f)))
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   /** Tumbling-window aggregation with late-data watermark: the canonical

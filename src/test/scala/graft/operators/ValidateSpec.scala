@@ -54,6 +54,12 @@ class ValidateSpec extends SparkSpec {
         s"$name[$i] '${c.title}': run ${c.run} vs ${e.get("run").asBoolean()} (msg=${c.message})")
       assert(c.passed == e.get("passed").asBoolean(),
         s"$name[$i] '${c.title}': passed ${c.passed} vs ${e.get("passed").asBoolean()} (msg=${c.message})")
+      // message parity, except the PROJJSON rule (full JSON-schema
+      // validation text can't be reproduced offline — COVERAGE.md dev. 6)
+      if (e.has("message") && !c.title.contains("PROJJSON")) {
+        assert(c.message.contains(e.get("message").asText()),
+          s"$name[$i] '${c.title}': message '${c.message.orNull}' vs '${e.get("message").asText()}'")
+      }
     }
     assert(report.metadataOnly == expected.get("metadataOnly").asBoolean())
   }

@@ -46,7 +46,7 @@ class EventStreamSpec extends SparkSpec {
     implicit val s = spark
     val events = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
-        (col("ts_ns") / 1000L).cast("long").as("ts_us"),
+        expr("ts_ns div 1000").as("ts_us"),
         col("event_type"), col("value"))
     val gap = 30L * 60 * 1000000 // 30 minutes
 

@@ -105,6 +105,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means coarse quantizer over the corpus;
+    * every vector is assigned to its nearest centroid. At scale the
+    * assignment column becomes the partitioning/bucketing key at write
+    * time, so probing reads only nProbe/k of the data.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  def ivfIndex(df: DataFrame, id: Column, vec: Column, k: Int,
+               seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(id.as("vec_id"), normalized(vec).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(prepared.select("features"))
+    val assigned = model.transform(prepared)
+      .select(col("vec_id"), col("v"), col("prediction").as("centroid_id"))
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** IVF top-k: probe the `nProbe` centroids nearest to the query, exact
+    * cosine rank within the probed cells only.
+    */
+  def ivfTopK(index: IvfIndex, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val qn = {
+      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (n == 0) query.map(_.toDouble) else query.map(_ / n)
+    }
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qn).map { case (a, b) => a * b }.sum
+        (i, d)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    index.assigned
+      .where(col("centroid_id").isin(probes.toSeq: _*))
+      .select(col("vec_id"), dot(col("v"), lit(qn)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN near-dup pairs: bucket self-join per table, verify cosine. */
   def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       threshold: Double, dim: Int = 64, tables: Int = 6,

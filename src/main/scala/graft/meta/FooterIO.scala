@@ -29,16 +29,21 @@ object FooterIO {
 
   private val Magic = "PAR1".getBytes(StandardCharsets.US_ASCII)
 
-  /** List the data files of a parquet path (single file or directory of
-    * part files), sorted for determinism.
+  /** List the data files of a parquet path (single file, directory of part
+    * files, or a partitioned directory tree), sorted for determinism.
     */
   def dataFiles(path: String): Seq[File] = {
+    def walk(dir: File): Seq[File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { p =>
+        if (p.isDirectory && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          walk(p)
+        else if (p.isFile && p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+          Seq(p)
+        else Nil
+      }
     val f = new File(path)
-    if (f.isFile) Seq(f)
-    else
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(p => p.isFile && p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-        .sortBy(_.getName).toSeq
+    val files = if (f.isFile) Seq(f) else walk(f)
+    files.sortBy(_.getPath)
   }
 
   def readFooter(file: File): ParquetMetadata = {

@@ -51,6 +51,12 @@ object Extract {
     }
 
     opts.bbox.foreach { box =>
+      // spatially-partitioned layouts prune whole cell directories first
+      // (PartitionFilters), then the row-group/residual filter applies
+      if (df.columns.contains("cell_x") && df.columns.contains("cell_y")) {
+        val grid = GeoParquet.gridSize(inPath).getOrElse(10.0)
+        df = df.where(GeoParquet.cellPredicate(box, grid))
+      }
       df = filterByBbox(df, gf.meta, primary, box)
     }
     GeoFrame(df, gf.meta)

@@ -98,6 +98,72 @@ object GeoParquet {
     finalMeta
   }
 
+  /** Spatially-partitioned layout for large datasets: rows land in
+    * `cell_x=…/cell_y=…` directories keyed by the envelope centroid on a
+    * `cellDeg`-degree grid. A bbox query then prunes whole directories
+    * (Catalyst PartitionFilters) before row-group stats are even read —
+    * the directory tier of pruning the single-file reference cannot have.
+    * Null/empty geometries land in the (9999, 9999) cell so they are never
+    * dropped by partition pruning.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      primaryColumn: String = GeoMetadata.DefaultGeometryColumn,
+      cellDeg: Double = 10.0,
+      meta: Option[GeoMetadata] = None,
+      compression: String = "zstd"): GeoMetadata = {
+    val env = GeoFunctions.st_envelope(col(primaryColumn))
+    // antimeridian-crossing geometries have world-spanning envelopes whose
+    // centroid lies in the wrong cell — route them (and null geometries)
+    // to the always-scanned escape cell instead of risking false pruning
+    val wide = (env.getField("xmax") - env.getField("xmin")) > 180d
+    val cx = when(wide, 9999).otherwise(
+      floor(((env.getField("xmin") + env.getField("xmax")) / 2) / cellDeg).cast("int"))
+    val cy = when(wide, 9999).otherwise(
+      floor(((env.getField("ymin") + env.getField("ymax")) / 2) / cellDeg).cast("int"))
+    val partitioned = df
+      .withColumn("cell_x", coalesce(cx, lit(9999)))
+      .withColumn("cell_y", coalesce(cy, lit(9999)))
+    val base = meta.getOrElse(GeoMetadata.default(primaryColumn))
+    val geomCols = base.columnNames.filter(df.columns.contains)
+    val finalMeta =
+      if (geomCols.nonEmpty) base.withStats(geometryStats(df, geomCols)) else base
+    partitioned.write.mode("overwrite")
+      .option("compression", compression)
+      .partitionBy("cell_x", "cell_y")
+      .parquet(path)
+    // stamp geo metadata + the grid size on every leaf part file (the grid
+    // KV lets readers rebuild the partition predicate)
+    FooterIO.dataFiles(path).foreach(f => FooterIO.appendKeyValue(f,
+      Map(GeoMetadata.MetadataKey -> finalMeta.json, GridKey -> cellDeg.toString)))
+    finalMeta
+  }
+
+  /** Footer KV key carrying the spatial-partition grid size in degrees. */
+  val GridKey = "graft:grid_deg"
+
+  def gridSize(path: String): Option[Double] =
+    FooterIO.keyValueMetadata(path).get(GridKey).map(_.toDouble)
+
+  /** Partition-pruning predicate for a bbox query over the grid layout:
+    * keep cells whose range can intersect the (unwrapped) query box, plus
+    * the null-geometry cell. Plain int comparisons → PartitionFilters.
+    */
+  def cellPredicate(box: graft.geo.Bbox, cellDeg: Double = 10.0): org.apache.spark.sql.Column = {
+    def cellOf(v: Double): Int = math.floor(v / cellDeg).toInt
+    val cyLo = cellOf(box.ymin) - 1
+    val cyHi = cellOf(box.ymax) + 1
+    val latOk = col("cell_y").between(cyLo, cyHi)
+    val lonOk =
+      if (box.crossesAntimeridian) {
+        // two ranges: [xmin, 180] and [-180, xmax]
+        col("cell_x") >= cellOf(box.xmin) - 1 || col("cell_x") <= cellOf(box.xmax) + 1
+      } else
+        col("cell_x").between(cellOf(box.xmin) - 1, cellOf(box.xmax) + 1)
+    (latOk && lonOk) || (col("cell_x") === 9999 && col("cell_y") === 9999)
+  }
+
   private def estimateRowSize(row: Row): Long =
     (0 until row.length).map { i =>
       row.get(i) match {

@@ -91,6 +91,26 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("ivf index + probing topK finds the exact match; recall grows with probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(df, col("vec_id"), col("embedding"), k = 8)
+    assert(index.centroids.length == 8)
+    val query = rows(42)._2
+    // the identical vector lives in the probed cell containing the query
+    val res = Similarity.ivfTopK(index, query, k = 3, nProbe = 1).collect()
+    assert(res.head.getLong(0) == 42L)
+    assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-9)
+    // probing all cells = brute force
+    val all = Similarity.ivfTopK(index, query, k = 5, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(df, col("vec_id"), col("embedding"), query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+  }
+
   test("ann near-dup pairs finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -21,6 +21,9 @@ object Dedup {
     * min-order semi-join rather than a window so the shuffle carries only
     * (key, order) pairs and skewed giant groups don't serialize through a
     * single window partition.
+    *
+    * `orderCol` should be unique (e.g. a row id): rows tying on
+    * (key, order) are all kept, unlike row_number()-based dedup.
     */
   def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
     val keyed = df.withColumn("_dk", xxhash64(key)).withColumn("_ord", orderCol)

@@ -23,6 +23,11 @@ class LlmSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("exactGroups reports duplicate-key groups") {
+    val groups = Dedup.exactGroups(docs, col("text")).collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 2L) // docs 1 and 6
+  }
+
   test("minhash LSH finds the planted near-dup pair and not unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
       shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)

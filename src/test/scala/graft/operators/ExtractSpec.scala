@@ -48,6 +48,12 @@ class ExtractSpec extends SparkSpec {
     val plan = gf.df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"),
       s"expected pushed bbox filters in plan:\n$plan")
+    // and actually prune: the fixture has 2 row groups (1 + 3 rows); the
+    // scan must emit fewer than all 4 rows (reference filter_test.go:43-67
+    // reads 1 of 2 groups)
+    val scans = gf.df.queryExecution.executedPlan.collectLeaves()
+    val scanRows = scans.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows < 4, s"expected row-group pruning, scan emitted $scanRows rows")
   }
 
   test("whole-globe bbox returns all 5 countries") {

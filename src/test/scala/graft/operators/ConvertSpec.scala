@@ -54,6 +54,52 @@ class ConvertSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("parquet -> geojson matches the reference golden example.geojson") {
+    // reference asserts convert(example parquet) == example.geojson
+    // (internal/geojson/geojson_test.go:41-106); compare semantically
+    import graft.sources.{FeatureIterator, RawFeature}
+    val dir = Files.createTempDirectory("golden").toString
+    Convert.run(spark, s"$cases/example-v1.0.0.parquet", s"$dir/out.geojson")
+    def load(p: String): Map[String, RawFeature] = {
+      val it = new FeatureIterator(new java.io.BufferedReader(new java.io.FileReader(p)))
+      try it.toList.map(f => f.properties.get("name").asText() -> f).toMap
+      finally it.close()
+    }
+    val got = load(s"$dir/out.geojson")
+    val exp = load(s"$gj/example.geojson")
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (name, e) =>
+      val g = got(name)
+      assert(g.geometry.equalsExact(e.geometry), s"$name geometry differs")
+      assert(g.properties.get("pop_est").asDouble() == e.properties.get("pop_est").asDouble())
+      assert(g.properties.get("gdp_md_est").asDouble() == e.properties.get("gdp_md_est").asDouble())
+      assert(g.properties.get("continent").asText() == e.properties.get("continent").asText())
+      assert(g.properties.get("iso_a3").asText() == e.properties.get("iso_a3").asText())
+    }
+  }
+
+  test("row-group length option produces multiple row groups") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rgl").toString
+    val df = (0 until 10000).map(i => (i.toLong, s"row $i " * 10))
+      .toDF("id", "payload")
+    graft.sources.GeoParquet.write(df.coalesce(1), s"$dir/out.parquet",
+      computeStats = false, rowGroupRows = Some(1000))
+    val groups = graft.meta.FooterIO.dataFiles(s"$dir/out.parquet")
+      .map(f => graft.meta.FooterIO.readFooter(f).getBlocks.size()).sum
+    assert(groups > 1, s"expected multiple row groups, got $groups")
+  }
+
+  test("geo functions are SQL-registered") {
+    graft.functions.GeoFunctions.register(spark)
+    val wkt = spark.sql("SELECT wkb_to_wkt(wkt_to_wkb('POINT (1 2)')) AS w")
+      .head.getString(0)
+    assert(graft.geo.GeoCodec.decodeWkt(wkt)
+      .equalsExact(graft.geo.GeoCodec.decodeWkt("POINT (1 2)")))
+    assert(spark.sql("SELECT st_geometry_type(wkt_to_wkb('POINT (1 2)')) t")
+      .head.getString(0) == "Point")
+  }
+
   test("parquet with WKT string geometry transcodes to WKB") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cv3").toString

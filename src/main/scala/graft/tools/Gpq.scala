@@ -62,6 +62,8 @@ object Gpq {
           Convert.run(spark, in, out, Convert.Options(
             inputPrimaryColumn = flags.get("input-primary-column"),
             compression = flags.getOrElse("compression", "zstd"),
+            minFeatures = flags.get("min").map(_.toInt).getOrElse(10),
+            maxFeatures = flags.get("max").map(_.toInt).getOrElse(100),
             rowGroupRows = flags.get("row-group-length").map(_.toInt)))
           println(s"converted $in -> $out")
           0
@@ -75,8 +77,10 @@ object Gpq {
           println(s"extracted $in -> $out")
           0
         case "describe" =>
-          println(graft.operators.Describe.json(spark,
-            graft.sources.Remote.resolve(positional.head)))
+          val in = graft.sources.Remote.resolve(positional.head)
+          if (flags.contains("metadata-only"))
+            println(graft.operators.Describe.metadataOnly(in))
+          else println(graft.operators.Describe.json(spark, in))
           0
         case "validate" =>
           val report = graft.operators.Validate.report(spark,

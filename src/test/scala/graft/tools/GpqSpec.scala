@@ -27,6 +27,16 @@ class GpqSpec extends SparkSpec {
     assert(Gpq.run(spark, Array("validate", s"$dir/tz.parquet")) == 0)
   }
 
+  test("describe --metadata-only prints the raw footer value") {
+    val dir = Files.createTempDirectory("gpqmeta").toString
+    Gpq.run(spark, Array("convert", s"$gj/example.geojson", s"$dir/e.parquet"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      assert(Gpq.run(spark, Array("describe", s"$dir/e.parquet", "--metadata-only")) == 0)
+    }
+    assert(out.toString.contains("\"primary_column\""))
+  }
+
   test("validate exits 1 on a non-GeoParquet file") {
     assert(Gpq.run(spark, Array("validate", s"$sf/lineitem.parquet")) == 1)
   }

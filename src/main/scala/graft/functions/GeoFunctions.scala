@@ -58,6 +58,8 @@ object GeoFunctions {
 
   /** WKB-decode fallback bbox filter (reference filter.go:271-296): decode,
     * envelope, antimeridian-aware intersect. Null geometries drop out.
+    * Native expression; with [[graft.plans.GraftExtensions]] installed the
+    * optimizer rewrites it onto a covering bbox column when one exists.
     */
   def stEnvelopeIntersectsUdf(box: Bbox) = udf { (b: Array[Byte]) =>
     val env = GeoCodec.envelope(GeoCodec.decodeWkb(b))
@@ -77,7 +79,8 @@ object GeoFunctions {
   def st_xmax(c: Column): Column = st_envelope(c).getField("xmax")
   def st_ymax(c: Column): Column = st_envelope(c).getField("ymax")
   def st_geometry_type(c: Column): Column = exprColumn(WkbGeometryType(exprOf(c)))
-  def st_envelope_intersects(c: Column, box: Bbox): Column = stEnvelopeIntersectsUdf(box)(c)
+  def st_envelope_intersects(c: Column, box: Bbox): Column =
+    exprColumn(graft.plans.EnvelopeIntersects(exprOf(c), box))
 
   /** Antimeridian-aware bbox-vs-bbox intersection over four leaf columns,
     * expanded to column arithmetic (reference geo.go:349-372).

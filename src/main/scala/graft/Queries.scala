@@ -187,7 +187,36 @@ object Queries {
       |  AND (CASE WHEN bbox.xmin > 0 AND bbox.xmax < 0 THEN bbox.xmin - 360 ELSE bbox.xmin END) <= 36
       |ORDER BY name""".stripMargin
 
+  /** q_geo_bbox_agg — the geometry codec + envelope-filter path at table
+    * scale: synthesize one point per lineitem row (600k at sf0.1), WKB
+    * encode, filter through the native EnvelopeIntersects predicate, and
+    * aggregate. Exercises encode+decode throughput end-to-end; the oracle
+    * replays the pure coordinate arithmetic.
+    */
+  val qGeoBboxAgg: Q = (s, dir) => {
+    import graft.functions.GeoFunctions._
+    val li = Tables.lineitem(s, dir)
+      .withColumn("lon", (pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(360)) - 180).cast("double"))
+      .withColumn("lat", (pmod(col("l_partkey") * 13, lit(180)) - 90).cast("double"))
+      .withColumn("geom", st_point(col("lon"), col("lat")))
+    li.where(st_envelope_intersects(col("geom"), graft.geo.Bbox(-60, -30, 60, 30)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qGeoBboxAggSql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST((l_orderkey * 7 + l_linenumber) % 360 - 180 AS DOUBLE) AS lon,
+      |    CAST((l_partkey * 13) % 180 - 90 AS DOUBLE) AS lat
+      |  FROM lineitem)
+      |WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Map[String, Q] = QueriesLlm.all ++ Map(
+    "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
     "q1_agg" -> q1Agg,
     "q_project_keep" -> qProjectKeep,
@@ -199,6 +228,7 @@ object Queries {
   )
 
   def oracles: Map[String, String] = QueriesLlm.oracles ++ Map(
+    "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,
     "q1_agg" -> q1AggSql,
     "q_project_keep" -> qProjectKeepSql,

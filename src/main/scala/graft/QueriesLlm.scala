@@ -339,7 +339,18 @@ object QueriesLlm {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q_embed_neardup_ann — the LSH scale path over the FULL embedding
+    * corpus (no id bound): hyperplane-bucket self-join + exact verify.
+    * Deterministic (seeded planes) but sketch recall → rows-only.
+    */
+  val qEmbedNeardupAnn: Q = (s, dir) =>
+    Similarity.annNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
+      col("embedding"), threshold = 0.3, dim = 64, tables = 6, bits = 10)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+
   def all: Map[String, Q] = Map(
+    "q_embed_neardup_ann" -> qEmbedNeardupAnn,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_window" -> qDedupWindow,
     "q_text_stats" -> qTextStats,

@@ -96,7 +96,7 @@ object QueriesLlm {
 
   val qLangIdSql: String = {
     def cnt(words: Seq[String]) =
-      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+      s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(words)}'))"
     val markers = TextStats.LangMarkers
     val scores = markers.map { case (l, w) => s"${cnt(w)} AS c_$l" }.mkString(",\n    ")
     val g = "greatest(" + markers.map { case (l, _) => s"c_$l" }.mkString(", ") + ")"
@@ -118,7 +118,7 @@ object QueriesLlm {
       .orderBy("doc_id")
 
   val qQualitySql: String = {
-    val cnt = s"len(regexp_extract_all(lower(text), '\\b(${TextStats.StopwordsEn.mkString("|")})\\b'))"
+    val cnt = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"
     """WITH t AS (
       |  SELECT doc_id, length(text) AS len,
       |    CASE WHEN length(trim(text)) = 0 THEN 0

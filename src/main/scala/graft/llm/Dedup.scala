@@ -26,9 +26,16 @@ object Dedup {
     * (key, order) are all kept, unlike row_number()-based dedup.
     */
   def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
-    val keyed = df.withColumn("_dk", xxhash64(key)).withColumn("_ord", orderCol)
-    val winners = keyed.groupBy("_dk").agg(min("_ord").as("_ord"))
-    keyed.join(winners, Seq("_dk", "_ord"), "left_semi").drop("_dk", "_ord")
+    // 128 bits of key hash (two independently-seeded xxhash64): a single
+    // 64-bit hash has expected collisions at multi-billion-row corpora,
+    // which would silently drop distinct rows from an "exact" dedup
+    val keyed = df
+      .withColumn("_dk1", xxhash64(key))
+      .withColumn("_dk2", xxhash64(key, lit(0x9E3779B9L)))
+      .withColumn("_ord", orderCol)
+    val winners = keyed.groupBy("_dk1", "_dk2").agg(min("_ord").as("_ord"))
+    keyed.join(winners, Seq("_dk1", "_dk2", "_ord"), "left_semi")
+      .drop("_dk1", "_dk2", "_ord")
   }
 
   /** Exact-dup groups: (key hash, count) for groups with >1 member. */

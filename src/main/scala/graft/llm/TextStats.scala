@@ -53,10 +53,19 @@ object TextStats {
       (length(collapsed(text)) - (tc - 1)).cast("double") / tc)
   }
 
+  /** Marker regex for a language's stopword list: \b word boundaries for
+    * ASCII-word markers; bare alternation for scripts (CJK) where \b never
+    * matches in ASCII-\w regex engines. Shared with the SQL oracles so
+    * both engines count identically.
+    */
+  def markerPattern(stopwords: Seq[String]): String =
+    if (stopwords.forall(_.forall(c => c.isLetterOrDigit && c < 128)))
+      "\\b(" + stopwords.mkString("|") + ")\\b"
+    else "(" + stopwords.mkString("|") + ")"
+
   /** Stopword hit count for one language's marker list. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(regexp_extract_all(lower(text),
-      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+    size(regexp_extract_all(lower(text), lit(markerPattern(stopwords)), lit(0)))
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
     when(tokenCount(text) === 0, 0d)

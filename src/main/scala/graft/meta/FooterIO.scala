@@ -59,8 +59,20 @@ object FooterIO {
     readFooter(files.head).getFileMetaData.getKeyValueMetaData.asScala.toMap
   }
 
+  /** True when the path is a non-local URI (hadoop scheme): footer
+    * surgery here is java.io-based and local-only — data reads still work
+    * through Spark, but metadata attach/read degrades gracefully
+    * (COVERAGE.md deviations).
+    */
+  def isNonLocal(path: String): Boolean = {
+    val scheme = Option(java.net.URI.create(
+      path.replace(" ", "%20")).getScheme).getOrElse("")
+    scheme.nonEmpty && scheme != "file"
+  }
+
   def readGeoJson(path: String): Option[String] =
-    keyValueMetadata(path).get(GeoMetadata.MetadataKey)
+    if (isNonLocal(path)) None
+    else keyValueMetadata(path).get(GeoMetadata.MetadataKey)
 
   def readGeoMetadata(path: String): Option[GeoMetadata] =
     readGeoJson(path).map(GeoMetadata.parse)

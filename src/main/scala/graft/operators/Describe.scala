@@ -58,7 +58,7 @@ object Describe {
       throw new IllegalArgumentException("""missing "geo" metadata key"""))
 
   private def schemaNode(mapper: ObjectMapper, footer: ParquetMetadata,
-                         name: String, node: Type): ObjectNode = {
+                         name: String, node: Type, path: String = ""): ObjectNode = {
     val n = mapper.createObjectNode()
     if (name.nonEmpty) n.put("name", name)
     node.getRepetition match {
@@ -70,12 +70,13 @@ object Describe {
       case p: PrimitiveType =>
         n.put("type", physicalName(p))
         annotation(p).foreach(n.put("annotation", _))
-        compression(footer, p).foreach(n.put("compression", _))
+        compression(footer, path).foreach(n.put("compression", _))
       case g: GroupType =>
         if (name.nonEmpty) n.put("annotation", "group")
         val fields = n.putArray("fields")
         g.getFields.asScala.foreach { f =>
-          fields.add(schemaNode(mapper, footer, f.getName, f))
+          fields.add(schemaNode(mapper, footer, f.getName, f,
+            if (path.isEmpty) f.getName else s"$path.${f.getName}"))
         }
     }
     n
@@ -100,12 +101,15 @@ object Describe {
   private def annotation(p: PrimitiveType): Option[String] =
     Option(p.getLogicalTypeAnnotation).map(_.toString.toLowerCase)
 
-  /** Compression of the column in row group 0 (describe.go:266-283). */
-  private def compression(footer: ParquetMetadata, p: PrimitiveType): Option[String] = {
+  /** Compression of the column in row group 0 (describe.go:266-283),
+    * matched by the exact dotted path (suffix matching would confuse
+    * same-named leaves under different parents).
+    */
+  private def compression(footer: ParquetMetadata, path: String): Option[String] = {
     val blocks = footer.getBlocks
     if (blocks.isEmpty) return Some("unknown")
     blocks.get(0).getColumns.asScala
-      .find(c => c.getPath.toDotString.endsWith(p.getName))
+      .find(c => c.getPath.toDotString == path)
       .map(_.getCodec.name().toLowerCase)
   }
 }

@@ -313,15 +313,23 @@ object Validate {
           u(col(name).cast(StringType))
         }
 
+      // per-RULE first violation (rules violate on different rows, so a
+      // single first-violating-row read would mask later rules): one
+      // aggregate computing min_by(rid) independently for each rule slot
       val withId = df.select(col(name)).withColumn("_rid", monotonically_increasing_id())
         .withColumn("_errs", errCol)
         .where(exists(col("_errs"), e => e.isNotNull))
-      val firsts = withId.orderBy("_rid").select(col("_errs")).limit(1).collect()
-      if (firsts.nonEmpty) {
-        val errs = firsts.head.getSeq[String](0)
-        if (errs(0) != null && fatalEncoding.isEmpty) fatalEncoding = Some(errs(0))
-        (0 until 4).foreach { i =>
-          if (errs(i) != null && firstErrors(i) == null) firstErrors(i) = errs(i)
+      val aggs = (0 until 4).map { i =>
+        min_by(col("_errs").getItem(i),
+          when(col("_errs").getItem(i).isNotNull, col("_rid"))
+            .otherwise(lit(Long.MaxValue))).as(s"e$i")
+      }
+      val row = withId.agg(aggs.head, aggs.tail: _*).head()
+      (0 until 4).foreach { i =>
+        if (!row.isNullAt(i)) {
+          val e = row.getString(i)
+          if (i == 0 && fatalEncoding.isEmpty) fatalEncoding = Some(e)
+          if (firstErrors(i) == null) firstErrors(i) = e
         }
       }
     }

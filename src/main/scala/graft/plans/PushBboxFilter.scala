@@ -36,9 +36,15 @@ object PushBboxFilter extends Rule[LogicalPlan] {
       bboxField(child) match {
         case Some(attr) =>
           val newCond = cond.transform {
-            case EnvelopeIntersects(_, box) => expanded(attr, box)
+            // the standard `bbox` column covers the PRIMARY geometry
+            // column only — rewrite just filters on the conventionally
+            // named primary attribute; filters on other geometry columns
+            // keep their decode path
+            case e @ EnvelopeIntersects(g: Attribute, box)
+                if g.name == graft.meta.GeoMetadata.DefaultGeometryColumn =>
+              expanded(attr, box)
           }
-          Filter(newCond, child)
+          if (newCond fastEquals cond) f else Filter(newCond, child)
         case None => f
       }
   }
@@ -64,7 +70,13 @@ object PushBboxFilter extends Rule[LogicalPlan] {
       LessThanOrEqual(axmin, d(box.xmax)))
     val pushable = And(And(latOverlap, GreaterThanOrEqual(xmax, qxmin)),
       Or(LessThanOrEqual(xmin, d(box.xmax)), dataCrosses))
-    And(exact, pushable)
+    // EnvelopeIntersects is false (never null) for null input; leading
+    // IsNotNull conjuncts keep that under NOT/OR and are themselves
+    // pushable (a Coalesce wrapper would be opaque to the parquet
+    // filter translator and kill the pushdown this rule exists for)
+    val notNulls: Expression = Seq(xmin, ymin, xmax, ymax)
+      .map(IsNotNull(_): Expression).reduce(And(_, _))
+    And(notNulls, And(exact, pushable))
   }
 }
 

@@ -37,7 +37,7 @@ object GeoJson {
            minFeatures: Int = 10, maxFeatures: Int = 100): DataFrame = {
     val files = listFiles(path)
     require(files.nonEmpty, s"no input files at $path")
-    val propSchema = inferSchema(files, maxFeatures)
+    val propSchema = inferSchema(files, minFeatures, maxFeatures)
     val fullSchema = StructType(propSchema.fields :+
       StructField(GeometryColumn, BinaryType, nullable = true))
 
@@ -75,18 +75,22 @@ object GeoJson {
       .map(_.getPath).sorted.toSeq
   }
 
-  /** Stream features from the head of the input until the schema is ready,
-    * failing after `maxFeatures` undecided features
-    * (reference geojson.go:138-163).
+  /** Stream features from the head of the input until the schema is ready
+    * AND at least `minFeatures` features were observed (the reference
+    * keeps feeding the builder through its Min buffer, geojson.go:138-163,
+    * so properties first appearing within the buffer window still make the
+    * schema); fail after `maxFeatures` features without a complete schema.
     */
-  private[sources] def inferSchema(files: Seq[String], maxFeatures: Int): StructType = {
+  private[sources] def inferSchema(files: Seq[String], minFeatures: Int,
+                                   maxFeatures: Int): StructType = {
     val builder = new SchemaInference.Builder
     var read = 0
+    def done: Boolean = builder.ready && read >= minFeatures
     val fileIt = files.iterator
-    while (fileIt.hasNext && (read <= maxFeatures) && !builder.ready) {
+    while (fileIt.hasNext && read <= maxFeatures && !done) {
       val it = new FeatureIterator(new BufferedReader(new FileReader(fileIt.next())))
       try {
-        while (it.hasNext && read <= maxFeatures && !builder.ready) {
+        while (it.hasNext && read <= maxFeatures && !done) {
           builder.add(it.next().properties)
           read += 1
         }

@@ -114,10 +114,14 @@ object GeoParquet {
       meta: Option[GeoMetadata] = None,
       compression: String = "zstd"): GeoMetadata = {
     val env = GeoFunctions.st_envelope(col(primaryColumn))
-    // antimeridian-crossing geometries have world-spanning envelopes whose
-    // centroid lies in the wrong cell — route them (and null geometries)
-    // to the always-scanned escape cell instead of risking false pruning
-    val wide = (env.getField("xmax") - env.getField("xmin")) > 180d
+    // The cell predicate's ±1-cell margin is only sound for envelopes no
+    // larger than one cell: route anything spanning more than cellDeg in
+    // either axis (incl. antimeridian-crossing world-spanning envelopes)
+    // plus null geometries to the always-scanned escape cell — false
+    // pruning is correctness loss, a hot escape cell is only performance.
+    val wide =
+      (env.getField("xmax") - env.getField("xmin")) > cellDeg ||
+      (env.getField("ymax") - env.getField("ymin")) > cellDeg
     val cx = when(wide, 9999).otherwise(
       floor(((env.getField("xmin") + env.getField("xmax")) / 2) / cellDeg).cast("int"))
     val cy = when(wide, 9999).otherwise(
@@ -144,7 +148,8 @@ object GeoParquet {
   val GridKey = "graft:grid_deg"
 
   def gridSize(path: String): Option[Double] =
-    FooterIO.keyValueMetadata(path).get(GridKey).map(_.toDouble)
+    if (FooterIO.isNonLocal(path)) None
+    else FooterIO.keyValueMetadata(path).get(GridKey).map(_.toDouble)
 
   /** Partition-pruning predicate for a bbox query over the grid layout:
     * keep cells whose range can intersect the (unwrapped) query box, plus

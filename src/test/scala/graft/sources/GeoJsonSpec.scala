@@ -115,6 +115,30 @@ class GeoJsonSpec extends SparkSpec {
     assert(df.where(df("second").isNull).count() == 2)
   }
 
+  test("properties appearing within the min-features window join the schema") {
+    // feature 1 is fully typed; feature 2 introduces a new property.
+    // Locking the schema at the first ready feature would drop "b"
+    // (reference buffers through MinFeatures, geojson.go:148-157).
+    val dir = java.nio.file.Files.createTempDirectory("minbuf").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[0,0]},"properties":{"a":1}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1,1]},"properties":{"a":2,"b":"x"}}
+        |""".stripMargin)
+    val df = GeoJson.read(spark, s"$dir/in.ndjson", minFeatures = 10)
+    assert(df.columns.toSeq == Seq("a", "b", "geometry"))
+    assert(df.where(df("b").isNotNull).count() == 1)
+  }
+
+  test("lang markers: CJK stopwords are countable (no \\b around non-ASCII)") {
+    import graft.llm.TextStats
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val zh = Seq("我是的在和有了不").toDF("text")
+    val c = zh.select(TextStats.stopwordCount(col("text"), TextStats.StopwordsZh)).head.getInt(0)
+    assert(c == 8, s"expected all 8 zh markers counted, got $c")
+    assert(zh.select(TextStats.langId(col("text"))).head.getString(0) == "zh")
+  }
+
   test("mismatched types error instead of coercing") {
     val e = intercept[Exception] {
       GeoJson.read(spark, s"$gj/mismatched-types.geojson").collect()

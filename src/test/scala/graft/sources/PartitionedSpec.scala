@@ -45,6 +45,32 @@ class PartitionedSpec extends SparkSpec {
     assert(all.df.count() == 5)
   }
 
+  test("wide-envelope geometries are never partition-pruned") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions
+    import org.apache.spark.sql.functions.col
+    // a polygon spanning 5 cells (50 deg at cellDeg=10): centroid-cell
+    // routing would lose it for queries near its edges
+    val dir = Files.createTempDirectory("geopart3").toString + "/grid"
+    val df = Seq(
+      (1L, "POLYGON ((0 0, 50 0, 50 5, 0 5, 0 0))"),   // wide
+      (2L, "POLYGON ((100 40, 101 40, 101 41, 100 41, 100 40))")) // small
+      .toDF("id", "wkt")
+      .select(col("id"), GeoFunctions.wkt_to_wkb(col("wkt")).as("geometry"))
+    GeoParquet.writePartitioned(df, dir, cellDeg = 10.0)
+    // query only the eastern edge of the wide polygon
+    val gf = Extract(spark, dir, Extract.Options(bbox = Some(Bbox(48, 0, 49, 5))))
+    assert(gf.df.collect().map(_.getLong(0)).toSet == Set(1L))
+    // tall geometry: same guard on latitude
+    val dir2 = Files.createTempDirectory("geopart4").toString + "/grid"
+    val tall = Seq((3L, "POLYGON ((0 -40, 5 -40, 5 40, 0 40, 0 -40))"))
+      .toDF("id", "wkt")
+      .select(col("id"), GeoFunctions.wkt_to_wkb(col("wkt")).as("geometry"))
+    GeoParquet.writePartitioned(tall, dir2, cellDeg = 10.0)
+    val gf2 = Extract(spark, dir2, Extract.Options(bbox = Some(Bbox(0, 35, 5, 39))))
+    assert(gf2.df.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("antimeridian-crossing query box probes both grid edges") {
     val dir = Files.createTempDirectory("geopart2").toString + "/grid"
     val src = GeoParquet.read(spark, s"$cases/example-v1.1.0.parquet")

@@ -64,9 +64,11 @@ object QueriesLlm {
         when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
       .select(
         col("doc_id"),
-        col("_tc").as("n_tokens"),
-        length(t).as("len"),
-        regexp_count(t, lit("[.,!?;:]")).as("n_punct"),
+        // long casts match DuckDB's BIGINT len()/count results in case the
+        // driver compares schemas strictly
+        col("_tc").cast("long").as("n_tokens"),
+        length(t).cast("long").as("len"),
+        regexp_count(t, lit("[.,!?;:]")).cast("long").as("n_punct"),
         round(when(col("_tc") === 0, 0d).otherwise(
           (length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")), 6)
           .as("mean_word_len"),
@@ -203,7 +205,8 @@ object QueriesLlm {
     Similarity.topK(emb.where(col("vec_id") =!= 0), col("vec_id"),
       col("embedding"), query, 20)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("vec_id"))))
+        org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("vec_id")))
+        .cast("long"))
       .select("rank", "vec_id")
   }
 

@@ -94,6 +94,17 @@ class ExtractSpec extends SparkSpec {
     }
   }
 
+  test("keep-only retains the covering bbox column under its custom name") {
+    val keep = Extract(spark, s"$cases/example-v1.1.0-covering.parquet",
+      Extract.Options(keepOnlyCols = Seq("name", "geometry")))
+    assert(keep.df.columns.toSet == Set("name", "geometry", "geometry_bbox"))
+    // and the bbox path still filters through it
+    val tz = Extract(spark, s"$cases/example-v1.1.0-covering.parquet",
+      Extract.Options(keepOnlyCols = Seq("name", "geometry"), bbox = Some(tanzania)))
+    val rows = tz.df.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("name") == "Tanzania")
+  }
+
   test("extract run writes through the input metadata") {
     val out = Files.createTempDirectory("extract").toString + "/out"
     Extract.run(spark, s"$cases/example-v1.1.0.parquet", out,

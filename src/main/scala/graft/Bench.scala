@@ -16,15 +16,23 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => }
+    var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // execute the FULL physical plan (projection, sort, every output
+      // column) without collecting to the driver; a count() would let
+      // Catalyst prune the query's own work away
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) failures ::= name
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failStr}""")
     spark.stop()
   }
 }

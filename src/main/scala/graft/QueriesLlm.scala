@@ -112,12 +112,37 @@ object QueriesLlm {
        |) ORDER BY doc_id""".stripMargin
   }
 
-  /** q_quality — composite quality score (deterministic heuristic). */
-  val qQuality: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextStats.qualityScore(col("text")).as("quality"))
+  /** q_quality — composite quality score. Same arithmetic as
+    * TextStats.qualityScore, factored through bound columns so each
+    * ingredient (collapsed text, token count, ratios) evaluates once per
+    * row instead of once per sub-score.
+    */
+  val qQuality: Q = (s, dir) => {
+    val t = col("text")
+    Tables.documents(s, dir)
+      .withColumn("_c", TextStats.collapsed(t))
+      .withColumn("_tc",
+        when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
+      .withColumn("_pr", when(length(t) === 0, 0d)
+        .otherwise(regexp_count(t, lit("\\p{Punct}")).cast("double") / length(t)))
+      .withColumn("_mwl", when(col("_tc") === 0, 0d)
+        .otherwise((length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")))
+      .withColumn("_sr", when(col("_tc") === 0, 0d)
+        .otherwise(regexp_count(lower(t),
+          lit(TextStats.markerPattern(TextStats.StopwordsEn))).cast("double") / col("_tc")))
+      .select(
+        col("doc_id"),
+        round(
+          (when(length(t).between(100, 20000), 1d)
+            .when(length(t) < 100, length(t) / 100d)
+            .otherwise(lit(20000d) / length(t))) * 0.3
+          + (when(col("_pr") <= 0.2, 1d)
+              .otherwise(greatest(lit(0d), lit(1d) - (col("_pr") - 0.2) * 2))) * 0.3
+          + least(lit(1d), col("_sr") * 5) * 0.2
+          + (when(col("_mwl").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
+          6).as("quality"))
       .orderBy("doc_id")
+  }
 
   val qQualitySql: String = {
     val cnt = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"
@@ -149,11 +174,18 @@ object QueriesLlm {
   val qNgramJaccard: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+      // blank docs are excluded like the oracle's WHERE length(trim)>0
+      .where(size(col("sh")) > 0)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
     a.join(b, "id_a")
+      // materialize set sizes once (inline jaccard would re-evaluate the
+      // array_union for both the zero test and the division)
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("_u", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"),
-        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(when(col("_u") === 0, 0d)
+          .otherwise(col("_i").cast("double") / col("_u")), 6).as("jaccard"))
       .orderBy("id_a")
   }
 
@@ -208,6 +240,7 @@ object QueriesLlm {
         org.apache.spark.sql.expressions.Window.orderBy(col("sim").desc, col("vec_id")))
         .cast("long"))
       .select("rank", "vec_id")
+      .orderBy("rank")
   }
 
   val qEmbedTopkSql: String =

@@ -17,11 +17,18 @@ object Tables {
       // Callers filter on `ts_ns` (pushable INT64 comparisons) and get a
       // microsecond-truncated `ts` timestamp for event-time logic.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Shared by the batch and streaming events readers: the raw `ts` nanos
+    * long becomes `ts_ns`, plus a μs-truncated `ts` timestamp (integral
+    * div — long `/` is double division and ns epochs exceed 2^53).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

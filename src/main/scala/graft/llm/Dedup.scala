@@ -49,6 +49,7 @@ object Dedup {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val words = TextStats.tokens(text)
+    if (n == 1) return array_distinct(words) // no window building needed
     val count = size(words) - (n - 1)
     // sequence(1, 0) would descend; guard short texts to an empty set
     when(count < 1, array().cast("array<string>"))
@@ -165,13 +166,13 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    // shingle once, reuse three times (signature + both verify sides);
-    // MEMORY_AND_DISK so huge corpora spill instead of recomputing
+    // the prepare stage is referenced three times (bands + both verify
+    // sides); with the single-pass JVM kernel recomputation is cheap, so
+    // no persist — a cache here would leak into the caller's session
     val sb = shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb")
     val prepared = df.select(id.as("id"), sb)
       .where(col("sb").isNotNull)
       .select(col("id"), col("sb._1").as("shingles"), col("sb._2").as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = prepared.select(col("id"), col("bands"))
     // candidate generation shuffles (band, id) pairs only — shingle arrays
     // never enter the LSH shuffle

@@ -63,9 +63,12 @@ object TextStats {
       "\\b(" + stopwords.mkString("|") + ")\\b"
     else "(" + stopwords.mkString("|") + ")"
 
-  /** Stopword hit count for one language's marker list. */
+  /** Stopword hit count for one language's marker list (regexp_count —
+    * same count as len(regexp_extract_all) without materializing the
+    * match array).
+    */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(regexp_extract_all(lower(text), lit(markerPattern(stopwords)), lit(0)))
+    regexp_count(lower(text), lit(markerPattern(stopwords)))
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
     when(tokenCount(text) === 0, 0d)

@@ -29,12 +29,11 @@ object EventStream {
 
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(StructType(schema.fields.map(f =>
-        if (f.name == "ts_ns") f.copy(name = "ts") else f)))
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(StructType(schema.fields.map(f =>
+          if (f.name == "ts_ns") f.copy(name = "ts") else f)))
+        .parquet(dir))
   }
 
   /** Tumbling-window aggregation with late-data watermark: the canonical
@@ -60,36 +59,54 @@ object EventStream {
                            n_events: Long, total_value: Double)
 
   /** Gap-based sessionization: a user's events belong to one session until
-    * a `gapUs` quiet period; emits the closed session. State per active
-    * user only — bounded by concurrent users, not stream length.
+    * a `gapUs` quiet period; emits the closed session. State is bounded by
+    * ACTIVE users: a processing-time timeout (gap-scaled) flushes and
+    * removes the state of users who go quiet, so long-idle users neither
+    * leak state nor lose their final session.
     */
   def sessionize(events: Dataset[Event], gapUs: Long)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_us - s.lastTs <= gapUs =>
-                cur = Some(s.copy(lastTs = e.ts_us, n = s.n + 1,
-                  total = s.total + e.value))
-              case Some(s) =>
-                out += Session(userId, s.firstTs, s.lastTs, s.n, s.total)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+          if (state.hasTimedOut) {
+            // user went quiet: close and emit their final session
+            val out = state.getOption
+              .map(s => Session(userId, s.firstTs, s.lastTs, s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastTs <= gapUs =>
+                  // out-of-order safe: extend the window in both
+                  // directions rather than overwriting lastTs
+                  cur = Some(s.copy(
+                    firstTs = math.min(s.firstTs, e.ts_us),
+                    lastTs = math.max(s.lastTs, e.ts_us),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.firstTs, s.lastTs, s.n, s.total)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // flush after ~gap of wall-clock inactivity (timeouts are
+                // a streaming concern; they never fire in batch execution)
+                state.setTimeoutDuration(math.max(1000L, gapUs / 1000L))
+              case None => state.remove()
+            }
+            out.iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
-          }
-          out.iterator
       }
   }
 

@@ -168,6 +168,40 @@ object QueriesLlm {
       |FROM t ORDER BY doc_id""".stripMargin.replace("CNT", cnt)
   }
 
+  /** q_subwords — BPE-ish subword token counting (word-piece chunks ≤4
+    * chars + digit/punct singletons), the second tokenizer of the text
+    * stack; regex semantics identical in both engines.
+    */
+  val qSubwords: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.subwordCount(col("text")).cast("long").as("n_subwords"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_words"))
+      .orderBy("doc_id")
+
+  val qSubwordsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q_dedup_near_full — the COMPLETE near-dup dedup pipeline applied:
+    * corpus + perturbed copies → MinHash-LSH pairs → keep-first removal;
+    * output is the surviving ids. Deterministic; sketch recall → rows-only.
+    */
+  val qDedupNearFull: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near duplicate tail")).as("text"))
+    val corpus = docs.union(copies)
+    val pairs = Dedup.minhashNearDupPairs(corpus, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    Dedup.dedupByPairs(corpus, col("doc_id"), pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** q_ngram_jaccard — exact unigram Jaccard between consecutive docs
     * (the verification kernel of near-dup dedup, SQL-expressible).
     */
@@ -392,6 +426,8 @@ object QueriesLlm {
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_subwords" -> qSubwords,
+    "q_dedup_near_full" -> qDedupNearFull,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
@@ -410,6 +446,7 @@ object QueriesLlm {
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality" -> qQualitySql,
+    "q_subwords" -> qSubwordsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_embed_neardup" -> qEmbedNeardupSql,

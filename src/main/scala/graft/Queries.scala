@@ -72,13 +72,13 @@ object Queries {
       round(max("l_quantity"), 2).as("max_qty"),
       round(min("l_extendedprice"), 2).as("min_price"),
       round(max("l_extendedprice"), 2).as("max_price"),
-      array_sort(collect_set("l_returnflag")).as("flags"),
+      array_join(array_sort(collect_set("l_returnflag")), ",").as("flags"),
       count(lit(1)).as("n_rows"))
 
   val qStatsBoundsSql: String =
     """SELECT round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
       |  round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags,
+      |  list_aggregate(list_sort(list(DISTINCT l_returnflag)), 'string_agg', ',') AS flags,
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin
 

@@ -89,11 +89,13 @@ object QueriesLlm {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q_lang_id — stopword-marker language ID (argmax, first-wins ties). */
+  /** q_lang_id — stopword-marker language ID (argmax, first-wins ties).
+    * Scores bound once per row via withLangId (the inline form re-ran each
+    * regex 2-6×; see BASELINE.md's no-CSE note).
+    */
   val qLangId: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      TextStats.langId(col("text")).as("lang_pred"))
+    TextStats.withLangId(Tables.documents(s, dir), col("text"), "lang_pred")
+      .select(col("doc_id"), col("lang"), col("lang_pred"))
       .orderBy("doc_id")
 
   val qLangIdSql: String = {

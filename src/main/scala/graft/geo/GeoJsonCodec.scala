@@ -90,6 +90,13 @@ object GeoJsonCodec {
   }
 
   private def coordinatesNode(geom: Geometry): ArrayNode = geom match {
+    // empty geometries encode as "coordinates": [] — an empty Point has no
+    // coordinate (NPE), and a WKB POINT EMPTY decodes to NaN ordinates
+    // which Jackson would serialize as invalid JSON NaN tokens
+    case g if g.isEmpty     => mapper.createArrayNode()
+    case p: Point if p.getCoordinate == null ||
+        java.lang.Double.isNaN(p.getCoordinate.getX) ||
+        java.lang.Double.isNaN(p.getCoordinate.getY) => mapper.createArrayNode()
     case p: Point           => pointArr(p.getCoordinate)
     case mp: MultiPoint     => nest((0 until mp.getNumGeometries)
       .map(i => pointArr(mp.getGeometryN(i).asInstanceOf[Point].getCoordinate)))

@@ -28,10 +28,14 @@ object Dedup {
   def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
     // 128 bits of key hash (two independently-seeded xxhash64): a single
     // 64-bit hash has expected collisions at multi-billion-row corpora,
-    // which would silently drop distinct rows from an "exact" dedup
+    // which would silently drop distinct rows from an "exact" dedup.
+    // The salt must come FIRST: xxhash64 chains left-to-right with the
+    // accumulated hash as the next seed, so xxhash64(key, salt) would make
+    // _dk2 a pure function of _dk1 (any _dk1 collision collides _dk2 too);
+    // xxhash64(salt, key) hashes the key under a different effective seed.
     val keyed = df
       .withColumn("_dk1", xxhash64(key))
-      .withColumn("_dk2", xxhash64(key, lit(0x9E3779B9L)))
+      .withColumn("_dk2", xxhash64(lit(0x9E3779B9L), key))
       .withColumn("_ord", orderCol)
     val winners = keyed.groupBy("_dk1", "_dk2").agg(min("_ord").as("_ord"))
     keyed.join(winners, Seq("_dk1", "_dk2", "_ord"), "left_semi")
@@ -156,46 +160,80 @@ object Dedup {
     }
   }
 
+  /** Shingle-set-only kernel (same word split / n-gram / distinct
+    * semantics as [[shingleBandsUdf]], minus the MinHash work) — the verify
+    * joins need shingles but not signatures, so recomputing via this
+    * lighter pass skips the per-shingle hashing entirely.
+    */
+  private def shinglesUdf(n: Int) = udf { (text: String) =>
+    val words =
+      if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+    if (words.length < n) None
+    else {
+      val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        shingleSet += sb.toString
+        i += 1
+      }
+      Some(shingleSet.toArray)
+    }
+  }
+
   private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
     val sa = a.toSet; val sb = b.toSet
     val union = sa.union(sb).size
     if (union == 0) 0d else sa.intersect(sb).size.toDouble / union
   }
 
+  /** Corpus passes are bounded and slim by construction (no persist — a
+    * cache here would leak into the caller's session):
+    *
+    *  1. ONE full shingle+MinHash pass feeds candidate generation. Buckets
+    *     are built by groupBy + collect_list over (band, id) pairs —
+    *     grouping instead of a bucket self-join means the prepare lineage
+    *     is scanned once, not once per join side — and pairs explode from
+    *     the sorted id array with plain column algebra.
+    *  2. TWO light shingle-only passes (no hashing) feed the verify joins.
+    *
+    * (Round-1 shape recomputed the full prepare 4×: both self-join sides
+    * plus both verify sides.)
+    */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    // the prepare stage is referenced three times (bands + both verify
-    // sides); with the single-pass JVM kernel recomputation is cheap, so
-    // no persist — a cache here would leak into the caller's session
-    val sb = shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb")
-    val prepared = df.select(id.as("id"), sb)
-      .where(col("sb").isNotNull)
-      .select(col("id"), col("sb._1").as("shingles"), col("sb._2").as("bands"))
-    val sigs = prepared.select(col("id"), col("bands"))
+    val bandsOnly = shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb")
     // candidate generation shuffles (band, id) pairs only — shingle arrays
     // never enter the LSH shuffle
-    val exploded = sigs.select(col("id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val exploded = df.select(id.as("id"), bandsOnly)
+      .where(col("sb").isNotNull)
+      .select(col("id"), posexplode(col("sb._2")).as(Seq("band_idx", "band_key")))
     // skew guard: degenerate signatures (boilerplate/near-empty docs) can
     // produce quadratic hot buckets; cap bucket size like production LSH
     // dedup pipelines do — oversized buckets carry no near-dup signal
-    val bucketed = exploded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_key")))
-      .where(col("bucket_n") <= maxBucketSize)
-    val a = bucketed.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-    val b = bucketed.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = exploded
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    // all (i < j) pairs of the sorted bucket: explode each member, then
+    // explode the ids after it — worst case maxBucketSize² rows per
+    // bucket, bounded by the cap
+    val candidates = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify candidates against exact shingle Jaccard (joins back to the
     // shingle table; candidate cardinality ~ O(dups), not O(corpus²))
-    val shA = prepared.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = prepared.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val sh = shinglesUdf(shingleSize)(text).as("sh")
+    val shingled = df.select(id.as("id"), sh).where(col("sh").isNotNull)
+    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)

@@ -146,22 +146,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN near-dup pairs: bucket self-join per table, verify cosine. */
+  /** ANN near-dup pairs: bucket self-join per table, verify cosine.
+    *
+    * Candidate generation shuffles (table, bucket, id) triples ONLY — the
+    * full vectors would otherwise ride the explode and both join sides
+    * ×tables copies through the exchange. Vectors are joined back by id
+    * exactly once per side for the verify, the same slim-shuffle shape as
+    * [[Dedup.minhashNearDupPairs]]. Candidate cardinality ~ O(near-dups),
+    * not O(corpus²), so the verify join payload stays small.
+    */
   def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       threshold: Double, dim: Int = 64, tables: Int = 6,
                       bits: Int = 10): DataFrame = {
     val planes = hyperplanes(dim, tables, bits)
     val prepared = df.select(id.as("id"), normalized(vec).as("v"))
-    val tagged = prepared.select(col("id"), col("v"),
+    val tagged = prepared.select(col("id"),
       posexplode(array(planes.map(tp => signature(col("v"), tp)): _*))
         .as(Seq("table_idx", "bucket")))
-    val a = tagged.select(col("table_idx"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = tagged.select(col("table_idx"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table_idx", "bucket"))
+    val a = tagged.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
+    val b = tagged.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("table_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val vA = prepared.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vB = prepared.select(col("id").as("id_b"), col("v").as("v_b"))
+    candidates.join(vA, "id_a").join(vB, "id_b")
       .withColumn("sim", dot(col("v_a"), col("v_b")))
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")

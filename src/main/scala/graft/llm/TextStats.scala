@@ -86,6 +86,10 @@ object TextStats {
 
   /** N-gram-heuristic language ID: argmax of per-language marker counts,
     * first language wins ties (deterministic), "und" when nothing matches.
+    *
+    * Inline Column form — every score regex re-evaluates in `best` AND in
+    * its `when` branch (no CSE across sibling expressions). Prefer
+    * [[withLangId]] on hot paths, which binds each score once per row.
     */
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, words) =>
@@ -95,6 +99,27 @@ object TextStats {
     scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** langId as a DataFrame stage: the five marker counts and their max are
+    * materialized as bound columns, so each regexp_count runs exactly once
+    * per row (the argmax fold then only compares attributes). CollapseProject
+    * keeps multi-referenced non-cheap aliases bound, so the 2-6× redundant
+    * regex work of the inline form never reappears.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+                 out: String): org.apache.spark.sql.DataFrame = {
+    val names = LangMarkers.map { case (lang, _) => s"_ls_$lang" }
+    val withScores = LangMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"_ls_$lang", stopwordCount(text, words))
+    }
+    val withBest = withScores.withColumn("_ls_best",
+      greatest(names.map(col): _*))
+    val pred = LangMarkers.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
+      when(col(s"_ls_$lang") === col("_ls_best") && col("_ls_best") > 0,
+        lit(lang)).otherwise(acc)
+    }
+    withBest.withColumn(out, pred).drop(names :+ "_ls_best": _*)
   }
 
   /** Composite quality score in [0,1]: length band, punctuation sanity,

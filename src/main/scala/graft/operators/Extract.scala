@@ -67,16 +67,8 @@ object Extract {
     * geoparquet.go:233-254); field names default to xmin/ymin/xmax/ymax or
     * come from the covering paths (geoparquet.go:200-218).
     */
-  def bboxColumnName(df: DataFrame, meta: Option[GeoMetadata]): Option[String] = {
-    if (df.columns.contains("bbox")) return Some("bbox")
-    for {
-      m <- meta
-      p <- m.primary
-      cov <- p.covering
-      name <- cov.xmin.headOption
-      if df.columns.contains(name)
-    } yield name
-  }
+  def bboxColumnName(df: DataFrame, meta: Option[GeoMetadata]): Option[String] =
+    GeoParquet.coveringColumnName(df, meta)
 
   def bboxFieldNames(meta: Option[GeoMetadata]): (String, String, String, String) = {
     val cov = meta.flatMap(_.primary).flatMap(_.covering)

@@ -21,7 +21,13 @@ object EnvelopeIntersectsKernel {
   }
 }
 
-case class EnvelopeIntersects(child: Expression, box: Bbox)
+/** @param rewritable false marks a copy embedded by [[PushBboxFilter]] as
+  *                    the null-bbox fallback branch, so the optimizer rule
+  *                    reaches a fixed point instead of rewriting its own
+  *                    output forever.
+  */
+case class EnvelopeIntersects(child: Expression, box: Bbox,
+    rewritable: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType

@@ -87,10 +87,10 @@ object GeoJson {
     var read = 0
     def done: Boolean = builder.ready && read >= minFeatures
     val fileIt = files.iterator
-    while (fileIt.hasNext && read <= maxFeatures && !done) {
+    while (fileIt.hasNext && read < maxFeatures && !done) {
       val it = new FeatureIterator(new BufferedReader(new FileReader(fileIt.next())))
       try {
-        while (it.hasNext && read <= maxFeatures && !done) {
+        while (it.hasNext && read < maxFeatures && !done) {
           builder.add(it.next().properties)
           read += 1
         }

@@ -24,8 +24,59 @@ object GeoParquet {
       meta.map(_.primaryColumn).getOrElse(GeoMetadata.DefaultGeometryColumn)
   }
 
-  def read(spark: SparkSession, path: String): GeoFrame =
-    GeoFrame(spark.read.parquet(path), FooterIO.readGeoMetadata(path))
+  def read(spark: SparkSession, path: String): GeoFrame = {
+    val meta = FooterIO.readGeoMetadata(path)
+    val raw = spark.read.parquet(path)
+    GeoFrame(tagCovering(spark, path, raw, meta), meta)
+  }
+
+  /** The covering bbox column for this frame: a top-level "bbox" field,
+    * else the column the covering metadata names (reference GetBboxColumn,
+    * geoparquet.go:233-254).
+    */
+  def coveringColumnName(df: DataFrame, meta: Option[GeoMetadata]): Option[String] = {
+    if (df.columns.contains("bbox")) return Some("bbox")
+    for {
+      m <- meta
+      p <- m.primary
+      cov <- p.covering
+      name <- cov.xmin.headOption
+      if df.columns.contains(name)
+    } yield name
+  }
+
+  /** Stamp the covering bbox column with attribute metadata naming the
+    * geometry column it covers. The session-wide [[graft.plans.PushBboxFilter]]
+    * rewrite only trusts columns carrying this tag — i.e. bbox columns that
+    * came from a GeoParquet read context, mirroring the reference which
+    * only consults bbox within a GeoParquet file (geoparquet.go:233-254) —
+    * never an arbitrary plan that happens to have a column named "bbox".
+    * Only standard xmin/ymin/xmax/ymax double leaves qualify (non-standard
+    * covering field names go through Extract's explicit filter instead).
+    *
+    * The tag goes into the *read schema* (not a projection alias) so the
+    * relation's own output attributes carry it — a filter pushed down to
+    * sit directly above the scan still sees a tagged child, regardless of
+    * where the optimizer places our rewrite relative to predicate pushdown.
+    */
+  private def tagCovering(spark: SparkSession, path: String, raw: DataFrame,
+                          meta: Option[GeoMetadata]): DataFrame = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    (for {
+      m <- meta
+      bboxCol <- coveringColumnName(raw, meta)
+      if graft.plans.PushBboxFilter.isBboxStruct(raw.schema(bboxCol).dataType)
+    } yield {
+      val tagged = StructType(raw.schema.fields.map { f =>
+        if (f.name == bboxCol)
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(graft.plans.PushBboxFilter.CoveringTag, m.primaryColumn)
+            .build())
+        else f
+      })
+      spark.read.schema(tagged).parquet(path)
+    }).getOrElse(raw)
+  }
 
   /** One-pass dataset statistics for the given WKB geometry columns:
     * bounds union + distinct GeoJSON type names (reference

@@ -1,11 +1,10 @@
 package graft.meta
 
-import java.io.{ByteArrayOutputStream, File, RandomAccessFile}
+import java.io.{ByteArrayOutputStream, File, IOException, RandomAccessFile}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.format.Util
 import org.apache.parquet.format.converter.ParquetMetadataConverter
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
@@ -18,10 +17,23 @@ import scala.jdk.CollectionConverters._
   *
   * Spark's DataFrameWriter has no hook for file-level KV metadata, so the
   * `geo` entry is attached *after* the write by rewriting each part file's
-  * footer in place: the footer thrift blob sits at the tail of the file
+  * footer: the footer thrift blob sits at the tail of the file
   * (`[data][footer][len:4 LE]["PAR1"]`), so appending a KV pair only
-  * rewrites the tail — data pages are untouched, making the operation O(1)
-  * in file size and trivially parallelizable across part files.
+  * touches the tail — data pages are untouched.
+  *
+  * All IO goes through `org.apache.hadoop.fs.FileSystem`, so `geo`
+  * metadata survives on any Hadoop scheme (s3a://, gs://, abfs://,
+  * hdfs://, file://) — matching the reference, whose storage layer reads
+  * and writes every blob store (internal/storage/blob.go:25-107,
+  * storage.go:23-39). Two write strategies:
+  *
+  *  - local files: in-place tail rewrite via RandomAccessFile — O(1) in
+  *    file size;
+  *  - everything else: rewrite-by-copy on the same FileSystem (object
+  *    stores have no truncate/append) — stream the data region to a
+  *    dot-prefixed temp file, append the new footer, delete + rename.
+  *    O(file size) IO but no local staging, and parallelizable across
+  *    part files.
   *
   * Read side mirrors reference GetMetadata (metadata.go:168-199).
   */
@@ -29,25 +41,32 @@ object FooterIO {
 
   private val Magic = "PAR1".getBytes(StandardCharsets.US_ASCII)
 
+  private def conf = new Configuration()
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(conf)
+
   /** List the data files of a parquet path (single file, directory of part
-    * files, or a partitioned directory tree), sorted for determinism.
+    * files, or a partitioned directory tree) on whatever FileSystem the
+    * path's scheme names, sorted for determinism.
     */
-  def dataFiles(path: String): Seq[File] = {
-    def walk(dir: File): Seq[File] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { p =>
-        if (p.isDirectory && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-          walk(p)
-        else if (p.isFile && p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-          Seq(p)
+  def dataFiles(path: String): Seq[Path] = {
+    val root = new Path(path)
+    val fs = fsFor(root)
+    def walk(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath)
         else Nil
       }
-    val f = new File(path)
-    val files = if (f.isFile) Seq(f) else walk(f)
-    files.sortBy(_.getPath)
+    val files =
+      if (fs.getFileStatus(root).isDirectory) walk(root) else Seq(root)
+    files.sortBy(_.toString)
   }
 
-  def readFooter(file: File): ParquetMetadata = {
-    val in = HadoopInputFile.fromPath(new Path(file.toURI), new Configuration())
+  def readFooter(p: Path): ParquetMetadata = {
+    val in = HadoopInputFile.fromPath(p, conf)
     val r = ParquetFileReader.open(in)
     try r.getFooter finally r.close()
   }
@@ -59,10 +78,9 @@ object FooterIO {
     readFooter(files.head).getFileMetaData.getKeyValueMetaData.asScala.toMap
   }
 
-  /** True when the path is a non-local URI (hadoop scheme): footer
-    * surgery here is java.io-based and local-only — data reads still work
-    * through Spark, but metadata attach/read degrades gracefully
-    * (COVERAGE.md deviations).
+  /** True when the path has a non-file URI scheme. Metadata IO itself now
+    * works on any Hadoop scheme; this remains for callers that want to
+    * skip footer reads on schemes Hadoop may not serve (e.g. https).
     */
   def isNonLocal(path: String): Boolean = {
     val scheme = Option(java.net.URI.create(
@@ -70,16 +88,24 @@ object FooterIO {
     scheme.nonEmpty && scheme != "file"
   }
 
+  /** The `geo` footer JSON, or None when absent — including when the
+    * path's scheme has no FileSystem implementation (plain https) or the
+    * footer is unreadable: a missing metadata attach degrades to plain
+    * parquet, never to a read failure.
+    */
   def readGeoJson(path: String): Option[String] =
-    if (isNonLocal(path)) None
-    else keyValueMetadata(path).get(GeoMetadata.MetadataKey)
+    try keyValueMetadata(path).get(GeoMetadata.MetadataKey)
+    catch {
+      case _: IOException | _: IllegalArgumentException |
+           _: UnsupportedOperationException => None
+    }
 
   def readGeoMetadata(path: String): Option[GeoMetadata] =
     readGeoJson(path).map(GeoMetadata.parse)
 
-  /** Append/replace KV entries in one file's footer, in place. */
-  def appendKeyValue(file: File, entries: Map[String, String]): Unit = {
-    val footer = readFooter(file)
+  /** Serialize a footer with `entries` merged into its KV metadata. */
+  private[meta] def footerWithEntries(footer: ParquetMetadata,
+                                entries: Map[String, String]): Array[Byte] = {
     val fmd = footer.getFileMetaData
     val kv = new java.util.LinkedHashMap[String, String](fmd.getKeyValueMetaData)
     entries.foreach { case (k, v) => kv.put(k, v) }
@@ -89,30 +115,49 @@ object FooterIO {
       .toParquetMetadata(ParquetFileWriter.CURRENT_VERSION, newFooter)
     val baos = new ByteArrayOutputStream()
     Util.writeFileMetaData(thrift, baos)
-    val footerBytes = baos.toByteArray
+    baos.toByteArray
+  }
 
+  private def lenLE(n: Int): Array[Byte] = Array[Byte](
+    (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+    ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+
+  /** Where the current footer starts: validate the trailing
+    * `[len:4 LE]["PAR1"]` and compute `fileLen - 8 - footerLen`.
+    */
+  private def footerStart(readFully: (Long, Array[Byte]) => Unit,
+                          fileLen: Long, what: String): Long = {
+    require(fileLen > 12, s"$what is not a parquet file")
+    val tail = new Array[Byte](8)
+    readFully(fileLen - 8, tail)
+    require(tail.drop(4).sameElements(Magic), s"$what is not a parquet file (bad magic)")
+    val oldFooterLen =
+      (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+      ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+    fileLen - 8 - oldFooterLen
+  }
+
+  /** Append/replace KV entries in one file's footer. */
+  def appendKeyValue(p: Path, entries: Map[String, String]): Unit = {
+    val fs = fsFor(p)
+    val footerBytes = footerWithEntries(readFooter(p), entries)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") appendLocal(new File(p.toUri.getPath), footerBytes)
+    else appendByCopy(fs, p, footerBytes)
+  }
+
+  /** Local fast path: truncate at the old footer and write the new tail in
+    * place — O(1) in file size.
+    */
+  private def appendLocal(file: File, footerBytes: Array[Byte]): Unit = {
     val raf = new RandomAccessFile(file, "rw")
     try {
-      val len = raf.length()
-      require(len > 12, s"$file is not a parquet file")
-      // trailing 8 bytes: [footerLen:4 LE]["PAR1"]
-      raf.seek(len - 8)
-      val lenBytes = new Array[Byte](4)
-      raf.readFully(lenBytes)
-      val oldFooterLen =
-        (lenBytes(0) & 0xff) | ((lenBytes(1) & 0xff) << 8) |
-        ((lenBytes(2) & 0xff) << 16) | ((lenBytes(3) & 0xff) << 24)
-      val magic = new Array[Byte](4)
-      raf.readFully(magic)
-      require(magic.sameElements(Magic), s"$file is not a parquet file (bad magic)")
-      val footerStart = len - 8 - oldFooterLen
-      raf.setLength(footerStart)
-      raf.seek(footerStart)
+      val start = footerStart((pos, buf) => { raf.seek(pos); raf.readFully(buf) },
+        raf.length(), file.toString)
+      raf.setLength(start)
+      raf.seek(start)
       raf.write(footerBytes)
-      val n = footerBytes.length
-      raf.write(Array[Byte](
-        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
-        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      raf.write(lenLE(footerBytes.length))
       raf.write(Magic)
     } finally raf.close()
     // Hadoop's LocalFileSystem keeps a .crc sidecar per file; the rewritten
@@ -122,10 +167,43 @@ object FooterIO {
     if (crc.exists()) crc.delete()
   }
 
+  /** Object-store path: no truncate/append, so stream the data region to a
+    * temp object on the same FileSystem, append the new footer, and swap.
+    * The delete+rename pair is not atomic — a crash between the two leaves
+    * the temp file next to the original; re-running the attach repairs it.
+    */
+  private[meta] def appendByCopy(fs: FileSystem, p: Path, footerBytes: Array[Byte]): Unit = {
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val start =
+      try footerStart((pos, buf) => in.readFully(pos, buf), fileLen, p.toString)
+      catch { case e: Throwable => in.close(); throw e }
+    val tmp = new Path(p.getParent, s".${p.getName}.graft.tmp")
+    try {
+      val out = fs.create(tmp, true)
+      try {
+        in.seek(0)
+        val buf = new Array[Byte](1 << 20)
+        var remaining = start
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          if (n <= 0) throw new IOException(s"unexpected EOF copying $p")
+          out.write(buf, 0, n)
+          remaining -= n
+        }
+        out.write(footerBytes)
+        out.write(lenLE(footerBytes.length))
+        out.write(Magic)
+      } finally out.close()
+    } finally in.close()
+    if (!fs.delete(p, false)) throw new IOException(s"cannot delete $p for footer swap")
+    if (!fs.rename(tmp, p)) throw new IOException(s"cannot rename $tmp over $p")
+  }
+
   /** Attach the `geo` metadata to every part file of a written dataset.
-    * With many part files and a SparkSession the O(1)-per-file footer
-    * rewrites fan out across executors (each task touches only its file);
-    * small outputs stay on the driver.
+    * With many part files and a SparkSession the per-file footer rewrites
+    * fan out across executors (each task touches only its file); small
+    * outputs stay on the driver.
     */
   def writeGeoMetadata(path: String, meta: GeoMetadata,
                        spark: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
@@ -133,9 +211,9 @@ object FooterIO {
     val files = dataFiles(path)
     spark match {
       case Some(s) if files.length > 8 =>
-        val paths = files.map(_.getAbsolutePath)
+        val paths = files.map(_.toString)
         s.sparkContext.parallelize(paths, math.min(paths.length, 64))
-          .foreach(p => appendKeyValue(new File(p), Map(GeoMetadata.MetadataKey -> json)))
+          .foreach(p => appendKeyValue(new Path(p), Map(GeoMetadata.MetadataKey -> json)))
       case _ =>
         files.foreach(f => appendKeyValue(f, Map(GeoMetadata.MetadataKey -> json)))
     }

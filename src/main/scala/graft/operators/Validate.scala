@@ -258,28 +258,23 @@ object Validate {
     rep
   }
 
-  /** Minimal structural PROJJSON validation (the reference compiles the
-    * official JSON schema, rules.go:305-339; offline here, so the checks
-    * cover the schema's top-level requirements: known `type` and a `name`
-    * string).
+  /** Full PROJJSON validation against the vendored proj.org JSON schemas
+    * (the reference compiles the same schemas, rules.go:305-339; the
+    * simplified first-cause-leaf message mirrors rules.go:293-304).
     */
-  private val projJsonTypes = Set(
-    "GeographicCRS", "GeodeticCRS", "ProjectedCRS", "VerticalCRS",
-    "CompoundCRS", "BoundCRS", "EngineeringCRS", "TemporalCRS",
-    "ParametricCRS", "DerivedGeodeticCRS", "DerivedGeographicCRS",
-    "DerivedProjectedCRS", "DerivedVerticalCRS", "DerivedEngineeringCRS",
-    "DerivedParametricCRS", "DerivedTemporalCRS")
-
   private def validateProjJson(crs: JsonNode): Unit = {
     val schemaUrl = Option(crs.get("$schema")).filter(_.isTextual).map(_.asText())
       .getOrElse("https://proj.org/schemas/v0.6/projjson.schema.json")
-    val typ = Option(crs.get("type")).filter(_.isTextual).map(_.asText())
-    if (typ.isEmpty || !projJsonTypes.contains(typ.get))
-      throw new Exception(
-        s"validation failed against $schemaUrl: input is invalid: type ${typ.getOrElse("(missing)")} is not a known CRS type")
-    if (!Option(crs.get("name")).exists(_.isTextual))
-      throw new Exception(
-        s"validation failed against $schemaUrl: input is invalid: missing properties 'name'")
+    val schema =
+      try graft.meta.JsonSchema.compile(schemaUrl)
+      catch {
+        case e: Exception =>
+          throw new Exception(s"failed to compile PROJJSON schema: ${e.getMessage}")
+      }
+    schema.validate(crs).foreach { err =>
+      throw new Exception(s"validation failed against $schemaUrl: " +
+        graft.meta.JsonSchema.simplifiedMessage(err))
+    }
   }
 
   /** Per-row rule evaluation + first-violation aggregation. Returns errors

@@ -57,6 +57,38 @@ class FooterIOSpec extends SparkSpec {
     assert(FooterIO.readGeoMetadata(dir).get.primaryColumn == "geom2")
   }
 
+  test("footer rewrite through a file:// Hadoop FS URI round-trips") {
+    // exercises the Hadoop FileSystem code path end-to-end: list, read
+    // footer, rewrite, re-read — all through the scheme-resolved FS
+    val dir = "file://" + Files.createTempDirectory("footerfs").toString + "/out"
+    spark.read.parquet(s"$sf/region.parquet").write.parquet(dir)
+    assert(FooterIO.readGeoMetadata(dir).isEmpty)
+    FooterIO.writeGeoMetadata(dir, GeoMetadata.default("geometry"))
+    assert(FooterIO.readGeoMetadata(dir).get.primaryColumn == "geometry")
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("rewrite-by-copy path (object-store strategy) produces a valid file") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("footercopy").toString + "/out"
+    spark.read.parquet(s"$sf/region.parquet").write.parquet(dir)
+    val p = FooterIO.dataFiles(dir).head
+    val fs = p.getFileSystem(new Configuration())
+    val entries = Map(GeoMetadata.MetadataKey -> GeoMetadata.default("geometry").json)
+    val footerBytes = FooterIO.footerWithEntries(FooterIO.readFooter(p), entries)
+    // drive the copy strategy directly (what s3a/gs/abfs paths take)
+    FooterIO.appendByCopy(fs, p, footerBytes)
+    // no temp residue, metadata present, file still readable by Spark
+    assert(!fs.exists(new Path(p.getParent, s".${p.getName}.graft.tmp")))
+    assert(FooterIO.readGeoMetadata(dir).get.primaryColumn == "geometry")
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("unreadable scheme degrades to no metadata, not a failure") {
+    assert(FooterIO.readGeoMetadata("https://example.invalid/x.parquet").isEmpty)
+  }
+
   test("crs display string") {
     val m = GeoMetadata.parse(
       """{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{

@@ -128,4 +128,12 @@ class ExtractSpec extends SparkSpec {
     val again = FooterIO.readGeoMetadata(out).get
     assert(again.primary.get.bounds.get == b)
   }
+
+  test("extract reads geo metadata through a file:// Hadoop FS URI") {
+    val uri = "file://" + new java.io.File(s"$cases/example-v1.1.0.parquet").getAbsolutePath
+    val gf = Extract(spark, uri, Extract.Options(bbox = Some(tanzania)))
+    assert(gf.meta.isDefined && gf.meta.get.primaryColumn == "geometry")
+    val rows = gf.df.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("name") == "Tanzania")
+  }
 }

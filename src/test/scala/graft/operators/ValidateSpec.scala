@@ -54,9 +54,7 @@ class ValidateSpec extends SparkSpec {
         s"$name[$i] '${c.title}': run ${c.run} vs ${e.get("run").asBoolean()} (msg=${c.message})")
       assert(c.passed == e.get("passed").asBoolean(),
         s"$name[$i] '${c.title}': passed ${c.passed} vs ${e.get("passed").asBoolean()} (msg=${c.message})")
-      // message parity, except the PROJJSON rule (full JSON-schema
-      // validation text can't be reproduced offline — COVERAGE.md dev. 6)
-      if (e.has("message") && !c.title.contains("PROJJSON")) {
+      if (e.has("message")) {
         assert(c.message.contains(e.get("message").asText()),
           s"$name[$i] '${c.title}': message '${c.message.orNull}' vs '${e.get("message").asText()}'")
       }
@@ -69,7 +67,7 @@ class ValidateSpec extends SparkSpec {
     "bad-metadata-type", "missing-version", "missing-primary-column",
     "missing-columns", "missing-encoding", "missing-geometry-types",
     "bad-primary-column", "bad-encoding", "bad-geometry-types",
-    "bad-crs", "bad-crs-type", "bad-orientation", "bad-edges",
+    "bad-crs", "bad-crs-type", "bad-crs-schema", "bad-orientation", "bad-edges",
     "bad-bbox-type", "bad-bbox-item-type", "bad-bbox-length", "bad-epoch",
     "geometry-type-not-in-list", "geometry-correctly-oriented",
     "geometry-incorrectly-oriented", "geometry-outside-bbox",

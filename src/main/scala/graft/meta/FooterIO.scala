@@ -41,7 +41,13 @@ object FooterIO {
 
   private val Magic = "PAR1".getBytes(StandardCharsets.US_ASCII)
 
-  private def conf = new Configuration()
+  private def conf = {
+    val c = new Configuration()
+    // lazy ranged-GET filesystems for plain http(s) footers (describe on a
+    // remote file reads KBs, not the file)
+    graft.sources.Remote.install(c)
+    c
+  }
 
   private def fsFor(p: Path): FileSystem = p.getFileSystem(conf)
 

@@ -117,9 +117,12 @@ object GeoParquet {
     *             bbox + geometry_types unless `computeStats` is false.
     * @param compression parquet codec (reference CLI default zstd,
     *                    convert.go:36)
-    * @param rowGroupRows approximate rows per row group, mapped to
-    *                     `parquet.block.size` via a sampled row-size
-    *                     estimate (SURVEY §4: byte-based approximation)
+    * @param rowGroupRows exact rows per row group within each part file,
+    *                     via parquet-hadoop's `parquet.block.row.count.limit`
+    *                     (the writer flushes a group every N rows, matching
+    *                     the reference's chunked NextBatch(RowGroupLength),
+    *                     transform.go:119-164; the byte-based
+    *                     `parquet.block.size` remains as the safety cap)
     */
   def write(
       df: DataFrame,
@@ -138,11 +141,7 @@ object GeoParquet {
 
     var writer = df.write.mode("overwrite").option("compression", compression)
     rowGroupRows.foreach { n =>
-      // crude per-row size estimate from a driver-side sample
-      val sample = df.limit(100).collect()
-      val rowBytes = if (sample.isEmpty) 256L
-        else math.max(64L, sample.map(estimateRowSize).sum / sample.length)
-      writer = writer.option("parquet.block.size", (n * rowBytes).toString)
+      writer = writer.option("parquet.block.row.count.limit", n.toString)
     }
     writer.parquet(path)
     FooterIO.writeGeoMetadata(path, finalMeta, Some(df.sparkSession))
@@ -219,14 +218,4 @@ object GeoParquet {
         col("cell_x").between(cellOf(box.xmin) - 1, cellOf(box.xmax) + 1)
     (latOk && lonOk) || (col("cell_x") === 9999 && col("cell_y") === 9999)
   }
-
-  private def estimateRowSize(row: Row): Long =
-    (0 until row.length).map { i =>
-      row.get(i) match {
-        case null => 1L
-        case b: Array[Byte] => b.length.toLong
-        case s: String => s.length.toLong
-        case _ => 8L
-      }
-    }.sum
 }

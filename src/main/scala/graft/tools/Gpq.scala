@@ -54,7 +54,7 @@ object Gpq {
       // URL inputs (http/https fetched; hadoop schemes passed through)
       def resolved(p: Array[String]): Array[String] =
         p.zipWithIndex.map { case (v, i) =>
-          if (i == 0) graft.sources.Remote.resolve(v) else v
+          if (i == 0) graft.sources.Remote.resolve(v, Some(spark)) else v
         }
       cmd match {
         case "convert" =>
@@ -77,14 +77,14 @@ object Gpq {
           println(s"extracted $in -> $out")
           0
         case "describe" =>
-          val in = graft.sources.Remote.resolve(positional.head)
+          val in = graft.sources.Remote.resolve(positional.head, Some(spark))
           if (flags.contains("metadata-only"))
             println(graft.operators.Describe.metadataOnly(in))
           else println(graft.operators.Describe.json(spark, in))
           0
         case "validate" =>
           val report = graft.operators.Validate.report(spark,
-            graft.sources.Remote.resolve(positional.head),
+            graft.sources.Remote.resolve(positional.head, Some(spark)),
             metadataOnly = flags.contains("metadata-only"))
           println(report.toJson)
           if (report.failed) 1 else 0

@@ -5,6 +5,7 @@ import graft.geo.GeoCodec
 import graft.meta.FooterIO
 import graft.sources.{GeoJson, GeoParquet}
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Ports convert-path cases (cmd/gpq/command/convert_test.go,
   * internal/geoparquet/geoparquet_test.go WKT/WKB cases).
@@ -78,16 +79,24 @@ class ConvertSpec extends SparkSpec {
     }
   }
 
-  test("row-group length option produces multiple row groups") {
+  test("row-group length option produces EXACT row-group counts") {
+    // the reference's matrix (geojson_test.go:108-142): 10 features with
+    // RowGroupLength 3 → 4 groups, RowGroupLength 5 → 2 groups
     import spark.implicits._
     val dir = Files.createTempDirectory("rgl").toString
-    val df = (0 until 10000).map(i => (i.toLong, s"row $i " * 10))
-      .toDF("id", "payload")
-    graft.sources.GeoParquet.write(df.coalesce(1), s"$dir/out.parquet",
-      computeStats = false, rowGroupRows = Some(1000))
-    val groups = graft.meta.FooterIO.dataFiles(s"$dir/out.parquet")
-      .map(f => graft.meta.FooterIO.readFooter(f).getBlocks.size()).sum
-    assert(groups > 1, s"expected multiple row groups, got $groups")
+    val df = (0 until 10).map(i => (i.toLong, s"row $i")).toDF("id", "payload")
+    def groupsWith(n: Int, out: String): Seq[Int] = {
+      graft.sources.GeoParquet.write(df.coalesce(1), out,
+        computeStats = false, rowGroupRows = Some(n))
+      graft.meta.FooterIO.dataFiles(out)
+        .map(f => graft.meta.FooterIO.readFooter(f).getBlocks.size().toInt)
+    }
+    assert(groupsWith(3, s"$dir/a.parquet").sum == 4)
+    assert(groupsWith(5, s"$dir/b.parquet").sum == 2)
+    // group row counts are exact, not approximate
+    val sizes = graft.meta.FooterIO.dataFiles(s"$dir/a.parquet")
+      .flatMap(f => graft.meta.FooterIO.readFooter(f).getBlocks.asScala.map(_.getRowCount))
+    assert(sizes == Seq(3L, 3L, 3L, 1L), s"got $sizes")
   }
 
   test("geo functions are SQL-registered") {

@@ -42,6 +42,92 @@ class RemoteSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("lazy range reads: describe/extract issue partial-content requests") {
+    val bytes = Files.readAllBytes(
+      Paths.get("src/test/resources/cases/example-v1.1.0.parquet"))
+    val rangeRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val servedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ranged.parquet", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        range match {
+          case Some(r) if r.startsWith("bytes=") =>
+            rangeRequests.incrementAndGet()
+            val parts = r.stripPrefix("bytes=").split("-", 2)
+            val start = parts(0).toLong
+            val end = math.min(parts(1).toLong, bytes.length - 1L)
+            val n = (end - start + 1).toInt
+            servedBytes.addAndGet(n)
+            ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/${bytes.length}")
+            ex.getResponseHeaders.set("ETag", "\"fixture-v1\"")
+            ex.sendResponseHeaders(206, n)
+            ex.getResponseBody.write(bytes, start.toInt, n)
+            ex.close()
+          case _ =>
+            servedBytes.addAndGet(bytes.length)
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/ranged.parquet"
+      // resolve keeps the URL remote and installs the http FileSystem
+      assert(Remote.resolve(url, Some(spark)) == url)
+
+      // footer-only read (describe shape): a few KB, never the data pages
+      val meta = graft.meta.FooterIO.readGeoMetadata(url)
+      assert(meta.isDefined && meta.get.primaryColumn == "geometry")
+      assert(rangeRequests.get() > 0, "expected ranged GETs, saw none")
+      assert(servedBytes.get() < bytes.length,
+        s"footer read fetched ${servedBytes.get()} of ${bytes.length} bytes — not lazy")
+
+      // full extract over http still answers correctly
+      val gf = Extract(spark, url, Extract.Options(bbox = Some(Bbox(34, -7, 36, -6))))
+      val rows = gf.df.collect()
+      assert(rows.length == 1 && rows.head.getAs[String]("name") == "Tanzania")
+    } finally server.stop(0)
+  }
+
+  test("range reader probes size and reads at offsets") {
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/blob.bin", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val r = Option(ex.getRequestHeaders.getFirst("Range")).getOrElse("")
+        val parts = r.stripPrefix("bytes=").split("-", 2)
+        val start = parts(0).toLong
+        val end = math.min(parts(1).toLong, payload.length - 1L)
+        val n = (end - start + 1).toInt
+        ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/${payload.length}")
+        ex.sendResponseHeaders(206, n)
+        ex.getResponseBody.write(payload, start.toInt, n)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/blob.bin"
+      val reader = new HttpRangeReader(url)
+      assert(reader.size == payload.length)
+      val dst = new Array[Byte](100)
+      // read within the probe buffer (first 512 bytes): no extra request
+      val before = reader.requestCount
+      assert(reader.readAt(100, dst, 0, 100) == 100)
+      assert(dst.toSeq == payload.slice(100, 200).toSeq)
+      assert(reader.requestCount == before)
+      // read past the buffer: exactly one >=1KB ranged GET
+      assert(reader.readAt(3000, dst, 0, 100) == 100)
+      assert(dst.toSeq == payload.slice(3000, 3100).toSeq)
+      assert(reader.requestCount == before + 1)
+      // EOF
+      assert(reader.readAt(4096, dst, 0, 1) == -1)
+    } finally server.stop(0)
+  }
+
   test("http error surfaces") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/missing.parquet", new HttpHandler {

@@ -116,49 +116,75 @@ object Dedup {
     * n-grams, distinct, xxhash64(seed 42), XOR-permutation minima, band
     * keys folded with the band index as seed chain.
     */
-  private def shingleBandsUdf(n: Int, numHashes: Int, bands: Int) = {
+  /** JVM kernel: the distinct word-n-gram shingle set (empty when the doc
+    * has fewer than n words).
+    */
+  private[graft] def shingleSet(text: String, n: Int): Array[String] = {
+    val words =
+      if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+    if (words.length < n) Array.empty[String]
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        set += sb.toString
+        i += 1
+      }
+      set.toArray
+    }
+  }
+
+  /** JVM kernel: MinHash signature + LSH band keys for one document; None
+    * for docs too short to shingle. Shared by the batch UDFs and the
+    * streaming dedup state operator so both paths hash identically.
+    */
+  private[graft] def signatureAndBandKeys(text: String, n: Int, numHashes: Int,
+      bands: Int): Option[(Array[Long], Array[Long])] = {
+    val shingles = shingleSet(text, n)
+    if (shingles.isEmpty) None
+    else Some(signatureAndBandKeysFromShingles(shingles, numHashes, bands))
+  }
+
+  private[graft] def signatureAndBandKeysFromShingles(shingles: Array[String],
+      numHashes: Int, bands: Int): (Array[Long], Array[Long]) = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
     val mixes = mixConstants(numHashes).toArray
     val rowsPerBand = numHashes / bands
+    val hashes = shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+    val sig = Array.tabulate(numHashes) { k =>
+      var m = Long.MaxValue
+      var h = 0
+      while (h < hashes.length) {
+        val v = hashes(h) ^ mixes(k)
+        if (v < m) m = v
+        h += 1
+      }
+      m
+    }
+    val keys = Array.tabulate(bands) { b =>
+      var acc = 42L
+      acc = XXH64.hashInt(b, acc)
+      var j = 0
+      while (j < rowsPerBand) { acc = XXH64.hashLong(sig(b * rowsPerBand + j), acc); j += 1 }
+      acc
+    }
+    (sig, keys)
+  }
+
+  private def shingleBandsUdf(n: Int, numHashes: Int, bands: Int) =
     udf { (text: String) =>
-      val words =
-        if (text == null || text.trim.isEmpty) Array.empty[String]
-        else text.trim.split("\\s+")
-      if (words.length < n) None
+      val shingles = shingleSet(text, n)
+      if (shingles.isEmpty) None
       else {
-        val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i + n <= words.length) {
-          val sb = new java.lang.StringBuilder(words(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-          shingleSet += sb.toString
-          i += 1
-        }
-        val shingles = shingleSet.toArray
-        val hashes = shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
-        val sig = Array.tabulate(numHashes) { k =>
-          var m = Long.MaxValue
-          var h = 0
-          while (h < hashes.length) {
-            val v = hashes(h) ^ mixes(k)
-            if (v < m) m = v
-            h += 1
-          }
-          m
-        }
-        val keys = Array.tabulate(bands) { b =>
-          var acc = 42L
-          acc = XXH64.hashInt(b, acc)
-          var j = 0
-          while (j < rowsPerBand) { acc = XXH64.hashLong(sig(b * rowsPerBand + j), acc); j += 1 }
-          acc
-        }
+        val (_, keys) = signatureAndBandKeysFromShingles(shingles, numHashes, bands)
         Some((shingles, keys))
       }
     }
-  }
 
   /** Shingle-set-only kernel (same word split / n-gram / distinct
     * semantics as [[shingleBandsUdf]], minus the MinHash work) — the verify
@@ -166,22 +192,8 @@ object Dedup {
     * lighter pass skips the per-shingle hashing entirely.
     */
   private def shinglesUdf(n: Int) = udf { (text: String) =>
-    val words =
-      if (text == null || text.trim.isEmpty) Array.empty[String]
-      else text.trim.split("\\s+")
-    if (words.length < n) None
-    else {
-      val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
-      var i = 0
-      while (i + n <= words.length) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-        shingleSet += sb.toString
-        i += 1
-      }
-      Some(shingleSet.toArray)
-    }
+    val s = shingleSet(text, n)
+    if (s.isEmpty) None else Some(s)
   }
 
   private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>

@@ -30,11 +30,17 @@ object Convert {
     else None
   }
 
+  /** @param compression Some(codec) to recompress; None retains the
+    *                     input's per-column codecs (reference
+    *                     transform.go:36-52 — its CLI always passes a
+    *                     codec, default zstd; retention is the
+    *                     programmatic-path behavior)
+    */
   final case class Options(
       from: Option[Format] = None,
       to: Option[Format] = None,
       inputPrimaryColumn: Option[String] = None,
-      compression: String = "zstd",
+      compression: Option[String] = Some("zstd"),
       minFeatures: Int = 10,
       maxFeatures: Int = 100,
       rowGroupRows: Option[Int] = None)
@@ -49,7 +55,9 @@ object Convert {
     (from, to) match {
       case (GeoJsonFormat, ParquetFormat) | (GeoJsonFormat, GeoParquetFormat) =>
         val df = GeoJson.read(spark, in, opts.minFeatures, opts.maxFeatures)
-        GeoParquet.write(df, out, compression = opts.compression,
+        // no input codecs to retain for JSON input: None falls back to the
+        // reference's default write codec (zstd, convert.go:36)
+        GeoParquet.write(df, out, compression = opts.compression.getOrElse("zstd"),
           rowGroupRows = opts.rowGroupRows)
       case (GeoJsonFormat, GeoJsonFormat) =>
         throw new IllegalArgumentException(
@@ -91,6 +99,24 @@ object Convert {
     val stringCols = meta.columnNames.filter { name =>
       df.schema(name).dataType == StringType
     }.toSet
+
+    // compression = None → retain the input's per-column codecs. When no
+    // column values change and no re-grouping is requested, the data pages
+    // are copied VERBATIM (exact per-column retention — stronger than the
+    // reference's row-group-0 sampling) and only the footer is restamped.
+    // When a WKT→WKB transform forces a rewrite, parquet-mr writes one
+    // codec per file, so retention degrades to the input's dominant codec
+    // (documented deviation).
+    if (opts.compression.isEmpty && stringCols.isEmpty && opts.rowGroupRows.isEmpty) {
+      copyDataFiles(in, out)
+      val geomCols = meta.columnNames.filter(df.columns.contains)
+      val stamped =
+        if (geomCols.nonEmpty) meta.withStats(GeoParquet.geometryStats(df, geomCols))
+        else meta
+      FooterIO.writeGeoMetadata(out, stamped, Some(spark))
+      return
+    }
+
     val transformed =
       if (stringCols.isEmpty) df
       else df.columns.foldLeft(df) { (acc, c) =>
@@ -98,7 +124,49 @@ object Convert {
           acc.withColumn(c, GeoFunctions.wkt_to_wkb(col(c)))
         else acc
       }
+    val codec = opts.compression.getOrElse(dominantCodec(in))
     GeoParquet.write(transformed, out, meta = Some(meta),
-      compression = opts.compression, rowGroupRows = opts.rowGroupRows)
+      compression = codec, rowGroupRows = opts.rowGroupRows)
+  }
+
+  /** Byte-copy every data file of a parquet path into `out`, preserving
+    * relative names (single file → single part). Runs over Hadoop FS so
+    * any scheme works.
+    */
+  private def copyDataFiles(in: String, out: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    graft.sources.Remote.install(conf)
+    val outPath = new Path(out)
+    val outFs = outPath.getFileSystem(conf)
+    outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
+    FooterIO.dataFiles(in).foreach { src =>
+      val fs = src.getFileSystem(conf)
+      val dst = new Path(outPath, src.getName)
+      val is = fs.open(src)
+      try {
+        val os = outFs.create(dst, true)
+        try is.transferTo(os) finally os.close()
+      } finally is.close()
+    }
+  }
+
+  /** The most common non-uncompressed codec of the input's first row
+    * group (the reference samples row group 0 the same way,
+    * transform.go:36-52), as a spark write-option name.
+    */
+  private def dominantCodec(in: String): String = {
+    import scala.jdk.CollectionConverters._
+    val files = FooterIO.dataFiles(in)
+    val codecs = for {
+      f <- files.headOption.toSeq
+      block <- FooterIO.readFooter(f).getBlocks.asScala.headOption.toSeq
+      chunk <- block.getColumns.asScala
+      c = chunk.getCodec.name()
+      if c != "UNCOMPRESSED"
+    } yield c
+    if (codecs.isEmpty) "uncompressed"
+    else codecs.groupBy(identity).maxBy(_._2.size)._1.toLowerCase
   }
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection over a document stream: MinHash
+  * signatures + LSH band-bucket state in `flatMapGroupsWithState`
+  * (extension beyond the batch-only reference; same hashes as
+  * [[graft.llm.Dedup.minhashNearDupPairs]], so batch and streaming agree
+  * on candidate buckets).
+  *
+  * Shape: each incoming document maps to its signature + band keys (one
+  * JVM-kernel pass); each (band key) group keeps the signatures previously
+  * seen in that bucket as state; a new document whose estimated Jaccard
+  * (matching MinHash components / numHashes) against any stored signature
+  * clears the threshold emits a [[DocStream.DupFlag]] naming the earlier
+  * document.
+  *
+  * Scale design: state per bucket is capped (`maxBucketSize` signatures —
+  * degenerate hot buckets carry no near-dup signal, same cap as the batch
+  * path), the shuffle carries (band key, id, signature) only — never text
+  * or shingles — and a processing-time TTL expires buckets idle longer
+  * than `stateTtlMs`, bounding total state by the active working set
+  * (memory-note rule: stateful operators always set a timeout).
+  */
+object DocStream {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+  final case class DupFlag(doc_id: Long, dup_of: Long, est_jaccard: Double)
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+
+  /** Estimated Jaccard of two MinHash signatures. */
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Documents → (band key, id, signature) rows; short docs drop out. */
+  def banded(docs: Dataset[Doc], shingleSize: Int, numHashes: Int, bands: Int)
+            (implicit spark: SparkSession): Dataset[BandedDoc] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      Dedup.signatureAndBandKeys(d.text, shingleSize, numHashes, bands) match {
+        case Some((sig, keys)) => keys.iterator.map(k => BandedDoc(k, d.doc_id, sig))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Near-dup flags for a document stream. Works identically as one batch
+    * (flatMapGroupsWithState runs with single-micro-batch semantics there),
+    * which is how the spec asserts batch/streaming equivalence. A document
+    * may be flagged once per agreeing band; distinct-ify downstream
+    * (`flags.dropDuplicates("doc_id")` or a keep-first join).
+    */
+  def nearDupFlags(docs: Dataset[Doc],
+                   shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5, maxBucketSize: Int = 200,
+                   stateTtlMs: Long = 3600000L)
+                  (implicit spark: SparkSession): Dataset[DupFlag] = {
+    import spark.implicits._
+    banded(docs, shingleSize, numHashes, bands)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, DupFlag](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, it: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // idle bucket: drop its signatures (documents arriving later
+            // than the TTL can no longer be flagged against it — the
+            // documented accuracy/state tradeoff)
+            state.remove()
+            Iterator.empty
+          } else {
+            var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+            var sigs = state.getOption.map(_.sigs).getOrElse(Array.empty[Array[Long]])
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
+            // deterministic within a micro-batch: earlier ids win
+            it.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (!ids.contains(d.doc_id)) {
+                var bestId = -1L
+                var bestEst = 0d
+                var i = 0
+                while (i < ids.length) {
+                  if (ids(i) < d.doc_id) {
+                    val est = estJaccard(sigs(i), d.sig)
+                    if (est >= threshold && (est > bestEst ||
+                        (est == bestEst && (bestId < 0 || ids(i) < bestId)))) {
+                      bestId = ids(i); bestEst = est
+                    }
+                  }
+                  i += 1
+                }
+                if (bestId >= 0) out += DupFlag(d.doc_id, bestId, bestEst)
+                if (ids.length < maxBucketSize) {
+                  ids = ids :+ d.doc_id
+                  sigs = sigs :+ d.sig
+                }
+              }
+            }
+            state.update(BucketState(ids, sigs))
+            state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+}

@@ -61,7 +61,7 @@ object Gpq {
           val Array(in, out) = resolved(positional.take(2))
           Convert.run(spark, in, out, Convert.Options(
             inputPrimaryColumn = flags.get("input-primary-column"),
-            compression = flags.getOrElse("compression", "zstd"),
+            compression = Some(flags.getOrElse("compression", "zstd")),
             minFeatures = flags.get("min").map(_.toInt).getOrElse(10),
             maxFeatures = flags.get("max").map(_.toInt).getOrElse(100),
             rowGroupRows = flags.get("row-group-length").map(_.toInt)))

@@ -27,6 +27,37 @@ class CompressionSpec extends SparkSpec {
     }
   }
 
+  test("convert with compression=None retains the input's per-column codecs") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("retain").toString
+    // gzip input (≠ the zstd default, so retention is observable)
+    val src = GeoParquet.read(spark, "src/test/resources/cases/example-v1.1.0.parquet")
+    GeoParquet.write(src.df, s"$dir/in.parquet", meta = src.meta, compression = "gzip")
+    graft.operators.Convert.run(spark, s"$dir/in.parquet", s"$dir/out.parquet",
+      graft.operators.Convert.Options(compression = None))
+    // every column chunk keeps gzip (verbatim copy), metadata restamped
+    val footer = FooterIO.readFooter(FooterIO.dataFiles(s"$dir/out.parquet").head)
+    val outCodecs = footer.getBlocks.asScala
+      .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+    assert(outCodecs == Set("GZIP"), s"expected gzip retained, got $outCodecs")
+    val meta = FooterIO.readGeoMetadata(s"$dir/out.parquet")
+    assert(meta.isDefined && meta.get.primaryColumn == "geometry")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 5)
+  }
+
+  test("convert with an explicit codec recompresses") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("recompress").toString
+    val src = GeoParquet.read(spark, "src/test/resources/cases/example-v1.1.0.parquet")
+    GeoParquet.write(src.df, s"$dir/in.parquet", meta = src.meta, compression = "gzip")
+    graft.operators.Convert.run(spark, s"$dir/in.parquet", s"$dir/out.parquet",
+      graft.operators.Convert.Options(compression = Some("snappy")))
+    val footer = FooterIO.readFooter(FooterIO.dataFiles(s"$dir/out.parquet").head)
+    val outCodecs = footer.getBlocks.asScala
+      .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+    assert(outCodecs == Set("SNAPPY"), s"expected snappy, got $outCodecs")
+  }
+
   test("brotli is rejected by spark (documented deviation)") {
     // the reference supports brotli (compression.go:9-26); Spark ships no
     // brotli codec by default — the write must fail loudly, not silently

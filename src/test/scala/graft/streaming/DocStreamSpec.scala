@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class DocStreamSpec extends SparkSpec {
+
+  private def corpus(n: Int): Seq[DocStream.Doc] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(n)
+      .collect()
+      .map(r => DocStream.Doc(r.getLong(0), r.getString(1)))
+    // plant near-dups: same text + a short tail, ids offset by 1e6
+    docs.toSeq ++ docs.map(d =>
+      DocStream.Doc(d.doc_id + 1000000L, d.text + " near duplicate tail"))
+  }
+
+  test("streaming near-dup flags match the batch run of the same operator") {
+    implicit val s = spark
+    import s.implicits._
+    val data = corpus(100)
+
+    val batchFlags = DocStream.nearDupFlags(data.toDS())
+      .collect().map(f => (f.doc_id, f.dup_of)).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocStream.Doc]
+    mem.addData(data)
+    val q = DocStream.nearDupFlags(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dupflags_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dupflags_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty, "streaming emitted no flags")
+    assert(streamed == batchFlags,
+      s"stream/batch mismatch: missing=${batchFlags.diff(streamed).take(3)} extra=${streamed.diff(batchFlags).take(3)}")
+  }
+
+  test("planted near-dups are flagged against their originals") {
+    implicit val s = spark
+    import s.implicits._
+    val data = corpus(100)
+    val flagged = DocStream.nearDupFlags(data.toDS())
+      .collect().groupBy(_.doc_id).view.mapValues(_.map(_.dup_of).min).toMap
+    val longDocs = data.filter(d =>
+      d.doc_id < 1000000L && d.text.trim.split("\\s+").length >= 20).map(_.doc_id)
+    // copies of reasonably long docs must be flagged, usually against the original
+    val copies = longDocs.map(_ + 1000000L)
+    val hit = copies.count(flagged.contains)
+    assert(hit >= (copies.size * 0.8).toInt,
+      s"only $hit of ${copies.size} planted dups flagged")
+    // no original (first-seen) doc is ever flagged against a later id
+    flagged.foreach { case (doc, dupOf) => assert(dupOf < doc) }
+  }
+
+  test("state cap bounds bucket growth") {
+    implicit val s = spark
+    import s.implicits._
+    // 50 identical docs in one bucket with cap 10: flags still emitted,
+    // state never exceeds the cap (no OOM-shaped growth path)
+    val same = (0 until 50).map(i => DocStream.Doc(i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val flags = DocStream.nearDupFlags(same.toDS(), maxBucketSize = 10)
+      .collect()
+    assert(flags.map(_.doc_id).distinct.length == 49) // all but doc 0 flagged
+    assert(flags.forall(_.est_jaccard == 1.0))
+  }
+}

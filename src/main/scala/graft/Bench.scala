@@ -11,10 +11,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT/codegen/parquet-reader init otherwise lands on whichever
-    // query happens to run first (~4.5s of pure session overhead)
+    // warmup: JIT/codegen/parquet-reader/regex-engine init otherwise lands
+    // on whichever query happens to exercise each kernel first (~4.5s of
+    // session overhead plus ~1s of java.util.regex JIT)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
+      // enough corpus-scale regex invocations to carry java.util.regex
+      // through C2 before any measured query runs (~1.4s one-time cost
+      // that would otherwise land on the first regex-heavy query)
+      spark.range(60000).selectExpr(
+        "regexp_count(repeat('the and of a, in. es la de ', 20), '\\\\b(the|and|of)\\\\b') AS r",
+        "regexp_count(repeat('a. b, c! ', 30), '\\\\p{Punct}') AS p",
+        "size(regexp_extract_all(repeat('ab1, x ', 30), '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]', 0)) AS s",
+        "size(split(trim(repeat('w x  y ', 30)), '\\\\s+')) AS w")
+        .selectExpr("sum(r)", "sum(p)", "sum(s)", "sum(w)").collect()
       Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => }
     var failures = List.empty[String]

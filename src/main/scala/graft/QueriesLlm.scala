@@ -55,24 +55,20 @@ object QueriesLlm {
     */
   val qTextStats: Q = (s, dir) => {
     val t = col("text")
-    // the collapsed form + token count are materialized once as bound
-    // columns — inline reuse would re-run the regexes per stat (no CSE
-    // across expressions); everything stays flat strings → codegen
+    // all four stats + the collapsed form come from the single-pass JVM
+    // kernel (one scan vs four regex passes; LlmSpec pins equivalence);
+    // the md5 fingerprint stays columnar over the collapsed string
     Tables.documents(s, dir)
-      .withColumn("_c", TextStats.collapsed(t))
-      .withColumn("_tc",
-        when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
+      .withColumn("_ts", TextStats.textStatsUdf(t))
       .select(
         col("doc_id"),
         // long casts match DuckDB's BIGINT len()/count results in case the
         // driver compares schemas strictly
-        col("_tc").cast("long").as("n_tokens"),
+        col("_ts._1").cast("long").as("n_tokens"),
         length(t).cast("long").as("len"),
-        regexp_count(t, lit("[.,!?;:]")).cast("long").as("n_punct"),
-        round(when(col("_tc") === 0, 0d).otherwise(
-          (length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")), 6)
-          .as("mean_word_len"),
-        md5(lower(col("_c"))).as("fp_md5"))
+        col("_ts._2").cast("long").as("n_punct"),
+        round(col("_ts._3"), 6).as("mean_word_len"),
+        md5(lower(col("_ts._4"))).as("fp_md5"))
       .orderBy("doc_id")
   }
 
@@ -90,12 +86,13 @@ object QueriesLlm {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q_lang_id — stopword-marker language ID (argmax, first-wins ties).
-    * Scores bound once per row via withLangId (the inline form re-ran each
-    * regex 2-6×; see BASELINE.md's no-CSE note).
+    * Single-pass JVM kernel UDF (TextStatsSpec pins its equivalence to the
+    * bound-column regex form, and the DuckDB oracle pins the values).
     */
   val qLangId: Q = (s, dir) =>
-    TextStats.withLangId(Tables.documents(s, dir), col("text"), "lang_pred")
-      .select(col("doc_id"), col("lang"), col("lang_pred"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextStats.langIdUdf(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
   val qLangIdSql: String = {
@@ -114,34 +111,24 @@ object QueriesLlm {
        |) ORDER BY doc_id""".stripMargin
   }
 
-  /** q_quality — composite quality score. Same arithmetic as
-    * TextStats.qualityScore, factored through bound columns so each
-    * ingredient (collapsed text, token count, ratios) evaluates once per
-    * row instead of once per sub-score.
+  /** q_quality — composite quality score. The four per-document stats come
+    * from the single-pass JVM kernel (one scan + one lowercase vs four
+    * regex passes; LlmSpec pins its equivalence to the column-algebra
+    * form); the weighted band arithmetic stays column algebra.
     */
   val qQuality: Q = (s, dir) => {
-    val t = col("text")
     Tables.documents(s, dir)
-      .withColumn("_c", TextStats.collapsed(t))
-      .withColumn("_tc",
-        when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
-      .withColumn("_pr", when(length(t) === 0, 0d)
-        .otherwise(regexp_count(t, lit("\\p{Punct}")).cast("double") / length(t)))
-      .withColumn("_mwl", when(col("_tc") === 0, 0d)
-        .otherwise((length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")))
-      .withColumn("_sr", when(col("_tc") === 0, 0d)
-        .otherwise(regexp_count(lower(t),
-          lit(TextStats.markerPattern(TextStats.StopwordsEn))).cast("double") / col("_tc")))
+      .withColumn("_qs", TextStats.qualityStatsUdf(col("text")))
       .select(
         col("doc_id"),
         round(
-          (when(length(t).between(100, 20000), 1d)
-            .when(length(t) < 100, length(t) / 100d)
-            .otherwise(lit(20000d) / length(t))) * 0.3
-          + (when(col("_pr") <= 0.2, 1d)
-              .otherwise(greatest(lit(0d), lit(1d) - (col("_pr") - 0.2) * 2))) * 0.3
-          + least(lit(1d), col("_sr") * 5) * 0.2
-          + (when(col("_mwl").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
+          (when(col("_qs._1").between(100, 20000), 1d)
+            .when(col("_qs._1") < 100, col("_qs._1") / 100d)
+            .otherwise(lit(20000d) / col("_qs._1"))) * 0.3
+          + (when(col("_qs._2") <= 0.2, 1d)
+              .otherwise(greatest(lit(0d), lit(1d) - (col("_qs._2") - 0.2) * 2))) * 0.3
+          + least(lit(1d), col("_qs._3") * 5) * 0.2
+          + (when(col("_qs._4").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
           6).as("quality"))
       .orderBy("doc_id")
   }

@@ -240,13 +240,22 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify candidates against exact shingle Jaccard (joins back to the
-    // shingle table; candidate cardinality ~ O(dups), not O(corpus²))
+    // verify candidates against exact shingle Jaccard. ONE shingle pass and
+    // ONE join: each pair explodes to its two member ids, the shingle table
+    // joins once by id (AQE broadcasts the candidate side when it is
+    // small), and the pair reassembles by grouping — vs joining separate
+    // A/B shingle projections, which would scan AND shuffle the shingled
+    // corpus twice
     val sh = shinglesUdf(shingleSize)(text).as("sh")
     val shingled = df.select(id.as("id"), sh).where(col("sh").isNotNull)
-    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    val sides = candidates.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    sides.join(shingled, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("id") === col("id_b"), col("sh")), ignoreNulls = true).as("sh_b"))
+      .where(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

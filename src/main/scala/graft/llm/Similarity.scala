@@ -169,9 +169,18 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val vA = prepared.select(col("id").as("id_a"), col("v").as("v_a"))
-    val vB = prepared.select(col("id").as("id_b"), col("v").as("v_b"))
-    candidates.join(vA, "id_a").join(vB, "id_b")
+    // single vector pass + single join (pairs explode to member ids, the
+    // vector table joins once, the pair reassembles by grouping) — the
+    // separate A/B projections would scan and shuffle the normalized
+    // corpus twice
+    val sides = candidates.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    sides.join(prepared, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("v")), ignoreNulls = true).as("v_a"),
+        first(when(col("id") === col("id_b"), col("v")), ignoreNulls = true).as("v_b"))
+      .where(col("v_a").isNotNull && col("v_b").isNotNull)
       .withColumn("sim", dot(col("v_a"), col("v_b")))
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")

@@ -146,6 +146,68 @@ class LlmSpec extends SparkSpec {
     assert(roll == (((('a'.toLong * 31) + 'b') * 31) + 'c') % 1000000007L)
   }
 
+  test("langId kernel UDF matches the bound-column regex form on real docs") {
+    // the fast single-pass kernel must be byte-identical to the
+    // regexp_count argmax it replaces (which the DuckDB oracle pins)
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val both = TextStats.withLangId(docs, col("text"), "lang_regex")
+      .withColumn("lang_fast", TextStats.langIdUdf(col("text")))
+    val diff = both.where(col("lang_regex") =!= col("lang_fast")).collect()
+    assert(diff.isEmpty, s"kernel/regex mismatch on ${diff.length} docs, e.g. ${diff.take(3).mkString}")
+    // edge cases: empty, punctuation-adjacent markers, CJK, tie-break order
+    import spark.implicits._
+    val edge = Seq("", "the, and; of!", "sand theory android", "的是了",
+      "the el the el").toDF("text")
+    val pairs = TextStats.withLangId(edge, col("text"), "r")
+      .withColumn("f", TextStats.langIdUdf(col("text")))
+      .collect().map(r => (r.getAs[String]("r"), r.getAs[String]("f")))
+    pairs.foreach { case (r, f) => assert(r == f, s"edge mismatch: $r vs $f") }
+  }
+
+  test("quality-stats kernel UDF matches the column-algebra form on real docs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .union(Seq((9000001L, ""), (9000002L, "   "), (9000003L, "a.b,c!"),
+        (9000004L, "the\tand\nof")).toDF("doc_id", "text"))
+    val t = col("text")
+    val both = docs
+      .withColumn("_qs", TextStats.qualityStatsUdf(t))
+      .withColumn("_c", TextStats.collapsed(t))
+      .withColumn("_tc",
+        when(length(col("_c")) === 0, 0).otherwise(regexp_count(col("_c"), lit(" ")) + 1))
+      .withColumn("r_pr", when(length(t) === 0, 0d)
+        .otherwise(regexp_count(t, lit("\\p{Punct}")).cast("double") / length(t)))
+      .withColumn("r_mwl", when(col("_tc") === 0, 0d)
+        .otherwise((length(col("_c")) - (col("_tc") - 1)).cast("double") / col("_tc")))
+      .withColumn("r_sr", when(col("_tc") === 0, 0d)
+        .otherwise(regexp_count(lower(t),
+          lit(TextStats.markerPattern(TextStats.StopwordsEn))).cast("double") / col("_tc")))
+    val diff = both.where(
+      col("_qs._1") =!= length(t) || col("_qs._2") =!= col("r_pr") ||
+      col("_qs._3") =!= col("r_sr") || col("_qs._4") =!= col("r_mwl")).collect()
+    assert(diff.isEmpty, s"kernel/column mismatch on ${diff.length} docs, e.g. ${diff.take(2).mkString}")
+  }
+
+  test("text-stats kernel UDF matches the column-algebra form on real docs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .union(Seq((9000001L, ""), (9000002L, "   "), (9000003L, "a.b,c!:; ?"),
+        (9000004L, " x\ty \n z ")).toDF("doc_id", "text"))
+    val t = col("text")
+    val both = docs
+      .withColumn("_ts", TextStats.textStatsUdf(t))
+      .withColumn("r_c", TextStats.collapsed(t))
+      .withColumn("r_tc",
+        when(length(col("r_c")) === 0, 0).otherwise(regexp_count(col("r_c"), lit(" ")) + 1))
+      .withColumn("r_punct", regexp_count(t, lit("[.,!?;:]")))
+      .withColumn("r_mwl", when(col("r_tc") === 0, 0d)
+        .otherwise((length(col("r_c")) - (col("r_tc") - 1)).cast("double") / col("r_tc")))
+    val diff = both.where(
+      col("_ts._1") =!= col("r_tc") || col("_ts._2") =!= col("r_punct") ||
+      col("_ts._3") =!= col("r_mwl") || col("_ts._4") =!= col("r_c")).collect()
+    assert(diff.isEmpty, s"kernel/column mismatch on ${diff.length} docs, e.g. ${diff.take(2).mkString}")
+  }
+
   test("multimodal plumbing: synthetic payloads, features, frames") {
     import spark.implicits._
     val src = (0L until 30L).map(i => Tuple1(i * 3001L)).toDF("doc_id")

@@ -320,17 +320,23 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
                           maxHamming: Int = 3): DataFrame = {
+    // bucket membership via groupBy + pair explosion (same shape as the
+    // MinHash path): the signature pass runs ONCE — a bucket self-join
+    // would recompute the per-document SimHash fold on both sides
     val sigs = df.select(id.as("id"), simhash(text).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    val buckets = chunks.groupBy("chunk_idx", "chunk")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    buckets
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
       .where(col("hamming") <= maxHamming)

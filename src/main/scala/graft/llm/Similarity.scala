@@ -146,6 +146,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Write an IVF-partitioned embedding layout: vectors land in
+    * `centroid_id=…` directories (k-means coarse quantizer), centroids in
+    * an underscore-prefixed sidecar the parquet reader ignores. This is
+    * the 100 TB serving path: a probe query reads ~nProbe/k of the corpus
+    * through directory-level PartitionFilters before any row is touched.
+    */
+  def writeIvfPartitioned(df: DataFrame, id: Column, vec: Column, k: Int,
+                          path: String, seed: Long = 42L,
+                          maxIter: Int = 10): IvfIndex = {
+    val spark = df.sparkSession
+    val index = ivfIndex(df, id, vec, k, seed, maxIter)
+    index.assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(path)
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    index
+  }
+
+  /** Probe-only top-k over the partitioned layout: rank within the
+    * `nProbe` nearest centroid directories only (plain `centroid_id IN`
+    * predicate → PartitionFilters, so unprobed directories are never
+    * listed, scanned, or shuffled).
+    */
+  def ivfTopKFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val qn = {
+      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (n == 0) query.map(_.toDouble) else query.map(_ / n)
+    }
+    val probes = centroids
+      .map { case (i, c) => (i, c.zip(qn).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    spark.read.parquet(path)
+      .where(col("centroid_id").isin(probes.toSeq: _*))
+      .select(col("vec_id"), dot(col("v"), lit(qn)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN near-dup pairs: bucket self-join per table, verify cosine.
     *
     * Candidate generation shuffles (table, bucket, id) triples ONLY — the

@@ -98,6 +98,28 @@ final class GeoMetadata(val raw: ObjectNode) {
     new GeoMetadata(root)
   }
 
+  /** Copy with a covering declaration on the primary column: GeoParquet
+    * 1.1 `covering.bbox` corner paths (metadata.go:83-92) pointing at the
+    * named bbox struct column.
+    */
+  def withCovering(bboxColumn: String): GeoMetadata = {
+    val root = raw.deepCopy()
+    val cols =
+      if (root.has("columns") && root.get("columns").isObject)
+        root.get("columns").asInstanceOf[ObjectNode]
+      else root.putObject("columns")
+    val name = primaryColumn
+    val col =
+      if (cols.has(name) && cols.get(name).isObject) cols.get(name).asInstanceOf[ObjectNode]
+      else { val c = cols.putObject(name); c.put("encoding", DefaultGeometryEncoding); c }
+    val bbox = col.putObject("covering").putObject("bbox")
+    Seq("xmin", "ymin", "xmax", "ymax").foreach { corner =>
+      val a = bbox.putArray(corner)
+      a.add(bboxColumn); a.add(corner)
+    }
+    new GeoMetadata(root)
+  }
+
   override def toString: String = json
 }
 

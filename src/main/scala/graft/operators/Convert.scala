@@ -43,7 +43,8 @@ object Convert {
       compression: Option[String] = Some("zstd"),
       minFeatures: Int = 10,
       maxFeatures: Int = 100,
-      rowGroupRows: Option[Int] = None)
+      rowGroupRows: Option[Int] = None,
+      covering: Boolean = false)
 
   def run(spark: SparkSession, in: String, out: String,
           opts: Options = Options()): Unit = {
@@ -58,7 +59,7 @@ object Convert {
         // no input codecs to retain for JSON input: None falls back to the
         // reference's default write codec (zstd, convert.go:36)
         GeoParquet.write(df, out, compression = opts.compression.getOrElse("zstd"),
-          rowGroupRows = opts.rowGroupRows)
+          rowGroupRows = opts.rowGroupRows, covering = opts.covering)
       case (GeoJsonFormat, GeoJsonFormat) =>
         throw new IllegalArgumentException(
           "GeoJSON input can only be converted to GeoParquet")
@@ -107,7 +108,8 @@ object Convert {
     // When a WKT→WKB transform forces a rewrite, parquet-mr writes one
     // codec per file, so retention degrades to the input's dominant codec
     // (documented deviation).
-    if (opts.compression.isEmpty && stringCols.isEmpty && opts.rowGroupRows.isEmpty) {
+    if (opts.compression.isEmpty && stringCols.isEmpty && opts.rowGroupRows.isEmpty &&
+        !(opts.covering && !df.columns.contains("bbox"))) {
       copyDataFiles(in, out)
       val geomCols = meta.columnNames.filter(df.columns.contains)
       val stamped =
@@ -126,7 +128,8 @@ object Convert {
       }
     val codec = opts.compression.getOrElse(dominantCodec(in))
     GeoParquet.write(transformed, out, meta = Some(meta),
-      compression = codec, rowGroupRows = opts.rowGroupRows)
+      compression = codec, rowGroupRows = opts.rowGroupRows,
+      covering = opts.covering)
   }
 
   /** Byte-copy every data file of a parquet path into `out`, preserving

@@ -123,6 +123,12 @@ object GeoParquet {
     *                     the reference's chunked NextBatch(RowGroupLength),
     *                     transform.go:119-164; the byte-based
     *                     `parquet.block.size` remains as the safety cap)
+    * @param covering materialize a GeoParquet 1.1 `bbox` struct column
+    *                 from the primary geometry's envelope and declare it
+    *                 as the covering (beyond-reference extension: sources
+    *                 written this way get row-group pruning on every
+    *                 downstream bbox extract, even when the input shipped
+    *                 no bbox). No-op when a `bbox` column already exists.
     */
   def write(
       df: DataFrame,
@@ -131,15 +137,26 @@ object GeoParquet {
       primaryColumn: String = GeoMetadata.DefaultGeometryColumn,
       compression: String = "zstd",
       computeStats: Boolean = true,
-      rowGroupRows: Option[Int] = None): GeoMetadata = {
-    val base = meta.getOrElse(GeoMetadata.default(primaryColumn))
-    val geomCols = base.columnNames.filter(df.columns.contains)
+      rowGroupRows: Option[Int] = None,
+      covering: Boolean = false): GeoMetadata = {
+    val base0 = meta.getOrElse(GeoMetadata.default(primaryColumn))
+    val (df1, base) =
+      if (covering && df.columns.contains(base0.primaryColumn) &&
+          !df.columns.contains("bbox")) {
+        val env = GeoFunctions.st_envelope(col(base0.primaryColumn))
+        // null geometry → null bbox (query-time decode fallback handles it)
+        val bboxCol = when(env.isNotNull, struct(
+          env.getField("xmin").as("xmin"), env.getField("ymin").as("ymin"),
+          env.getField("xmax").as("xmax"), env.getField("ymax").as("ymax")))
+        (df.withColumn("bbox", bboxCol), base0.withCovering("bbox"))
+      } else (df, base0)
+    val geomCols = base.columnNames.filter(df1.columns.contains)
     val finalMeta =
       if (computeStats && geomCols.nonEmpty)
-        base.withStats(geometryStats(df, geomCols))
+        base.withStats(geometryStats(df1, geomCols))
       else base
 
-    var writer = df.write.mode("overwrite").option("compression", compression)
+    var writer = df1.write.mode("overwrite").option("compression", compression)
     rowGroupRows.foreach { n =>
       writer = writer.option("parquet.block.row.count.limit", n.toString)
     }

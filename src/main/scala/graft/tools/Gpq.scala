@@ -64,7 +64,8 @@ object Gpq {
             compression = Some(flags.getOrElse("compression", "zstd")),
             minFeatures = flags.get("min").map(_.toInt).getOrElse(10),
             maxFeatures = flags.get("max").map(_.toInt).getOrElse(100),
-            rowGroupRows = flags.get("row-group-length").map(_.toInt)))
+            rowGroupRows = flags.get("row-group-length").map(_.toInt),
+            covering = flags.contains("covering")))
           println(s"converted $in -> $out")
           0
         case "extract" =>

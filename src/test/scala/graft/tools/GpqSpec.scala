@@ -37,6 +37,35 @@ class GpqSpec extends SparkSpec {
     assert(out.toString.contains("\"primary_column\""))
   }
 
+  test("stdin -> convert -> stdout pipes binary parquet (reference command.go:38-52)") {
+    val gjBytes = Files.readAllBytes(java.nio.file.Paths.get(s"$gj/example.geojson"))
+    val oldIn = System.in
+    val captured = new java.io.ByteArrayOutputStream()
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(gjBytes))
+      Console.withOut(new java.io.PrintStream(captured)) {
+        assert(Gpq.run(spark, Array("convert", "-", "-", "--from=geojson")) == 0)
+      }
+    } finally System.setIn(oldIn)
+    val bytes = captured.toByteArray
+    assert(bytes.length > 8 && new String(bytes.take(4), "US-ASCII") == "PAR1",
+      s"expected parquet magic on stdout, got ${bytes.take(4).toSeq}")
+    // the piped bytes are a complete GeoParquet file
+    val tmp = Files.createTempDirectory("gpqpipe").resolve("out.parquet")
+    Files.write(tmp, bytes)
+    assert(FooterIO.readGeoMetadata(tmp.toString).isDefined)
+    assert(spark.read.parquet(tmp.toString).count() > 0)
+    // and stdin works for describe too (parquet assumed)
+    val out2 = new java.io.ByteArrayOutputStream()
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(bytes))
+      Console.withOut(new java.io.PrintStream(out2)) {
+        assert(Gpq.run(spark, Array("describe", "-", "--metadata-only")) == 0)
+      }
+    } finally System.setIn(oldIn)
+    assert(out2.toString.contains("\"primary_column\""))
+  }
+
   test("validate exits 1 on a non-GeoParquet file") {
     assert(Gpq.run(spark, Array("validate", s"$sf/lineitem.parquet")) == 1)
   }

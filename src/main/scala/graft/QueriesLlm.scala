@@ -291,6 +291,36 @@ object QueriesLlm {
       |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q_embed_quantize — int8 scalar quantization of the embedding corpus
+    * (the 4× storage/bandwidth cut for 100 TB embedding tables): per-vector
+    * scale + quantized summary stats, oracle-checked value-for-value.
+    */
+  val qEmbedQuantize: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .withColumn("_q", Similarity.quantizeUdf(col("embedding")))
+      .select(
+        col("vec_id"),
+        round(col("_q._1"), 6).as("scale"),
+        aggregate(col("_q._2"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        array_max(col("_q._2")).cast("long").as("qmax"),
+        array_min(col("_q._2")).cast("long").as("qmin"))
+      .orderBy("vec_id")
+
+  val qEmbedQuantizeSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |  CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+      |       ELSE list_max(list_transform(e, x -> abs(x))) / 127 END AS scale FROM v),
+      |q AS (SELECT vec_id, scale,
+      |  list_transform(e, x ->
+      |    (CASE WHEN x < 0 THEN -1 ELSE 1 END) * least(127, round(abs(x) / scale, 0))) AS qv
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  list_aggregate(qv, 'sum')::BIGINT AS qsum,
+      |  list_max(qv)::BIGINT AS qmax,
+      |  list_min(qv)::BIGINT AS qmin
+      |FROM q ORDER BY vec_id""".stripMargin
+
   /** q_multimodal_meta — multimodal metadata plumbing: synthesize payload
     * table, resize metadata; the arithmetic is SQL-expressible so the
     * schema/stage shape is oracle-checked (decode itself is the stub).
@@ -421,6 +451,7 @@ object QueriesLlm {
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_embed_topk" -> qEmbedTopk,
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -438,6 +469,7 @@ object QueriesLlm {
     "q_subwords" -> qSubwordsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_embed_topk" -> qEmbedTopkSql,
+    "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_events_hourly" -> qEventsHourlySql,

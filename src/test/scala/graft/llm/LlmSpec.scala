@@ -134,6 +134,29 @@ class LlmSpec extends SparkSpec {
     assert(!scanned.isEmpty)
   }
 
+  test("int8 quantization: bounded reconstruction error, 127 at the max component") {
+    val emb = graft.Tables.embeddings(spark, sf).limit(100)
+    val q = emb.withColumn("_q", Similarity.quantizeUdf(col("embedding")))
+      .withColumn("deq", Similarity.dequantize(col("_q._1"), col("_q._2")))
+      .select(col("vec_id"), col("embedding"), col("_q._1").as("scale"),
+        col("_q._2").as("qv"), col("deq"))
+      .collect()
+    q.foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val qv = r.getSeq[Byte](3)
+      val deq = r.getSeq[Double](4)
+      assert(qv.length == orig.length)
+      // error bounded by half a quantization step
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o.toDouble - d) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: |$o - $d| > ${scale / 2}")
+      }
+      // the max-magnitude component maps to ±127
+      assert(qv.map(b => math.abs(b.toInt)).max == 127)
+    }
+  }
+
   test("ann near-dup pairs finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

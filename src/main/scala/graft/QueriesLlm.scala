@@ -409,6 +409,39 @@ object QueriesLlm {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q_asof_join — as-of enrichment: every click gets the user's most
+    * recent prior purchase value (right side pre-aggregated to one row per
+    * (user, ts) for deterministic ties). DuckDB's native ASOF LEFT JOIN is
+    * the oracle.
+    */
+  val qAsofJoin: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    val purchases = events.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("pvalue"))
+    graft.operators.AsOf.join(clicks, purchases, Seq("user_id"),
+      "ts_us", "ts_us", Seq("pvalue"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_pvalue"), 2).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS pvalue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, round(p.pvalue, 2) AS last_purchase
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+      |ORDER BY event_id""".stripMargin
+
   /** q_join_enrich — broadcast-join enrichment + grouped revenue (general
     * join coverage; the dimension side is broadcast, no shuffle of fact).
     */
@@ -457,6 +490,7 @@ object QueriesLlm {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
+    "q_asof_join" -> qAsofJoin,
     "q_join_enrich" -> qJoinEnrich)
 
   def oracles: Map[String, String] = Map(
@@ -473,5 +507,6 @@ object QueriesLlm {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_events_hourly" -> qEventsHourlySql,
+    "q_asof_join" -> qAsofJoinSql,
     "q_join_enrich" -> qJoinEnrichSql)
 }

@@ -223,6 +223,48 @@ object QueriesLlm {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       |ORDER BY id_a""".stripMargin
 
+  /** q_dedup_components — connected components over a deterministic
+    * similarity graph (consecutive docs with unigram Jaccard ≥ 0.7):
+    * every doc labeled with the smallest id in its near-dup group — the
+    * transitive-closure dedup collapse, oracle-checked against a DuckDB
+    * recursive CTE.
+    */
+  val qDedupComponents: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val edges = a.join(b, "id_a")
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("_u", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("_i").cast("double") / greatest(lit(1), col("_u")) >= 0.7)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupComponentsSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |        / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) >= 0.7),
+      |und AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM und
+      |  UNION
+      |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id)
+      |SELECT id AS doc_id, min(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** q_minhash_pairs — MinHash+LSH near-dup pairs. The corpus is augmented
     * with perturbed copies (id + 1e6) so real near-dups exist at every
     * scale factor; LSH candidates verified by exact shingle Jaccard.
@@ -480,6 +522,7 @@ object QueriesLlm {
     "q_quality" -> qQuality,
     "q_subwords" -> qSubwords,
     "q_dedup_near_full" -> qDedupNearFull,
+    "q_dedup_components" -> qDedupComponents,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
@@ -501,6 +544,7 @@ object QueriesLlm {
     "q_lang_id" -> qLangIdSql,
     "q_quality" -> qQualitySql,
     "q_subwords" -> qSubwordsSql,
+    "q_dedup_components" -> qDedupComponentsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,

@@ -38,6 +38,17 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("connected components labels transitive chains with the min id") {
+    import spark.implicits._
+    // two components: a chain 1-2-3-4 (transitive, never all pairwise)
+    // and a pair 10-11; isolated nodes don't appear in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedupByPairs removes higher-id near-dups") {
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
       shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)

@@ -35,6 +35,43 @@ object LlmProperties extends Properties("llm") {
       d.map(_ ^ k).distinct.length == d.length
     }
 
+  // random text over an alphabet rich in boundary cases: markers,
+  // marker-substring words ("sand" contains "and"), punctuation glued to
+  // markers, digits, CJK, tabs/newlines, empty runs
+  private val fuzzTokenGen = Gen.oneOf(
+    "the", "and", "of", "el", "la", "de", "es", "und", "der", "le", "est",
+    "sand", "theory", "android", "hand", "lathe", "the,", "(the)", "the.",
+    "x", "42", "a_b", "the_", "_the", "的", "是了", "word", "", "  ")
+  private val fuzzTextGen: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, fuzzTokenGen))
+      .flatMap(ws => Gen.oneOf(" ", "  ", "\t", "\n").map(sep => ws.mkString(sep)))
+
+  property("countMarkers == java.util.regex marker count (all languages)") =
+    forAll(fuzzTextGen) { text =>
+      val lower = text.toLowerCase
+      TextStats.LangMarkers.forall { case (_, words) =>
+        val ascii = words.forall(_.forall(c => c.isLetterOrDigit && c < 128))
+        val pattern = java.util.regex.Pattern.compile(TextStats.markerPattern(words))
+        val m = pattern.matcher(lower)
+        var regexCount = 0
+        while (m.find()) regexCount += 1
+        TextStats.countMarkers(lower, words.toArray, boundaries = ascii) == regexCount
+      }
+    }
+
+  property("quantization round-trips within half a step") =
+    forAll(Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))) { xs =>
+      var amax = 0d
+      xs.foreach(x => amax = math.max(amax, math.abs(x.toDouble)))
+      val scale = if (amax == 0) 1d else amax / 127d
+      xs.forall { x =>
+        val r = math.min(127L, math.round(math.abs(x.toDouble) / scale))
+        val q = if (x < 0) -r else r
+        math.abs(x.toDouble - q * scale) <= scale / 2 + 1e-12
+      }
+    }
+
   property("cosine of a vector with itself is 1") =
     forAll(Gen.chooseNum(1, 32).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-10d, 10d)))) { xs =>

@@ -27,7 +27,11 @@ object AsOf {
            leftTs: String, rightTs: String, valueCols: Seq[String],
            prefix: String = "asof_"): DataFrame = {
     require(valueCols.nonEmpty, "as-of join needs at least one right value column")
+    require(!left.columns.contains("_ats") && !left.columns.contains("_side"),
+      "left frame may not contain the reserved columns _ats/_side")
     val pCols = valueCols.map(prefix + _)
+    pCols.foreach(c => require(!left.columns.contains(c),
+      s"left frame already has a column named $c — pass a different prefix"))
     val lSel: Seq[Column] =
       left.columns.toSeq.map(col) ++
         Seq(col(leftTs).as("_ats"), lit(1).as("_side")) ++

@@ -109,7 +109,7 @@ object Convert {
     // codec per file, so retention degrades to the input's dominant codec
     // (documented deviation).
     if (opts.compression.isEmpty && stringCols.isEmpty && opts.rowGroupRows.isEmpty &&
-        !(opts.covering && !df.columns.contains("bbox"))) {
+        !(opts.covering && !df.columns.contains("bbox")) && isFlat(in)) {
       copyDataFiles(in, out)
       val geomCols = meta.columnNames.filter(df.columns.contains)
       val stamped =
@@ -130,6 +130,22 @@ object Convert {
     GeoParquet.write(transformed, out, meta = Some(meta),
       compression = codec, rowGroupRows = opts.rowGroupRows,
       covering = opts.covering)
+  }
+
+  /** Verbatim copy is only sound for a single file or a flat directory of
+    * parts: partitioned trees (`cell_x=…/part…`) carry values in directory
+    * names that a flat copy would lose, so they take the rewrite path.
+    */
+  private def isFlat(in: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    graft.sources.Remote.install(conf)
+    val p = new Path(in)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    !st.isDirectory || fs.listStatus(p).forall { s =>
+      !s.isDirectory || s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_")
+    }
   }
 
   /** Byte-copy every data file of a parquet path into `out`, preserving

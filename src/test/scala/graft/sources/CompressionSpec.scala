@@ -45,6 +45,21 @@ class CompressionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 5)
   }
 
+  test("retention falls back to rewrite for partitioned inputs (no flat copy)") {
+    val dir = Files.createTempDirectory("retainpart").toString
+    val src = GeoParquet.read(spark, "src/test/resources/cases/example-v1.1.0.parquet")
+    // a partitioned tree: values live in directory names — a verbatim
+    // flat copy would lose them
+    GeoParquet.writePartitioned(src.df, s"$dir/in.parquet", cellDeg = 60.0)
+    graft.operators.Convert.run(spark, s"$dir/in.parquet", s"$dir/out.parquet",
+      graft.operators.Convert.Options(compression = None))
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.count() == 5)
+    // partition-column values survived (via the rewrite path)
+    assert(back.columns.contains("cell_x"))
+    assert(back.select("cell_x").distinct().count() > 1)
+  }
+
   test("convert with an explicit codec recompresses") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("recompress").toString

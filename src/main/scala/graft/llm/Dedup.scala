@@ -304,7 +304,8 @@ object Dedup {
     // the fixpoint — convergence detection is one cheap aggregate per
     // round instead of a self-join diff
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

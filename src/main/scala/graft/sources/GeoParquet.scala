@@ -25,6 +25,10 @@ object GeoParquet {
   }
 
   def read(spark: SparkSession, path: String): GeoFrame = {
+    // plain-http(s) inputs need the ranged-GET FileSystems on the session
+    // conf before spark.read can open them
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      Remote.install(spark.sparkContext.hadoopConfiguration)
     val meta = FooterIO.readGeoMetadata(path)
     val raw = spark.read.parquet(path)
     GeoFrame(tagCovering(spark, path, raw, meta), meta)

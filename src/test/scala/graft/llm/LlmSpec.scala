@@ -49,6 +49,12 @@ class LlmSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components of an empty pair set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("dedupByPairs removes higher-id near-dups") {
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
       shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)

@@ -175,6 +175,26 @@ object QueriesLlm {
       |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q_unigram_logprob — corpus-frequency quality scoring: mean unigram
+    * log-probability per document under the corpus unigram distribution
+    * (rounded to 4 decimals: avg-of-doubles summation order and libm-vs-
+    * StrictMath ln differ at the ulp level between engines).
+    */
+  val qUnigramLogprob: Q = (s, dir) =>
+    TextStats.unigramLogProb(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), round(col("logprob"), 4).as("logprob"))
+      .orderBy("doc_id")
+
+  val qUnigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |total AS (SELECT sum(cnt)::DOUBLE AS t FROM vocab)
+      |SELECT doc_id, round(avg(ln(cnt / t)), 4) AS logprob
+      |FROM toks JOIN vocab USING (tok), total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q_dedup_near_full — the COMPLETE near-dup dedup pipeline applied:
     * corpus + perturbed copies → MinHash-LSH pairs → keep-first removal;
     * output is the surviving ids. Deterministic; sketch recall → rows-only.
@@ -520,6 +540,7 @@ object QueriesLlm {
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_unigram_logprob" -> qUnigramLogprob,
     "q_subwords" -> qSubwords,
     "q_dedup_near_full" -> qDedupNearFull,
     "q_dedup_components" -> qDedupComponents,
@@ -543,6 +564,7 @@ object QueriesLlm {
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality" -> qQualitySql,
+    "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_subwords" -> qSubwordsSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

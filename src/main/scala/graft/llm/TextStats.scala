@@ -275,6 +275,27 @@ object TextStats {
     round((lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2), 6)
   }
 
+  /** Corpus-frequency quality signal: each document's mean unigram
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap language-model proxy (rare-token-heavy garbage scores
+    * low, natural text scores high).
+    *
+    * Scale shape: explode to (doc, token) pairs, aggregate the vocabulary,
+    * join counts back by token, average per doc. All shuffles carry slim
+    * (token, id) pairs; the corpus total is a one-row aggregate. The
+    * tokenization is a narrow re-computable map (re-run for the vocab pass
+    * and the join pass rather than caching a corpus-sized token table).
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, id: Column,
+                     text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(id.as("id"), explode(tokens(lower(text))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt")).head().getLong(0).toDouble
+    toks.join(vocab, "tok")
+      .groupBy("id")
+      .agg(avg(log(col("cnt").cast("double") / total)).as("logprob"))
+  }
+
   /** Stable document fingerprint (md5 of the normalized text). */
   def fingerprintMd5(text: Column): Column = md5(lower(collapsed(text)))
 

@@ -266,6 +266,18 @@ class LlmSpec extends SparkSpec {
     assert(diff.isEmpty, s"kernel/column mismatch on ${diff.length} docs, e.g. ${diff.take(2).mkString}")
   }
 
+  test("unigram logprob scores common-token docs above rare-token docs") {
+    import spark.implicits._
+    val docs = (Seq.fill(20)("the cat sat on the mat").zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    } :+ (100L, "zxqv wvzk qqjx plmw")).toDF("doc_id", "text")
+    val scored = TextStats.unigramLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(0L) > scored(100L),
+      s"common-token doc ${scored(0L)} should beat rare-token doc ${scored(100L)}")
+    assert(scored.values.forall(_ < 0d)) // log of probabilities < 1
+  }
+
   test("multimodal plumbing: synthetic payloads, features, frames") {
     import spark.implicits._
     val src = (0L until 30L).map(i => Tuple1(i * 3001L)).toDF("doc_id")

@@ -35,9 +35,12 @@ class DocStreamSpec extends SparkSpec {
       .format("memory").queryName("dupflags_out")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("dupflags_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed =
+      try {
+        q.awaitTermination(180000)
+        spark.table("dupflags_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop() // never leave a zombie query competing for cores
 
     assert(streamed.nonEmpty, "streaming emitted no flags")
     assert(streamed == batchFlags,
@@ -59,6 +62,50 @@ class DocStreamSpec extends SparkSpec {
       s"only $hit of ${copies.size} planted dups flagged")
     // no original (first-seen) doc is ever flagged against a later id
     flagged.foreach { case (doc, dupOf) => assert(dupOf < doc) }
+  }
+
+  test("state persists across restarts: later dup flagged against earlier batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val original = DocStream.Doc(1L,
+      "the quick brown fox jumps over the lazy dog again and again tonight")
+    val dup = DocStream.Doc(2L,
+      "the quick brown fox jumps over the lazy dog again and again tonight")
+    val unrelated = DocStream.Doc(3L,
+      "completely different words about parquet files and shuffle partitions")
+    val mem = MemoryStream[DocStream.Doc]
+    // two sequential AvailableNow runs over one checkpoint: the second run
+    // recovers the first's bucket state, so a dup arriving after a restart
+    // is still flagged against the earlier document. The sink must be
+    // checkpoint-recoverable, so flags land in a parquet dir (the memory
+    // sink refuses recovery).
+    val base = java.nio.file.Files.createTempDirectory("docstream-ckpt").toString
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/flags"
+    val flagSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dup_of", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard", org.apache.spark.sql.types.DoubleType)))
+    def runBatch(): Set[(Long, Long)] = {
+      val q = DocStream.nearDupFlags(mem.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(180000)
+        spark.read.schema(flagSchema).parquet(outDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    mem.addData(Seq(original, unrelated))
+    assert(runBatch().isEmpty) // nothing dup yet
+    mem.addData(Seq(dup)) // arrives after a full stop/restart
+    val flags = runBatch()
+    assert(flags == Set((2L, 1L)),
+      s"expected doc 2 flagged against doc 1 from the EARLIER run's state, got $flags")
   }
 
   test("state cap bounds bucket growth") {

@@ -55,11 +55,13 @@ object QueriesLlm {
     */
   val qTextStats: Q = (s, dir) => {
     val t = col("text")
-    // all four stats + the collapsed form come from the single-pass JVM
-    // kernel (one scan vs four regex passes; LlmSpec pins equivalence);
-    // the md5 fingerprint stays columnar over the collapsed string
+    // all four stats + the md5 fingerprint come from the single-pass JVM
+    // kernel (one scan vs four regex passes; LlmSpec pins equivalence).
+    // The fingerprint is hashed INSIDE the kernel: returning the collapsed
+    // string through the UDF boundary cost a per-doc UTF8String copy that
+    // regressed this query 3.4x in BENCH_r02.
     Tables.documents(s, dir)
-      .withColumn("_ts", TextStats.textStatsUdf(t))
+      .withColumn("_ts", TextStats.textStatsMd5Udf(t))
       .select(
         col("doc_id"),
         // long casts match DuckDB's BIGINT len()/count results in case the
@@ -68,7 +70,7 @@ object QueriesLlm {
         length(t).cast("long").as("len"),
         col("_ts._2").cast("long").as("n_punct"),
         round(col("_ts._3"), 6).as("mean_word_len"),
-        md5(lower(col("_ts._4"))).as("fp_md5"))
+        col("_ts._4").as("fp_md5"))
       .orderBy("doc_id")
   }
 

@@ -258,6 +258,57 @@ object TextStats {
     (tokens, nPunct, mwl, collapsed)
   }
 
+  /** [[textStatsUdf]] with the fingerprint folded in: instead of carrying
+    * the whitespace-collapsed string back across the UDF boundary (a full
+    * UTF8String copy per document — the cost that regressed q_text_stats in
+    * BENCH_r02), the kernel md5-hashes lower(collapsed) itself and returns
+    * only the 32-char hex. Same one-pass scan; the tuple payload shrinks
+    * from O(doc) to O(1). Hash identical to `md5(lower(collapsed(text)))`
+    * (UTF-8 bytes; LlmSpec pins the equivalence).
+    */
+  val textStatsMd5Udf = udf { (text: String) =>
+    val t = if (text == null) "" else text
+    val len = t.length
+    @inline def isSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    @inline def isSentencePunct(c: Char): Boolean =
+      c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':'
+    val sb = new java.lang.StringBuilder(len)
+    var nPunct = 0
+    var tokens = 0
+    var inToken = false
+    var i = 0
+    while (i < len) {
+      val c = t.charAt(i)
+      if (isSentencePunct(c)) nPunct += 1
+      if (isSpace(c)) inToken = false
+      else {
+        if (!inToken) { tokens += 1; if (tokens > 1) sb.append(' ') }
+        inToken = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    val collapsed = sb.toString
+    val mwl =
+      if (tokens == 0) 0d
+      else (collapsed.length - (tokens - 1)).toDouble / tokens
+    // lowercase via UTF8String — byte-identical to Spark's lower(), which
+    // the green r2 oracle pinned (per-char Character.toLowerCase diverges
+    // on conditional mappings like final sigma)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(collapsed).toLowerCase.getBytes)
+    val hex = new java.lang.StringBuilder(32)
+    var d = 0
+    while (d < digest.length) {
+      hex.append(Character.forDigit((digest(d) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(digest(d) & 0xf, 16))
+      d += 1
+    }
+    (tokens, nPunct, mwl, hex.toString)
+  }
+
   /** Composite quality score in [0,1]: length band, punctuation sanity,
     * stopword presence, mean word length band. The exact recipe is a
     * heuristic; what matters operationally is that it is deterministic,

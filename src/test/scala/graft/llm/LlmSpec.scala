@@ -266,6 +266,23 @@ class LlmSpec extends SparkSpec {
     assert(diff.isEmpty, s"kernel/column mismatch on ${diff.length} docs, e.g. ${diff.take(2).mkString}")
   }
 
+  test("text-stats md5 kernel matches md5(lower(collapsed)) and the stats form") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .union(Seq((9000001L, ""), (9000002L, "   "), (9000003L, "A.b,C!:; ?"),
+        (9000004L, " X\tY \n z "), (9000005L, "ÄÖÜ Straße İstanbul"))
+        .toDF("doc_id", "text"))
+    val t = col("text")
+    val both = docs
+      .withColumn("_tm", TextStats.textStatsMd5Udf(t))
+      .withColumn("_ts", TextStats.textStatsUdf(t))
+      .withColumn("r_md5", md5(lower(TextStats.collapsed(t))))
+    val diff = both.where(
+      col("_tm._1") =!= col("_ts._1") || col("_tm._2") =!= col("_ts._2") ||
+      col("_tm._3") =!= col("_ts._3") || col("_tm._4") =!= col("r_md5")).collect()
+    assert(diff.isEmpty, s"md5-kernel mismatch on ${diff.length} docs, e.g. ${diff.take(2).mkString}")
+  }
+
   test("unigram logprob scores common-token docs above rare-token docs") {
     import spark.implicits._
     val docs = (Seq.fill(20)("the cat sat on the mat").zipWithIndex.map {

@@ -300,13 +300,6 @@ object Dedup {
       .distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(false)
-    // labels only ever decrease, so the label sum strictly decreases until
-    // the fixpoint — convergence detection is one cheap aggregate per
-    // round instead of a self-join diff
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty graph
-    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -318,18 +311,24 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(false)
-      // the convergence aggregate doubles as the action that materializes
-      // the checkpoint, so the self-join below reads the cache twice
-      // instead of recomputing the propagation
-      val nextSum = labelSum(propagated)
+      // convergence = no label changed this round, counted exactly with a
+      // keyed join against the previous labels. (A decimal label-sum is
+      // cheaper but silently null-casts non-numeric ids — string-keyed
+      // graphs would "converge" after one round and under-merge long
+      // chains.) The count doubles as the action that materializes the
+      // checkpoint, so the pointer-jump self-join below reads the cache
+      // twice instead of recomputing the propagation.
+      val changed = propagated
+        .join(labels.select(col("id"), col("comp").as("_prev")), Seq("id"))
+        .where(col("comp") =!= col("_prev"))
+        .count()
       // pointer jump: follow my label to ITS label (labels are node ids,
       // so the lookup is a self-join); halves remaining path length
       labels = propagated.as("x")
         .join(propagated.select(col("id").as("comp"), col("comp").as("_c2")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("_c2"), col("comp")).as("comp"))
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = changed == 0
       iter += 1
     }
     labels

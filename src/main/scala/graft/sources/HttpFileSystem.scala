@@ -83,8 +83,22 @@ final class HttpRangeReader(url: String) {
         throw new IOException(s"read past buffered body of non-range server at $url")
       val want = math.max(len.toLong, MinRequestSize.toLong)
       val end = math.min(pos + want, size) - 1
-      val (status, body, _) = get(s"bytes=$pos-$end", withValidator = true)
-      if (status / 100 != 2) throw new IOException(s"unexpected response from $url: $status")
+      val (status, body, headers) = get(s"bytes=$pos-$end", withValidator = true)
+      // follow-ups MUST be partial content: a 200 here means the server
+      // ignored Range or the If-Range validator no longer matches (the
+      // resource changed) — either way the body starts at offset 0, and
+      // storing it at bufferOffset = pos would silently serve bytes from
+      // the wrong position
+      if (status != HttpURLConnection.HTTP_PARTIAL)
+        throw new IOException(
+          s"expected 206 partial content from $url at $pos, got $status " +
+            "(resource changed since open, or server stopped honoring Range)")
+      // when the server echoes Content-Range, cross-check its start offset
+      for (cr <- headers.get("Content-Range")) {
+        val start = cr.stripPrefix("bytes").trim.takeWhile(_ != '-')
+        if (start.nonEmpty && scala.util.Try(start.toLong).toOption.exists(_ != pos))
+          throw new IOException(s"content-range mismatch from $url: asked $pos, got $cr")
+      }
       buffer = body
       bufferOffset = pos
       if (body.isEmpty) throw new EOFException(s"empty range response from $url at $pos")

@@ -49,6 +49,19 @@ class LlmSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converges on string-keyed long chains") {
+    import spark.implicits._
+    // a 9-node transitive chain of STRING ids: the old decimal label-sum
+    // convergence check null-casts string labels and declared convergence
+    // after one round, silently under-merging exactly this shape
+    val ids = ('a' to 'i').map(_.toString)
+    val pairs = ids.sliding(2).map(p => (p(1), p(0))).toSeq.toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(comp.keySet == ids.toSet)
+    assert(comp.values.toSet == Set("a"), s"under-merged: $comp")
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

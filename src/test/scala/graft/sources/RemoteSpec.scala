@@ -128,6 +128,43 @@ class RemoteSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("follow-up GET answered 200 fails loudly instead of mis-offsetting") {
+    // a server that honors Range on the probe but then stops (equivalently:
+    // an If-Range validator mismatch after the resource changed) — the
+    // 200 body starts at offset 0, so serving it as if at `pos` would
+    // corrupt reads; the reader must throw
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky.bin", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (served.getAndIncrement() == 0) {
+          val r = Option(ex.getRequestHeaders.getFirst("Range")).getOrElse("")
+          val parts = r.stripPrefix("bytes=").split("-", 2)
+          val start = parts(0).toLong
+          val end = math.min(parts(1).toLong, payload.length - 1L)
+          val n = (end - start + 1).toInt
+          ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/${payload.length}")
+          ex.sendResponseHeaders(206, n)
+          ex.getResponseBody.write(payload, start.toInt, n)
+        } else {
+          ex.sendResponseHeaders(200, payload.length)
+          ex.getResponseBody.write(payload)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/flaky.bin"
+      val reader = new HttpRangeReader(url)
+      assert(reader.size == payload.length)
+      val dst = new Array[Byte](100)
+      val e = intercept[java.io.IOException](reader.readAt(3000, dst, 0, 100))
+      assert(e.getMessage.contains("206"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("http error surfaces") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/missing.parquet", new HttpHandler {

@@ -41,23 +41,44 @@ object FooterIO {
 
   private val Magic = "PAR1".getBytes(StandardCharsets.US_ASCII)
 
-  private def conf = {
-    val c = new Configuration()
-    // lazy ranged-GET filesystems for plain http(s) footers (describe on a
-    // remote file reads KBs, not the file)
+  /** Hadoop conf for metadata IO: a copy of the active SparkSession's
+    * `hadoopConfiguration` when one exists — so `spark.hadoop.*` settings
+    * (s3a credentials, endpoints, timeouts) reach footer reads and
+    * rewrites — else a bare Configuration. Either way the lazy ranged-GET
+    * http(s) FileSystems are installed (describe on a remote file reads
+    * KBs, not the file). The copy keeps Remote.install from mutating the
+    * session's own conf.
+    */
+  private[graft] def hadoopConf(
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Configuration = {
+    val c = spark.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
+      .getOrElse(new Configuration())
     graft.sources.Remote.install(c)
     c
   }
 
-  private def fsFor(p: Path): FileSystem = p.getFileSystem(conf)
+  /** A Configuration's explicit entries as a serializable list, and back —
+    * for shipping the driver's Hadoop settings to executor-side footer
+    * rewrites (Configuration itself is not serializable).
+    */
+  private def confProps(c: Configuration): Seq[(String, String)] =
+    c.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+  private def confFrom(props: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def fsFor(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
   /** List the data files of a parquet path (single file, directory of part
     * files, or a partitioned directory tree) on whatever FileSystem the
     * path's scheme names, sorted for determinism.
     */
-  def dataFiles(path: String): Seq[Path] = {
+  def dataFiles(path: String, conf: Configuration = hadoopConf()): Seq[Path] = {
     val root = new Path(path)
-    val fs = fsFor(root)
+    val fs = fsFor(root, conf)
     def walk(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -71,7 +92,7 @@ object FooterIO {
     files.sortBy(_.toString)
   }
 
-  def readFooter(p: Path): ParquetMetadata = {
+  def readFooter(p: Path, conf: Configuration = hadoopConf()): ParquetMetadata = {
     val in = HadoopInputFile.fromPath(p, conf)
     val r = ParquetFileReader.open(in)
     try r.getFooter finally r.close()
@@ -79,9 +100,10 @@ object FooterIO {
 
   /** Raw KV map of the first data file (all parts carry identical `geo`). */
   def keyValueMetadata(path: String): Map[String, String] = {
-    val files = dataFiles(path)
+    val conf = hadoopConf()
+    val files = dataFiles(path, conf)
     require(files.nonEmpty, s"no parquet data files under $path")
-    readFooter(files.head).getFileMetaData.getKeyValueMetaData.asScala.toMap
+    readFooter(files.head, conf).getFileMetaData.getKeyValueMetaData.asScala.toMap
   }
 
   /** True when the path has a non-file URI scheme. Metadata IO itself now
@@ -144,9 +166,10 @@ object FooterIO {
   }
 
   /** Append/replace KV entries in one file's footer. */
-  def appendKeyValue(p: Path, entries: Map[String, String]): Unit = {
-    val fs = fsFor(p)
-    val footerBytes = footerWithEntries(readFooter(p), entries)
+  def appendKeyValue(p: Path, entries: Map[String, String],
+                     conf: Configuration = hadoopConf()): Unit = {
+    val fs = fsFor(p, conf)
+    val footerBytes = footerWithEntries(readFooter(p, conf), entries)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") appendLocal(new File(p.toUri.getPath), footerBytes)
     else appendByCopy(fs, p, footerBytes)
@@ -214,14 +237,22 @@ object FooterIO {
   def writeGeoMetadata(path: String, meta: GeoMetadata,
                        spark: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
     val json = meta.json
-    val files = dataFiles(path)
+    val conf = hadoopConf(spark)
+    val files = dataFiles(path, conf)
     spark match {
       case Some(s) if files.length > 8 =>
         val paths = files.map(_.toString)
+        // ship the driver's Hadoop settings with the task: executors build
+        // their Configuration from this list, so s3a credentials etc.
+        // reach the per-file rewrites
+        val props = confProps(conf)
         s.sparkContext.parallelize(paths, math.min(paths.length, 64))
-          .foreach(p => appendKeyValue(new Path(p), Map(GeoMetadata.MetadataKey -> json)))
+          .foreach { p =>
+            appendKeyValue(new Path(p), Map(GeoMetadata.MetadataKey -> json),
+              confFrom(props))
+          }
       case _ =>
-        files.foreach(f => appendKeyValue(f, Map(GeoMetadata.MetadataKey -> json)))
+        files.foreach(f => appendKeyValue(f, Map(GeoMetadata.MetadataKey -> json), conf))
     }
   }
 }

@@ -19,7 +19,7 @@ object Describe {
   def json(spark: SparkSession, path: String): String = {
     val files = FooterIO.dataFiles(path)
     require(files.nonEmpty, s"no parquet files at $path")
-    val footers = files.map(FooterIO.readFooter)
+    val footers = files.map(f => FooterIO.readFooter(f))
     val head = footers.head
 
     val mapper = new ObjectMapper()

@@ -89,6 +89,17 @@ class FooterIOSpec extends SparkSpec {
     assert(FooterIO.readGeoMetadata("https://example.invalid/x.parquet").isEmpty)
   }
 
+  test("session hadoop settings reach metadata IO confs") {
+    // spark.hadoop.* (e.g. s3a credentials) must flow into footer
+    // reads/rewrites; a bare new Configuration() would drop them
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "42")
+    try {
+      assert(FooterIO.hadoopConf(Some(spark)).get("graft.test.marker") == "42")
+      // and via the active session when no session is passed explicitly
+      assert(FooterIO.hadoopConf(None).get("graft.test.marker") == "42")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
+  }
+
   test("crs display string") {
     val m = GeoMetadata.parse(
       """{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{

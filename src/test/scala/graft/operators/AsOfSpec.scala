@@ -28,6 +28,21 @@ class AsOfSpec extends SparkSpec {
       (1L, Some(5.0)), (2L, Some(5.0)), (3L, None), (4L, None), (5L, Some(7.0))))
   }
 
+  test("a matched right row with NULL value yields NULL, not an older value") {
+    // DuckDB ASOF returns the matched ROW's value even when it is NULL; a
+    // per-column ignoreNulls fill would skip back to r@10's 1.0
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "u1", 100L)).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", 10L, Some(1.0)),
+      ("u1", 50L, None) // the as-of match, value genuinely NULL
+    ).toDF("user", "ts", "v")
+    val out = AsOf.join(left, right, Seq("user"), "ts", "ts", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3),
+      s"expected NULL from the matched row, got ${out.head.get(3)}")
+  }
+
   test("left columns and row count are preserved") {
     val s = spark
     import s.implicits._

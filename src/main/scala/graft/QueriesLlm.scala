@@ -414,15 +414,32 @@ object QueriesLlm {
       |FROM m ORDER BY media_id""".stripMargin
 
   /** q_multimodal_features — the decode/feature-extract stage (stubbed
-    * decode, real plumbing): deterministic rows-only check.
+    * decode, real plumbing). The stub's fold is plain double byte
+    * arithmetic, so DuckDB replays it from the synthetic payload recipe:
+    * fsum = Σ_buckets (bucket_sum / n) = (Σ bytes/255) / n up to the
+    * float32 cast of each of the 16 features (≤2e-7 — invisible at
+    * round-4; validated against the boundary at both sf0.01 and sf0.1).
     */
   val qMultimodalFeatures: Q = (s, dir) => {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id"))
     Multimodal.extractFeatures(media, col("payload"))
-      .select(col("media_id"), size(col("features")).as("dim"),
+      .select(col("media_id"), size(col("features")).cast("long").as("dim"),
         round(aggregate(col("features"), lit(0d), (a, x) => a + x), 4).as("fsum"))
       .orderBy("media_id")
   }
+
+  val qMultimodalFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    repeat(md5(doc_id::VARCHAR), (doc_id % 127 + 2)::INT) AS s
+      |  FROM documents),
+      |v AS (
+      |  SELECT media_id, length(s) AS len,
+      |    list_sum(list_transform(string_split(s, ''), c -> ascii(c))) AS code_sum
+      |  FROM m)
+      |SELECT media_id, 16::BIGINT AS dim,
+      |  round((code_sum / 255.0) / greatest(1, len // 16), 4) AS fsum
+      |FROM v ORDER BY media_id""".stripMargin
 
   /** q_events_hourly — event-time windowed aggregation (the batch shape of
     * the streaming pipeline; see graft.streaming for the readStream form).
@@ -559,7 +576,24 @@ object QueriesLlm {
     "q_asof_join" -> qAsofJoin,
     "q_join_enrich" -> qJoinEnrich)
 
+  /** Expected-output fixtures for the sketch queries: MinHash/SimHash/LSH
+    * recall is not SQL-expressible, but every sketch here is seeded and
+    * deterministic, so the sf0.01 result is pinned once as a committed
+    * parquet fixture and compared value-for-value (the driver's correctness
+    * gate runs at sf0.01). All fixture values are per-row arithmetic —
+    * partition-layout-invariant, so any plan is bit-reproducible.
+    * Regenerate with tools/regen_fixtures.py after a DELIBERATE behavior
+    * change.
+    */
+  val FixtureDir = "/root/repo/src/test/resources/oracle"
+  private def fixtureSql(name: String, order: String): String =
+    s"SELECT * FROM read_parquet('$FixtureDir/$name.parquet') ORDER BY $order"
+
   def oracles: Map[String, String] = Map(
+    "q_minhash_pairs" -> fixtureSql("q_minhash_pairs", "id_a, id_b"),
+    "q_simhash_pairs" -> fixtureSql("q_simhash_pairs", "id_a, id_b"),
+    "q_embed_neardup_ann" -> fixtureSql("q_embed_neardup_ann", "id_a, id_b"),
+    "q_dedup_near_full" -> fixtureSql("q_dedup_near_full", "doc_id"),
     "q_sessionize" -> qSessionizeSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_window" -> qDedupWindowSql,
@@ -574,6 +608,7 @@ object QueriesLlm {
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_asof_join" -> qAsofJoinSql,
     "q_join_enrich" -> qJoinEnrichSql)

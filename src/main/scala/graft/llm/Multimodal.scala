@@ -56,14 +56,17 @@ object Multimodal {
 
   private def fakeDecode(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return null
-    val out = Array.ofDim[Float](FeatureDim)
+    // accumulate in double so the fold is plain byte arithmetic any engine
+    // reproduces exactly (float32 accumulation order would diverge from a
+    // SQL oracle); the feature vector itself stays array<float>
+    val acc = Array.ofDim[Double](FeatureDim)
     var i = 0
     while (i < payload.length) {
-      out(i % FeatureDim) += (payload(i) & 0xff) / 255f
+      acc(i % FeatureDim) += (payload(i) & 0xff) / 255d
       i += 1
     }
     val n = math.max(1, payload.length / FeatureDim)
-    out.map(_ / n)
+    acc.map(a => (a / n).toFloat)
   }
   // ========================================================
 

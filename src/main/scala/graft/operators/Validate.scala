@@ -285,44 +285,25 @@ object Validate {
                            meta: GeoMetadata, checks: Seq[Check]): Unit = {
     val df = spark.read.parquet(path)
     val geomCols = meta.columnNames.filter(df.columns.contains)
+    if (geomCols.isEmpty) return
 
     var fatalEncoding: Option[String] = None
     val firstErrors = Array.ofDim[String](4)
 
-    geomCols.foreach { name =>
-      val colMeta = meta.column(name).get
-      val encoding = colMeta.encoding
-      val types = colMeta.geometryTypes.getOrElse(Nil)
-      val orientation = colMeta.orientation
-      val bounds = colMeta.bounds.getOrElse(Nil)
-      val isBinary = df.schema(name).dataType == BinaryType
-
-      val errCol =
-        if (isBinary) {
-          val u = udf((value: Array[Byte]) =>
-            rowErrors(value, encoding, types, orientation, bounds, name))
-          u(col(name).cast(BinaryType))
-        } else {
-          val u = udf((value: String) =>
-            rowErrors(value, encoding, types, orientation, bounds, name))
-          u(col(name).cast(StringType))
-        }
-
-      // per-RULE first violation (rules violate on different rows, so a
-      // single first-violating-row read would mask later rules): one
-      // aggregate computing min_by(rid) independently for each rule slot
-      val withId = df.select(col(name)).withColumn("_rid", monotonically_increasing_id())
-        .withColumn("_errs", errCol)
-        .where(exists(col("_errs"), e => e.isNotNull))
-      val aggs = (0 until 4).map { i =>
-        min_by(col("_errs").getItem(i),
-          when(col("_errs").getItem(i).isNotNull, col("_rid"))
-            .otherwise(lit(Long.MaxValue))).as(s"e$i")
-      }
-      val row = withId.agg(aggs.head, aggs.tail: _*).head()
+    // ONE scan for ALL geometry columns (the reference validates every
+    // column in its single pass, validator.go; a scan per column would pay
+    // N reads on multi-geometry files): every column contributes its own
+    // 4-slot error array, and one aggregate computes min_by(rid)
+    // independently for each (column, rule) slot — per-RULE first
+    // violation, since rules violate on different rows and a single
+    // first-violating-row read would mask later rules.
+    val frame = dataRulesFrame(df, meta, geomCols)
+    val row = frame.head()
+    geomCols.indices.foreach { ci =>
       (0 until 4).foreach { i =>
-        if (!row.isNullAt(i)) {
-          val e = row.getString(i)
+        val idx = ci * 4 + i
+        if (!row.isNullAt(idx)) {
+          val e = row.getString(idx)
           if (i == 0 && fatalEncoding.isEmpty) fatalEncoding = Some(e)
           if (firstErrors(i) == null) firstErrors(i) = e
         }
@@ -342,6 +323,43 @@ object Validate {
           else c.message = Some(firstErrors(i))
         }
     }
+  }
+
+  /** The single-scan data-rule aggregate: one row, 4×|geomCols| string
+    * slots ordered (col0 rule0..3, col1 rule0..3, …). Package-visible so
+    * the spec can assert the plan contains exactly one scan.
+    */
+  private[graft] def dataRulesFrame(df: org.apache.spark.sql.DataFrame,
+      meta: GeoMetadata,
+      geomCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val withId = df.select(geomCols.map(col): _*)
+      .withColumn("_rid", monotonically_increasing_id())
+    val withErrs = geomCols.zipWithIndex.foldLeft(withId) { case (d, (name, ci)) =>
+      val colMeta = meta.column(name).get
+      val encoding = colMeta.encoding
+      val types = colMeta.geometryTypes.getOrElse(Nil)
+      val orientation = colMeta.orientation
+      val bounds = colMeta.bounds.getOrElse(Nil)
+      val errCol =
+        if (df.schema(name).dataType == BinaryType) {
+          val u = udf((value: Array[Byte]) =>
+            rowErrors(value, encoding, types, orientation, bounds, name))
+          u(col(name).cast(BinaryType))
+        } else {
+          val u = udf((value: String) =>
+            rowErrors(value, encoding, types, orientation, bounds, name))
+          u(col(name).cast(StringType))
+        }
+      d.withColumn(s"_errs_$ci", errCol)
+    }
+    val anyError = geomCols.indices
+      .map(ci => exists(col(s"_errs_$ci"), e => e.isNotNull))
+      .reduce(_ || _)
+    val aggs = for { ci <- geomCols.indices; i <- 0 until 4 } yield
+      min_by(col(s"_errs_$ci").getItem(i),
+        when(col(s"_errs_$ci").getItem(i).isNotNull, col("_rid"))
+          .otherwise(lit(Long.MaxValue))).as(s"e${ci}_$i")
+    withErrs.where(anyError).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The four data rules evaluated on one geometry value

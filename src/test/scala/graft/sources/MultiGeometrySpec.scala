@@ -39,6 +39,22 @@ class MultiGeometrySpec extends SparkSpec {
     assert(!report.failed, report.toJson)
   }
 
+  test("multi-geometry data rules run in ONE scan") {
+    val out = Files.createTempDirectory("multigeom4").toString + "/out"
+    GeoParquet.write(df, out, meta = Some(twoGeomMeta))
+    val read = spark.read.parquet(out)
+    val frame = Validate.dataRulesFrame(read, twoGeomMeta, Seq("geometry", "centroid"))
+    // both columns' rule slots come from a single pass over the file
+    // (string count: AdaptiveSparkPlanExec hides its physical tree from
+    // TreeNode.collect until execution)
+    val plan = frame.queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, got $scans:\n$plan")
+    // and the aggregate is all-null on a valid file (8 slots, 2 cols x 4 rules)
+    val row = frame.head()
+    assert(row.length == 8 && (0 until 8).forall(row.isNullAt))
+  }
+
   test("geojson sink puts the secondary geometry into properties") {
     val out = Files.createTempDirectory("multigeom2").toString + "/out"
     GeoParquet.write(df, out, meta = Some(twoGeomMeta))

@@ -101,19 +101,22 @@ object Convert {
       df.schema(name).dataType == StringType
     }.toSet
 
-    // compression = None → retain the input's per-column codecs. When no
-    // column values change and no re-grouping is requested, the data pages
-    // are copied VERBATIM (exact per-column retention — stronger than the
-    // reference's row-group-0 sampling) and only the footer is restamped.
-    // When a WKT→WKB transform forces a rewrite, parquet-mr writes one
-    // codec per file, so retention degrades to the input's dominant codec
-    // (documented deviation).
-    if (opts.compression.isEmpty && stringCols.isEmpty && opts.rowGroupRows.isEmpty &&
+    // compression = None → retain the input's per-column codecs (reference
+    // transform.go:36-52). When no column values change and no re-grouping
+    // is requested, the data pages are copied VERBATIM (exact per-column
+    // retention — stronger than the reference's row-group-0 sampling) and
+    // only the footer is restamped. When a WKT→WKB transform is needed,
+    // ChunkRewriter re-encodes ONLY the geometry chunks (each with its own
+    // original codec) and appends every other column chunk verbatim.
+    if (opts.compression.isEmpty && opts.rowGroupRows.isEmpty &&
         !(opts.covering && !df.columns.contains("bbox")) && isFlat(in)) {
-      copyDataFiles(in, out)
-      val geomCols = meta.columnNames.filter(df.columns.contains)
+      if (stringCols.isEmpty) copyDataFiles(in, out)
+      else transcodeDataFiles(in, out, stringCols)
+      // stats read the OUTPUT (post-transcode geometry is WKB)
+      val outDf = spark.read.parquet(out)
+      val geomCols = meta.columnNames.filter(outDf.columns.contains)
       val stamped =
-        if (geomCols.nonEmpty) meta.withStats(GeoParquet.geometryStats(df, geomCols))
+        if (geomCols.nonEmpty) meta.withStats(GeoParquet.geometryStats(outDf, geomCols))
         else meta
       FooterIO.writeGeoMetadata(out, stamped, Some(spark))
       return
@@ -145,6 +148,23 @@ object Convert {
     val st = fs.getFileStatus(p)
     !st.isDirectory || fs.listStatus(p).forall { s =>
       !s.isDirectory || s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_")
+    }
+  }
+
+  /** Chunk-level WKT→WKB transcode of every data file into `out`: geometry
+    * chunks re-encoded with their own codecs, everything else verbatim.
+    */
+  private def transcodeDataFiles(in: String, out: String, wktCols: Set[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    graft.sources.Remote.install(conf)
+    val outPath = new Path(out)
+    val outFs = outPath.getFileSystem(conf)
+    outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
+    FooterIO.dataFiles(in).foreach { src =>
+      graft.sources.ChunkRewriter.transcodeFile(
+        src, new Path(outPath, src.getName), wktCols, conf)
     }
   }
 

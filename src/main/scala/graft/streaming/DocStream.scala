@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object DocStream {
 
   final case class Doc(doc_id: Long, text: String)
+  final case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
   final case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+  final case class BandedDocEvent(band_key: Long, doc_id: Long,
+                                  sig: Array[Long], ts: java.sql.Timestamp)
   final case class DupFlag(doc_id: Long, dup_of: Long, est_jaccard: Double)
   final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
 
@@ -75,36 +78,102 @@ object DocStream {
             state.remove()
             Iterator.empty
           } else {
-            var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-            var sigs = state.getOption.map(_.sigs).getOrElse(Array.empty[Array[Long]])
-            val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
-            // deterministic within a micro-batch: earlier ids win
-            it.toSeq.sortBy(_.doc_id).foreach { d =>
-              if (!ids.contains(d.doc_id)) {
-                var bestId = -1L
-                var bestEst = 0d
-                var i = 0
-                while (i < ids.length) {
-                  if (ids(i) < d.doc_id) {
-                    val est = estJaccard(sigs(i), d.sig)
-                    if (est >= threshold && (est > bestEst ||
-                        (est == bestEst && (bestId < 0 || ids(i) < bestId)))) {
-                      bestId = ids(i); bestEst = est
-                    }
-                  }
-                  i += 1
-                }
-                if (bestId >= 0) out += DupFlag(d.doc_id, bestId, bestEst)
-                if (ids.length < maxBucketSize) {
-                  ids = ids :+ d.doc_id
-                  sigs = sigs :+ d.sig
-                }
-              }
-            }
-            state.update(BucketState(ids, sigs))
+            val out = processBucket(it.map(d => (d.doc_id, d.sig)).toSeq,
+              state, threshold, maxBucketSize)
             state.setTimeoutDuration(stateTtlMs)
-            out.iterator
+            out
           }
       }
+  }
+
+  /** [[nearDupFlags]] with EVENT-time state expiry: buckets expire when the
+    * watermark passes their newest document's event time + `stateTtlMs`.
+    * Processing-time TTL misbehaves on backfill/replay — a historical
+    * stream replayed faster than real time expires state by wall clock
+    * while event time has barely advanced (or conversely keeps everything
+    * alive during a slow replay). Event-time TTL makes dedup reach a
+    * function of the DATA's clock: a late duplicate within the event-time
+    * TTL is still flagged, replayed identically every run.
+    *
+    * The input must carry an event-time `ts`; the watermark is applied
+    * here (`watermarkDelay` tolerance for out-of-order documents).
+    */
+  def nearDupFlagsEventTime(docs: Dataset[DocEvent],
+                            shingleSize: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, threshold: Double = 0.5,
+                            maxBucketSize: Int = 200,
+                            stateTtlMs: Long = 3600000L,
+                            watermarkDelay: String = "10 minutes")
+                           (implicit spark: SparkSession): Dataset[DupFlag] = {
+    import spark.implicits._
+    docs
+      .flatMap { d =>
+        Dedup.signatureAndBandKeys(d.text, shingleSize, numHashes, bands) match {
+          case Some((sig, keys)) =>
+            keys.iterator.map(k => BandedDocEvent(k, d.doc_id, sig, d.ts))
+          case None => Iterator.empty
+        }
+      }
+      // the watermark goes AFTER the typed flatMap: re-serialization drops
+      // the event-time tag from the attribute, so tagging first would leave
+      // the stateful operator without a watermarked input
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, DupFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[BandedDocEvent], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out = processBucket(rows.map(d => (d.doc_id, d.sig)),
+              state, threshold, maxBucketSize)
+            // expire when the watermark passes the bucket's newest event
+            // time + TTL (the timestamp must sit above the current
+            // watermark, which a late-but-accepted row's ts may not)
+            val maxEventMs = rows.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
+  }
+
+  /** Shared bucket update: flag each new doc against the best earlier
+    * stored signature, append to state up to the cap. Deterministic within
+    * a micro-batch: earlier ids win.
+    */
+  private def processBucket(rows: Seq[(Long, Array[Long])],
+                            state: GroupState[BucketState],
+                            threshold: Double,
+                            maxBucketSize: Int): Iterator[DupFlag] = {
+    var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+    var sigs = state.getOption.map(_.sigs).getOrElse(Array.empty[Array[Long]])
+    val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
+    rows.sortBy(_._1).foreach { case (docId, sig) =>
+      if (!ids.contains(docId)) {
+        var bestId = -1L
+        var bestEst = 0d
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) < docId) {
+            val est = estJaccard(sigs(i), sig)
+            if (est >= threshold && (est > bestEst ||
+                (est == bestEst && (bestId < 0 || ids(i) < bestId)))) {
+              bestId = ids(i); bestEst = est
+            }
+          }
+          i += 1
+        }
+        if (bestId >= 0) out += DupFlag(docId, bestId, bestEst)
+        if (ids.length < maxBucketSize) {
+          ids = ids :+ docId
+          sigs = sigs :+ sig
+        }
+      }
+    }
+    state.update(BucketState(ids, sigs))
+    out.iterator
   }
 }

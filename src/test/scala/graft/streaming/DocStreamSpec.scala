@@ -108,6 +108,56 @@ class DocStreamSpec extends SparkSpec {
       s"expected doc 2 flagged against doc 1 from the EARLIER run's state, got $flags")
   }
 
+  test("event-time TTL: late dup within TTL flagged; expired bucket is not") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val aText = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val mem = MemoryStream[DocStream.DocEvent]
+    val base = java.nio.file.Files.createTempDirectory("docstream-evt").toString
+    val flagSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dup_of", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard", org.apache.spark.sql.types.DoubleType)))
+    def runBatch(): Set[(Long, Long)] = {
+      val q = DocStream.nearDupFlagsEventTime(mem.toDS(),
+        stateTtlMs = 3600000L, watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/flags")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(180000)
+        spark.read.schema(flagSchema).parquet(s"$base/flags")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // run 1: the original + a watermark carrier in another bucket
+    mem.addData(Seq(
+      DocStream.DocEvent(1L, aText, ts("10:00")),
+      DocStream.DocEvent(3L, "completely different words about parquet files", ts("10:05"))))
+    assert(runBatch().isEmpty)
+    // run 2 (replay): duplicate arrives LATE — event time 10:02, behind the
+    // 10:05 max but inside the watermark delay and the 1h event-time TTL
+    mem.addData(Seq(DocStream.DocEvent(2L, aText, ts("10:02"))))
+    assert(runBatch() == Set((2L, 1L)),
+      "late duplicate within the event-time TTL must be flagged")
+    // runs 3+4: watermark advances past 10:02 + 1h -> the bucket times out
+    // (timeouts fire for groups WITHOUT new data, one trigger after the
+    // watermark passes the timeout timestamp)
+    mem.addData(Seq(DocStream.DocEvent(4L, "unrelated text one about shuffle partitions", ts("13:00"))))
+    runBatch()
+    mem.addData(Seq(DocStream.DocEvent(5L, "unrelated text two about broadcast joins", ts("13:01"))))
+    runBatch()
+    // run 5: a fresh duplicate of the original, after the bucket expired
+    mem.addData(Seq(DocStream.DocEvent(6L, aText, ts("12:55"))))
+    val finalFlags = runBatch()
+    assert(!finalFlags.exists(_._1 == 6L),
+      s"bucket should have expired by event time, got $finalFlags")
+  }
+
   test("state cap bounds bucket growth") {
     implicit val s = spark
     import s.implicits._

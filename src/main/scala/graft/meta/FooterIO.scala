@@ -62,9 +62,9 @@ object FooterIO {
     * for shipping the driver's Hadoop settings to executor-side footer
     * rewrites (Configuration itself is not serializable).
     */
-  private def confProps(c: Configuration): Seq[(String, String)] =
+  private[graft] def confProps(c: Configuration): Seq[(String, String)] =
     c.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
-  private def confFrom(props: Seq[(String, String)]): Configuration = {
+  private[graft] def confFrom(props: Seq[(String, String)]): Configuration = {
     val c = new Configuration(false)
     props.foreach { case (k, v) => c.set(k, v) }
     c

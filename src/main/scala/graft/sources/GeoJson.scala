@@ -7,7 +7,8 @@ import graft.meta.GeoMetadata
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import java.io.{BufferedReader, FileReader}
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
 
 /** GeoJSON source and sink (SURVEY.md §2.1 S1/S9).
   *
@@ -43,7 +44,8 @@ object GeoJson {
 
     val rowsRdd =
       if (files.forall(f => isNdPath(f))) {
-        // line-delimited: splittable within files
+        // line-delimited: splittable within files (textFile handles any
+        // Hadoop scheme on its own)
         spark.read.textFile(files: _*).rdd
           .filter(_.trim.nonEmpty)
           .map { line =>
@@ -53,13 +55,28 @@ object GeoJson {
             featureToRow(f, propSchema)
           }
       } else {
+        // whole-file FeatureCollections: one task per file, opened through
+        // the Hadoop FileSystem of the file's scheme so s3a://, hdfs://
+        // and http(s):// inputs read without local staging; the driver's
+        // Hadoop settings ride along as a serializable property list
+        val confProps = graft.meta.FooterIO.confProps(
+          graft.meta.FooterIO.hadoopConf(Some(spark)))
         spark.sparkContext.parallelize(files, math.max(1, files.length))
           .flatMap { file =>
-            val it = new FeatureIterator(new BufferedReader(new FileReader(file)))
+            val it = new FeatureIterator(openReader(file, confProps))
             it.map(featureToRow(_, propSchema))
           }
       }
     spark.createDataFrame(rowsRdd, fullSchema)
+  }
+
+  /** Open any Hadoop-scheme path as a UTF-8 reader. */
+  private def openReader(file: String, confProps: Seq[(String, String)]): BufferedReader = {
+    val conf = graft.meta.FooterIO.confFrom(confProps)
+    graft.sources.Remote.install(conf)
+    val p = new org.apache.hadoop.fs.Path(file)
+    new BufferedReader(new InputStreamReader(
+      p.getFileSystem(conf).open(p), StandardCharsets.UTF_8))
   }
 
   private def featureToRow(f: RawFeature, propSchema: StructType): Row = {
@@ -68,11 +85,15 @@ object GeoJson {
   }
 
   private[sources] def listFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isFile) Seq(f.getPath)
-    else Option(f.listFiles()).getOrElse(Array.empty)
-      .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .map(_.getPath).sorted.toSeq
+    val conf = graft.meta.FooterIO.hadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Seq(st.getPath.toString)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).sorted
   }
 
   /** Stream features from the head of the input until the schema is ready
@@ -88,7 +109,7 @@ object GeoJson {
     def done: Boolean = builder.ready && read >= minFeatures
     val fileIt = files.iterator
     while (fileIt.hasNext && read < maxFeatures && !done) {
-      val it = new FeatureIterator(new BufferedReader(new FileReader(fileIt.next())))
+      val it = new FeatureIterator(openSchemaReader(fileIt.next()))
       try {
         while (it.hasNext && read < maxFeatures && !done) {
           builder.add(it.next().properties)
@@ -100,6 +121,16 @@ object GeoJson {
       throw new IllegalArgumentException(
         s"failed to create parquet schema after reading $read features")
     if (builder.observedFieldCount == 0) new StructType() else builder.schema()
+  }
+
+  /** Driver-side reader for schema inference (same Hadoop-FS opening as
+    * the distributed read, session conf included).
+    */
+  private def openSchemaReader(file: String): BufferedReader = {
+    val conf = graft.meta.FooterIO.hadoopConf()
+    val p = new org.apache.hadoop.fs.Path(file)
+    new BufferedReader(new InputStreamReader(
+      p.getFileSystem(conf).open(p), StandardCharsets.UTF_8))
   }
 
   // ---------------- write ----------------
@@ -179,7 +210,10 @@ object GeoJson {
   /** Single-file FeatureCollection write, streamed through the driver. */
   def writeFeatureCollection(df: DataFrame, file: String,
                              meta: Option[GeoMetadata] = None): Unit = {
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(file))
+    val conf = graft.meta.FooterIO.hadoopConf(Some(df.sparkSession))
+    val outP = new org.apache.hadoop.fs.Path(file)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      outP.getFileSystem(conf).create(outP, true), StandardCharsets.UTF_8))
     try {
       out.write("""{"type":"FeatureCollection","features":[""")
       var first = true

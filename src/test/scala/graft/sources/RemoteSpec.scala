@@ -165,6 +165,35 @@ class RemoteSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("geojson reads through a non-local Hadoop FileSystem (http)") {
+    // the GeoJSON source opens inputs via FileSystem.open, so a remote
+    // FeatureCollection converts without local staging
+    val json =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"one","v":1},
+        | "geometry":{"type":"Point","coordinates":[1,2]}},
+        |{"type":"Feature","properties":{"name":"two","v":2},
+        | "geometry":{"type":"Point","coordinates":[3,4]}}]}""".stripMargin
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/fc.geojson", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/fc.geojson"
+      val df = GeoJson.read(spark, url, minFeatures = 1)
+      val rows = df.orderBy("name").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[String]("name")).toSeq == Seq("one", "two"))
+      assert(rows.forall(r => r.getAs[Array[Byte]]("geometry") != null))
+    } finally server.stop(0)
+  }
+
   test("http error surfaces") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/missing.parquet", new HttpHandler {

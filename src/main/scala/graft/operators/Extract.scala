@@ -53,7 +53,10 @@ object Extract {
     opts.bbox.foreach { box =>
       // spatially-partitioned layouts prune whole cell directories first
       // (PartitionFilters), then the row-group/residual filter applies
-      if (df.columns.contains("cell_x") && df.columns.contains("cell_y")) {
+      if (df.columns.contains("cell_z")) {
+        val grid = GeoParquet.gridSize(inPath).getOrElse(10.0)
+        df = df.where(GeoParquet.cellPredicateZ(box, grid))
+      } else if (df.columns.contains("cell_x") && df.columns.contains("cell_y")) {
         val grid = GeoParquet.gridSize(inPath).getOrElse(10.0)
         df = df.where(GeoParquet.cellPredicate(box, grid))
       }

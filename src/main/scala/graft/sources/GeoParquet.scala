@@ -183,7 +183,10 @@ object GeoParquet {
       primaryColumn: String = GeoMetadata.DefaultGeometryColumn,
       cellDeg: Double = 10.0,
       meta: Option[GeoMetadata] = None,
-      compression: String = "zstd"): GeoMetadata = {
+      compression: String = "zstd",
+      zOrder: Boolean = false): GeoMetadata = {
+    if (zOrder) require(cellDeg * ZOffset >= 180.0,
+      s"z-order layout supports cellDeg >= ${180.0 / ZOffset} (cell ids must fit ${ZBits} bits)")
     val env = GeoFunctions.st_envelope(col(primaryColumn))
     // The cell predicate's ±1-cell margin is only sound for envelopes no
     // larger than one cell: route anything spanning more than cellDeg in
@@ -197,30 +200,94 @@ object GeoParquet {
       floor(((env.getField("xmin") + env.getField("xmax")) / 2) / cellDeg).cast("int"))
     val cy = when(wide, 9999).otherwise(
       floor(((env.getField("ymin") + env.getField("ymax")) / 2) / cellDeg).cast("int"))
-    val partitioned = df
-      .withColumn("cell_x", coalesce(cx, lit(9999)))
-      .withColumn("cell_y", coalesce(cy, lit(9999)))
+    val partitioned =
+      if (zOrder)
+        df.withColumn("cell_z",
+          zEncodeUdf(coalesce(cx, lit(9999)), coalesce(cy, lit(9999))))
+      else df
+        .withColumn("cell_x", coalesce(cx, lit(9999)))
+        .withColumn("cell_y", coalesce(cy, lit(9999)))
     val base = meta.getOrElse(GeoMetadata.default(primaryColumn))
     val geomCols = base.columnNames.filter(df.columns.contains)
     val finalMeta =
       if (geomCols.nonEmpty) base.withStats(geometryStats(df, geomCols)) else base
+    val partCols = if (zOrder) Seq("cell_z") else Seq("cell_x", "cell_y")
     partitioned.write.mode("overwrite")
       .option("compression", compression)
-      .partitionBy("cell_x", "cell_y")
+      .partitionBy(partCols: _*)
       .parquet(path)
     // stamp geo metadata + the grid size on every leaf part file (the grid
     // KV lets readers rebuild the partition predicate)
     FooterIO.dataFiles(path).foreach(f => FooterIO.appendKeyValue(f,
-      Map(GeoMetadata.MetadataKey -> finalMeta.json, GridKey -> cellDeg.toString)))
+      Map(GeoMetadata.MetadataKey -> finalMeta.json, GridKey -> cellDeg.toString) ++
+        (if (zOrder) Map(LayoutKey -> "z") else Map.empty)))
     finalMeta
   }
 
   /** Footer KV key carrying the spatial-partition grid size in degrees. */
   val GridKey = "graft:grid_deg"
 
+  /** Footer KV key naming the partition layout ("z"; absent → x/y grid). */
+  val LayoutKey = "graft:grid_layout"
+
   def gridSize(path: String): Option[Double] =
     if (FooterIO.isNonLocal(path)) None
     else FooterIO.keyValueMetadata(path).get(GridKey).map(_.toDouble)
+
+  // ---------------- Z-order (Morton) cell key ----------------
+  // One interleaved partition column instead of the two-level
+  // cell_x=…/cell_y=… tree: directory listing is one level, and
+  // lexicographically-close z values are spatially close, so a rectangular
+  // query's matched directories cluster instead of scattering across the
+  // x-major tree. Same cells → same leaf files read; what improves is the
+  // layout's locality and listing depth.
+
+  private[sources] val ZBits = 13
+  private[sources] val ZOffset = 1 << (ZBits - 1) // 4096: cells in ±4096
+  private[sources] val ZEscape = -1L              // wide/null escape cell
+
+  /** Interleave two (offset) cell ids into a Morton key. */
+  private[sources] def zEncode(cx: Int, cy: Int): Long = {
+    if (cx == 9999 || cy == 9999) return ZEscape
+    val x = cx + ZOffset
+    val y = cy + ZOffset
+    require(x >= 0 && x < (1 << ZBits) && y >= 0 && y < (1 << ZBits),
+      s"cell ($cx,$cy) out of z-order range")
+    var z = 0L
+    var i = 0
+    while (i < ZBits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  private val zEncodeUdf = udf((cx: Int, cy: Int) => zEncode(cx, cy))
+
+  /** Partition predicate for the z layout: enumerate the (±1-margin) cell
+    * rectangle's z keys as an IN list over the single partition column,
+    * plus the escape cell. Partition values are a tiny driver-side set, so
+    * an IN list of a few hundred keys prunes exactly like the x/y
+    * conjunction; degenerate huge enumerations (global box on a sub-degree
+    * grid) fall back to scanning all cells rather than building a
+    * million-entry list.
+    */
+  def cellPredicateZ(box: graft.geo.Bbox, cellDeg: Double = 10.0): org.apache.spark.sql.Column = {
+    def cellOf(v: Double): Int = math.floor(v / cellDeg).toInt
+    val cys = (cellOf(box.ymin) - 1) to (cellOf(box.ymax) + 1)
+    val lonLo = cellOf(-180.0) - 1
+    val lonHi = cellOf(180.0) + 1
+    val cxs: Seq[Int] =
+      if (box.crossesAntimeridian)
+        ((cellOf(box.xmin) - 1) to lonHi) ++ (lonLo to (cellOf(box.xmax) + 1))
+      else (cellOf(box.xmin) - 1) to (cellOf(box.xmax) + 1)
+    if (cxs.size.toLong * cys.size > 100000) lit(true)
+    else {
+      val zs = for { cx <- cxs; cy <- cys } yield zEncode(cx, cy)
+      col("cell_z").isin(zs: _*) || col("cell_z") === ZEscape
+    }
+  }
 
   /** Partition-pruning predicate for a bbox query over the grid layout:
     * keep cells whose range can intersect the (unwrapped) query box, plus

@@ -71,6 +71,68 @@ class PartitionedSpec extends SparkSpec {
     assert(gf2.df.collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("z-order layout: one directory level, same pruning as the x/y grid") {
+    import org.apache.spark.sql.DataFrame
+    // files actually READ by a query (post partition pruning): the scan
+    // node's numFiles metric after execution
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val src = GeoParquet.read(spark, s"$cases/example-v1.1.0.parquet")
+    val xyDir = Files.createTempDirectory("geopart-xy").toString + "/grid"
+    val zDir = Files.createTempDirectory("geopart-z").toString + "/grid"
+    GeoParquet.writePartitioned(src.df.drop("bbox"), xyDir, cellDeg = 30.0, meta = src.meta)
+    GeoParquet.writePartitioned(src.df.drop("bbox"), zDir, cellDeg = 30.0,
+      meta = src.meta, zOrder = true)
+
+    // single-level layout: every partition dir is cell_z=N at the root
+    val dirs = new java.io.File(zDir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell_z=")), dirs.toSeq.mkString(","))
+
+    // same queries, same answers, and the z IN-list prunes to the SAME
+    // file count as the x/y conjunction (z loses nothing on rectangles)
+    for (box <- Seq(Bbox(34, -7, 36, -6), Bbox(-180, -20, -179, -15),
+                    Bbox(-180, -90, 180, 90), Bbox(170, -20, -170, 20))) {
+      val xy = Extract(spark, xyDir, Extract.Options(bbox = Some(box)))
+      val z = Extract(spark, zDir, Extract.Options(bbox = Some(box)))
+      val (xyRows, zRows) = (
+        xy.df.collect().map(_.getAs[String]("name")).toSet,
+        z.df.collect().map(_.getAs[String]("name")).toSet)
+      assert(zRows == xyRows, s"$box: z=$zRows xy=$xyRows")
+      assert(filesRead(z.df) == filesRead(xy.df),
+        s"$box: z layout read ${filesRead(z.df)} files vs xy ${filesRead(xy.df)}")
+    }
+    // the plan prunes on the single z partition column
+    val gf = Extract(spark, zDir, Extract.Options(bbox = Some(Bbox(34, -7, 36, -6))))
+    val plan = gf.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_z"), plan)
+  }
+
+  test("z-order key interleaves locality: quad blocks share prefixes") {
+    // Morton property: the 2x2 cell block (2i,2j),(2i+1,2j),(2i,2j+1),
+    // (2i+1,2j+1) maps to 4 consecutive z values — spatial neighbors land
+    // in adjacent directories instead of x-major-distant ones
+    for (i <- -4 to 3; j <- -4 to 3) {
+      val base = GeoParquet.zEncode(2 * i, 2 * j)
+      val quad = Seq(
+        GeoParquet.zEncode(2 * i, 2 * j), GeoParquet.zEncode(2 * i + 1, 2 * j),
+        GeoParquet.zEncode(2 * i, 2 * j + 1), GeoParquet.zEncode(2 * i + 1, 2 * j + 1))
+      assert(quad.sorted == Seq(base, base + 1, base + 2, base + 3), s"($i,$j): $quad")
+    }
+    // escape routing
+    assert(GeoParquet.zEncode(9999, 3) == GeoParquet.ZEscape)
+    assert(GeoParquet.zEncode(3, 9999) == GeoParquet.ZEscape)
+  }
+
   test("antimeridian-crossing query box probes both grid edges") {
     val dir = Files.createTempDirectory("geopart2").toString + "/grid"
     val src = GeoParquet.read(spark, s"$cases/example-v1.1.0.parquet")

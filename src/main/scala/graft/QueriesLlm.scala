@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Decontaminate, Dedup, Mixing, Multimodal, Pii, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -552,6 +552,161 @@ object QueriesLlm {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
 
+  /** q_decontaminate — benchmark decontamination: per-document count of
+    * distinct word n-grams shared with the benchmark set (docs with
+    * doc_id % 97 = 0 stand in for the eval set) + 0/1 flag. n=4 is the
+    * discriminative size for the synthetic vocabulary, playing the role of
+    * the 8-to-13-grams used on natural text.
+    */
+  val qDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    Decontaminate.contaminationCounts(docs, col("doc_id"), col("text"),
+      bench, col("text"), n = 4)
+      .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+      |    i -> array_to_string(t[i:i+3], ' '))) AS g
+      |  FROM toks WHERE len(t) >= 4),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT doc_id, count(DISTINCT g) AS n_hits
+      |  FROM grams JOIN bench USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_pii_scrub — PII scrubbing: the deterministic injection recipe plants
+    * emails/phones/IPv4s from the row id (the synthetic corpus has no
+    * organic PII), then detection counts + the md5 of the redacted text are
+    * oracle-checked. Regexes restricted to the java.util.regex ∩ RE2
+    * common subset (see [[graft.llm.Pii]]).
+    */
+  val qPiiScrub: Q = (s, dir) => {
+    val injected = Tables.documents(s, dir)
+      .withColumn("_t", Pii.injected(col("text"), col("doc_id")))
+    Pii.scrub(injected, col("_t"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        md5(col("redacted").cast("binary")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiScrubSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    s"""WITH inj AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || (doc_id % 9000 + 1000) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || (doc_id % 256) || '.'
+       |         || (doc_id * 13 % 256) || '.' || (doc_id % 250 + 1) ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_email,
+       |  len(regexp_extract_all(t, '$phone')) AS n_phone,
+       |  len(regexp_extract_all(t, '$ip')) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '[EMAIL]', 'g'),
+       |    '$ip', '[IP]', 'g'),
+       |    '$phone', '[PHONE]', 'g')) AS red_md5
+       |FROM inj ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_repetition — Gopher-style repetition signals: top-word fraction and
+    * duplicate-bigram fraction per document, from the single-pass JVM
+    * kernel (no explode — the token table never materializes).
+    */
+  val qRepetition: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("_r", TextStats.repetitionUdf(col("text")))
+      .select(col("doc_id"),
+        round(col("_r._1"), 6).as("top_word_frac"),
+        round(col("_r._2"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+      |topw AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf FROM wc GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      |  FROM toks WHERE len(t) >= 2),
+      |bgf AS (SELECT doc_id, 1.0 - len(list_distinct(b))::DOUBLE / len(b) AS dbf FROM bg)
+      |SELECT d.doc_id,
+      |  round(coalesce(twf, 0), 6) AS top_word_frac,
+      |  round(coalesce(dbf, 0), 6) AS dup_bigram_frac
+      |FROM documents d
+      |LEFT JOIN topw USING (doc_id) LEFT JOIN bgf USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_sample_mix — deterministic stratified sampling to a target language
+    * mixture: hash-gate on md5(doc_id) so membership is reproducible across
+    * engines, reruns, and partition layouts (df.sample is none of those).
+    * Pure narrow filter — no shuffle.
+    */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "zh" -> 0.25)
+  val SampleDefaultRate = 0.1
+
+  val qSampleMix: Q = (s, dir) =>
+    Mixing.stratifiedSample(Tables.documents(s, dir), col("doc_id"),
+      col("lang"), SampleRates.toMap, SampleDefaultRate)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val qSampleMixSql: String = {
+    val cases = SampleRates.map { case (l, r) =>
+      s"WHEN '$l' THEN '${Mixing.rateToHex(r)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substr(md5(doc_id::VARCHAR), 1, ${Mixing.HexDigits}) <
+       |  CASE lang $cases ELSE '${Mixing.rateToHex(SampleDefaultRate)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_semantic_dedup — SemDeDup-style semantic near-dup pairs: assign
+    * vectors to the nearest of 8 deterministic centroids, pair-search
+    * WITHIN clusters only (id-bounded slice keeps the in-cluster pair space
+    * fixed at any sf; production k scales ~√n — see
+    * [[Similarity.semanticDedupPairs]]).
+    */
+  val qSemanticDedup: Q = (s, dir) =>
+    Similarity.semanticDedupPairs(Tables.embeddings(s, dir), col("vec_id"),
+      col("embedding"), k = 8, threshold = 0.3, maxId = 1000)
+      .orderBy("id_a", "id_b")
+
+  val qSemanticDedupSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 1000),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |sims AS (
+      |  SELECT v.vec_id, c.cid, list_cosine_similarity(v.e, c.ce) AS s
+      |  FROM v CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      |    FROM sims) WHERE rn = 1)
+      |SELECT aa.vec_id AS id_a, bb.vec_id AS id_b, aa.cid
+      |FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      |JOIN v a ON a.vec_id = aa.vec_id
+      |JOIN v b ON b.vec_id = bb.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) > 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q_embed_neardup_ann" -> qEmbedNeardupAnn,
     "q_dedup_exact" -> qDedupExact,
@@ -574,7 +729,12 @@ object QueriesLlm {
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
-    "q_join_enrich" -> qJoinEnrich)
+    "q_join_enrich" -> qJoinEnrich,
+    "q_decontaminate" -> qDecontaminate,
+    "q_pii_scrub" -> qPiiScrub,
+    "q_repetition" -> qRepetition,
+    "q_sample_mix" -> qSampleMix,
+    "q_semantic_dedup" -> qSemanticDedup)
 
   /** Expected-output fixtures for the sketch queries: MinHash/SimHash/LSH
     * recall is not SQL-expressible, but every sketch here is seeded and
@@ -611,5 +771,10 @@ object QueriesLlm {
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_join_enrich" -> qJoinEnrichSql)
+    "q_join_enrich" -> qJoinEnrichSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_sample_mix" -> qSampleMixSql,
+    "q_semantic_dedup" -> qSemanticDedupSql)
 }

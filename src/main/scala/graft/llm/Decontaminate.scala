@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * a word n-gram with an evaluation/benchmark set — the standard guard
+  * against test-set leakage in LLM training corpora (the GPT-3 appendix-C
+  * recipe: any 8-to-13-gram collision with a benchmark example marks the
+  * training document contaminated).
+  *
+  * Scale design (100 TB corpus, benchmark ≪ corpus): the benchmark n-gram
+  * set is inherently small — benchmarks are thousands of examples, not
+  * terabytes — so it is DISTINCT-ed and broadcast. The corpus side explodes
+  * its n-grams once, map-side inner-joins against the broadcast set (no
+  * shuffle of corpus data), and only the surviving HITS — (id, gram) pairs,
+  * empty for every clean document — reach the one real shuffle, the per-doc
+  * count. The flag join-back is left un-hinted: hits are tiny in the sane
+  * case (AQE broadcasts them); if a pathological corpus overlaps the
+  * benchmark everywhere, a shuffle join on id is the only correct plan
+  * anyway and Spark falls back to it.
+  */
+object Decontaminate {
+
+  /** Per-document contamination counts against `bench`: one row per corpus
+    * document with the number of distinct benchmark n-grams it contains and
+    * a 0/1 flag. Documents shorter than `n` tokens have no n-grams and are
+    * always clean.
+    */
+  def contaminationCounts(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int = 8): DataFrame = {
+    val hits = contaminationHits(docs, id, text, bench, benchText, n)
+    docs.select(id.as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** Training set with contaminated documents removed (broadcast anti-join
+    * against the hit ids — the shape that drops straight into a pipeline).
+    */
+  def removeContaminated(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int = 8): DataFrame =
+    docs.join(contaminationHits(docs, id, text, bench, benchText, n),
+      id === col("id"), "left_anti")
+
+  /** (id, n_hits) for contaminated documents only. `wordShingles` emits
+    * DISTINCT n-grams per document, so the post-join count is already a
+    * distinct-gram count without a `countDistinct` expand.
+    */
+  private def contaminationHits(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.wordShingles(benchText, n)).as("gram"))
+      .distinct()
+    docs.select(id.as("id"), explode(Dedup.wordShingles(text, n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+}

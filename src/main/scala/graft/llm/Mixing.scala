@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling for training-data mixing: keep each
+  * row with a per-stratum probability (e.g. downsample dominant languages /
+  * sources to a target mixture) decided by a hash of the row's stable key —
+  * NOT by `df.sample`, whose partition-seeded RNG changes membership when
+  * the file layout, partition count, or task retries change.
+  *
+  * Hash-gate sampling is the shape that survives a 1000-executor cluster:
+  * a pure narrow filter (no shuffle, no state, codegen'd), reproducible
+  * across reruns and engines, and composable with pushdown — Parquet sees
+  * `md5(key) < const` only after the cheap stratum column prune.
+  *
+  * The gate compares a hex PREFIX of md5(key) against a threshold string:
+  * the first [[HexDigits]] nibbles of a cryptographic hash are uniform on
+  * [0, 16^d), so `prefix < hex(rate · 16^d)` keeps each key independently
+  * with probability `rate` (quantized to 1/16^d ≈ 6e-8). String comparison
+  * on lowercase hex is identical in every engine — the same recipe is
+  * replayed verbatim by the DuckDB oracle.
+  */
+object Mixing {
+
+  val HexDigits = 6
+
+  /** Lowercase hex threshold for a keep-rate in [0, 1]. */
+  def rateToHex(rate: Double): String = {
+    val space = 1L << (4 * HexDigits)
+    val bound = math.max(0L, math.min(space, math.round(rate * space)))
+    // a full-space bound compares above every prefix ("1000000" > "ffffff")
+    if (bound == space) "g" * HexDigits
+    else s"%0${HexDigits}x".format(bound)
+  }
+
+  /** The uniform [0,1)-surrogate: first [[HexDigits]] hex chars of md5 of
+    * the key rendered as a string.
+    */
+  def hashPrefix(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, HexDigits)
+
+  /** Keep-gate for one flat rate. */
+  def sampleGate(key: Column, rate: Double): Column =
+    hashPrefix(key) < lit(rateToHex(rate))
+
+  /** Stratified keep-gate: per-stratum rates with a default for strata not
+    * listed. Rates are data, not code — the CASE chain is a broadcast-free
+    * literal fold (strata counts are small: languages, sources, buckets).
+    */
+  def stratifiedGate(key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val threshold = rates.foldRight(lit(rateToHex(defaultRate)): Column) {
+      case ((s, r), acc) => when(stratum === s, lit(rateToHex(r))).otherwise(acc)
+    }
+    hashPrefix(key) < threshold
+  }
+
+  /** The sampling stage: filter `df` to the target mixture. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
+    df.where(stratifiedGate(key, stratum, rates, defaultRate))
+}

@@ -258,4 +258,48 @@ object Similarity {
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup-style semantic dedup: cluster the corpus with a coarse
+    * quantizer, then search near-duplicate pairs WITHIN each cluster only —
+    * the cross-cluster pair space (the overwhelming majority at scale) is
+    * never generated. Centroids here are the `k` smallest-id vectors — a
+    * deterministic seed pick that both engines can replay, where a
+    * production pipeline would plug in [[ivfIndex]]'s k-means centers; the
+    * assignment is nearest-centroid by cosine (ties → smallest centroid id,
+    * via strict-> over ascending centroid order).
+    *
+    * Scale shape: the assignment is a narrow map against k broadcast
+    * literal centroids (no join); the pair stage shuffles (cluster, id,
+    * vec) once, grouped by cluster. Cluster count governs both skew and
+    * cost — at corpus scale pick k ~ √n (cells of ~√n vectors) instead of
+    * this query's fixed 8, exactly as with the IVF index.
+    */
+  def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
+      threshold: Double, maxId: Long = Long.MaxValue): DataFrame = {
+    val s = df.where(id < maxId).select(id.as("id"), normalized(vec).as("v"))
+    val centroids: Array[(Long, Array[Double])] = s.orderBy("id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centroids.nonEmpty, "semanticDedupPairs: empty corpus slice")
+    // bind each centroid similarity once (the argmax fold then compares
+    // attributes — same bound-column pattern as TextStats.withLangId)
+    val simCols = centroids.zipWithIndex.map { case ((_, cv), i) =>
+      dot(col("v"), lit(cv)).as(s"_csim_$i")
+    }
+    val withSims = s.select(col("id") +: col("v") +: simCols: _*)
+    val seed = struct(col("_csim_0").as("sim"), lit(centroids.head._1).as("cid"))
+    val best = centroids.zipWithIndex.tail.foldLeft(seed: Column) {
+      case (acc, ((cid, _), i)) =>
+        when(col(s"_csim_$i") > acc.getField("sim"),
+          struct(col(s"_csim_$i").as("sim"), lit(cid).as("cid")))
+          .otherwise(acc)
+    }
+    val assigned = withSims.withColumn("cid", best.getField("cid"))
+      .drop(centroids.indices.map(i => s"_csim_$i"): _*)
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("v_a"), col("v_b")) > threshold)
+      .select(col("id_a"), col("id_b"), col("cid"))
+  }
 }

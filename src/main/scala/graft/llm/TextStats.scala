@@ -309,6 +309,50 @@ object TextStats {
     (tokens, nPunct, mwl, hex.toString)
   }
 
+  /** Single-pass repetition kernel (the Gopher-style repetition signals):
+    * fraction of tokens taken by the single most frequent word, and the
+    * fraction of DUPLICATE bigrams (1 − distinct/total) — both over the
+    * lowercased whitespace tokens. Repetitive machine-generated or
+    * boilerplate text scores high on both; natural prose stays low. Blank
+    * or sub-2-token documents score (0, 0). Per-document narrow map: no
+    * shuffle, no explode — the token table never materializes.
+    *
+    * Lowercasing goes through UTF8String for byte parity with Spark's
+    * `lower()` / the DuckDB oracle (identical on ASCII; conditional
+    * Unicode mappings follow Spark, see [[textStatsMd5Udf]]).
+    */
+  val repetitionUdf = udf { (text: String) =>
+    val t0 = if (text == null) "" else text
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString(t0)
+      .toLowerCase.toString
+    val len = t.length
+    @inline def isSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val counts = new java.util.HashMap[String, Int]()
+    val bigrams = new java.util.HashSet[String]()
+    var tokens = 0
+    var maxCount = 0
+    var prev: String = null
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(t.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(t.charAt(i))) i += 1
+        val tok = t.substring(start, i)
+        tokens += 1
+        val c = counts.merge(tok, 1, Integer.sum)
+        if (c > maxCount) maxCount = c
+        if (prev != null) bigrams.add(prev + " " + tok)
+        prev = tok
+      }
+    }
+    val topWordFrac = if (tokens == 0) 0d else maxCount.toDouble / tokens
+    val dupBigramFrac =
+      if (tokens < 2) 0d else 1d - bigrams.size.toDouble / (tokens - 1)
+    (topWordFrac, dupBigramFrac)
+  }
+
   /** Composite quality score in [0,1]: length band, punctuation sanity,
     * stopword presence, mean word length band. The exact recipe is a
     * heuristic; what matters operationally is that it is deterministic,

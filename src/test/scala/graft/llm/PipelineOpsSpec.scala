@@ -1,0 +1,207 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: decontamination, PII scrub, repetition
+  * signals, stratified sampling, semantic dedup.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta unrelated tail words here"), // shares 4-gram with 1
+      (3L, "completely different content with no overlap at all"),
+      (4L, "short text"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")
+    val out = Decontaminate.contaminationCounts(docs, col("doc_id"), col("text"),
+      bench, col("btext"), n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L), "doc 1 contains the benchmark 4-gram")
+    assert(out(2L) == (1L, 1L), "doc 2 contains the benchmark 4-gram")
+    assert(out(3L) == (0L, 0L) && out(4L) == (0L, 0L) && out(5L) == (0L, 0L))
+    assert(out.size == 5, "one row per corpus document")
+  }
+
+  test("removeContaminated drops exactly the flagged docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")
+    val kept = Decontaminate.removeContaminated(docs, col("doc_id"), col("text"),
+      bench, col("btext"), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("docs shorter than n tokens are never contaminated") {
+    import spark.implicits._
+    val bench = Seq((100L, "short text padding tokens")).toDF("bid", "btext")
+    val out = Decontaminate.contaminationCounts(docs, col("doc_id"), col("text"),
+      bench, col("btext"), n = 4)
+      .where(col("id") === 4L).head()
+    assert(out.getLong(1) == 0L, "2-token doc has no 4-grams")
+  }
+
+  test("pii scrub counts and redacts emails, phones, IPv4s") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-0123 from 192.168.0.1"),
+      (2L, "no pii here, just text with numbers 12 and 3.14"),
+      (3L, "two mails: a@b.co c.d@e-f.org and ip 10.0.0.255")
+    ).toDF("id", "text")
+    val out = Pii.scrub(df, col("text"))
+      .select("id", "n_email", "n_phone", "n_ip", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "reach me at [EMAIL] or [PHONE] from [IP]")
+    assert(out(2L) == (0L, 0L, 0L, "no pii here, just text with numbers 12 and 3.14"))
+    assert(out(3L)._1 == 2 && out(3L)._3 == 1)
+    assert(out(3L)._4 == "two mails: [EMAIL] [EMAIL] and ip [IP]")
+  }
+
+  test("pii injection recipe is deterministic and detected in full") {
+    import spark.implicits._
+    val df = (0L to 100L).map(i => (i, s"doc $i body")).toDF("id", "text")
+    val scrubbed = Pii.scrub(
+      df.withColumn("t", Pii.injected(col("text"), col("id"))), col("t"))
+    val sums = scrubbed.agg(sum("n_email"), sum("n_phone"), sum("n_ip")).head()
+    assert(sums.getLong(0) == (0L to 100L).count(_ % 5 == 0))
+    assert(sums.getLong(1) == (0L to 100L).count(_ % 7 == 0))
+    assert(sums.getLong(2) == (0L to 100L).count(_ % 11 == 0))
+  }
+
+  /** Plain-Scala reference for the repetition kernel. */
+  private def repRef(text: String): (Double, Double) = {
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) (0d, 0d)
+    else {
+      val top = toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length
+      val dup =
+        if (toks.length < 2) 0d
+        else {
+          val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+          1d - bgs.distinct.length.toDouble / bgs.length
+        }
+      (top, dup)
+    }
+  }
+
+  test("repetition kernel matches the reference on golden cases") {
+    import spark.implicits._
+    val cases = Seq(
+      "spam spam spam spam",                       // one word: twf=1, all bigrams equal
+      "a b a b a b a b",                           // alternating: dup bigrams
+      "all words here are completely distinct",    // no repetition
+      "Mixed CASE mixed case MIXED case",          // lowercase folding
+      "single",
+      "",
+      "  \t leading and trailing \n ")
+    val out = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .withColumn("r", TextStats.repetitionUdf(col("text")))
+      .orderBy("id")
+      .collect().map(r => (r.getStruct(2).getDouble(0), r.getStruct(2).getDouble(1)))
+    cases.zip(out).foreach { case (t, (gotTop, gotDup)) =>
+      val (refTop, refDup) = repRef(t)
+      assert(math.abs(gotTop - refTop) < 1e-12, s"top-word frac for '$t'")
+      assert(math.abs(gotDup - refDup) < 1e-12, s"dup-bigram frac for '$t'")
+    }
+  }
+
+  test("repetition kernel matches the reference on the corpus sample") {
+    val sample = graft.Tables.documents(spark, sf).limit(50)
+    val got = sample
+      .withColumn("r", TextStats.repetitionUdf(col("text")))
+      .select(col("doc_id"), col("text"), col("r._1"), col("r._2"))
+      .collect()
+    got.foreach { r =>
+      val (refTop, refDup) = repRef(r.getString(1))
+      assert(math.abs(r.getDouble(2) - refTop) < 1e-12)
+      assert(math.abs(r.getDouble(3) - refDup) < 1e-12)
+    }
+  }
+
+  test("rateToHex boundaries and monotonicity") {
+    assert(Mixing.rateToHex(0.0) == "000000")
+    assert(Mixing.rateToHex(0.5) == "800000")
+    assert(Mixing.rateToHex(1.0) == "gggggg", "full rate compares above every hex prefix")
+    assert(Mixing.rateToHex(0.25) == "400000")
+    val hexes = Seq(0.1, 0.2, 0.4, 0.8).map(Mixing.rateToHex)
+    assert(hexes == hexes.sorted)
+  }
+
+  test("stratified sampling is deterministic, rate-accurate, and nested") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Map("a" -> 0.5, "b" -> 0.1)
+    val once = Mixing.stratifiedSample(df, col("id"), col("stratum"), rates)
+      .collect().map(_.getLong(0)).toSet
+    val twice = Mixing.stratifiedSample(df, col("id"), col("stratum"), rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(once == twice, "same membership on re-run")
+    val aKept = once.count(_ % 2 == 0).toDouble / 2000
+    val bKept = once.count(_ % 2 == 1).toDouble / 2000
+    assert(math.abs(aKept - 0.5) < 0.05, s"a-rate $aKept")
+    assert(math.abs(bKept - 0.1) < 0.03, s"b-rate $bKept")
+    // hash-gate nesting: a lower rate selects a SUBSET of a higher rate —
+    // the property that makes sample sizes tunable without resampling
+    val lower = Mixing.stratifiedSample(df, col("id"), col("stratum"),
+      Map("a" -> 0.2, "b" -> 0.02)).collect().map(_.getLong(0)).toSet
+    assert(lower.subsetOf(once))
+    // rate 1.0 keeps everything (the "gggggg" threshold)
+    val all = Mixing.stratifiedSample(df, col("id"), col("stratum"),
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(all.count() == 4000)
+  }
+
+  test("semantic dedup pairs near-dups within clusters only") {
+    import spark.implicits._
+    // two well-separated clusters on orthogonal axes; ids 0/1 become the
+    // centroids (k=2). 0,2,4 cluster on +x; 1,3 on +y. Planted near-dups:
+    // (0,2) same direction, (1,3) same direction; 4 is x-ish but rotated
+    // beyond the 0.9 threshold.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0.05f, 0.99f, 0f)),
+      (4L, Array(0.8f, 0.55f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(vecs, col("vec_id"),
+      col("embedding"), k = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), s"x-cluster near-dup in $pairs")
+    assert(pairs.contains((1L, 3L)), s"y-cluster near-dup in $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) },
+      "4 is not a near-dup of anything at 0.9")
+    assert(!pairs.contains((0L, 1L)), "centroids are orthogonal")
+  }
+
+  test("semantic dedup never emits cross-cluster pairs") {
+    import spark.implicits._
+    // 0 and 1 orthogonal centroids; 2 sits at 45° — lands in exactly one
+    // cluster (tie-break smallest cid at exact ties; here slightly x-ward)
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)),
+      (2L, Array(0.72f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupPairs(vecs, col("vec_id"),
+      col("embedding"), k = 2, threshold = -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // with threshold -1 every same-cluster pair appears; 2 is x-clustered,
+    // so (0,2) appears and (1,2) must not
+    val pairSet = out.map(_._1).toSet
+    assert(pairSet.contains((0L, 2L)))
+    assert(!pairSet.contains((1L, 2L)), "cross-cluster pair leaked")
+  }
+}

@@ -164,10 +164,16 @@ object QueriesLlm {
     * stack; regex semantics identical in both engines.
     */
   val qSubwords: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextStats.subwordCount(col("text")).cast("long").as("n_subwords"),
-      TextStats.tokenCount(col("text")).cast("long").as("n_words"))
+    // single-pass kernel (one scan vs two regex passes; spec pins its
+    // equivalence to the subwordCount/tokenCount column forms) — the
+    // BENCH_sf1 top ratio (4.1×) was this query's regex cost growing with
+    // the corpus
+    Tables.documents(s, dir)
+      .withColumn("_sw", TextStats.subwordStatsUdf(col("text")))
+      .select(
+        col("doc_id"),
+        col("_sw._1").cast("long").as("n_subwords"),
+        col("_sw._2").cast("long").as("n_words"))
       .orderBy("doc_id")
 
   val qSubwordsSql: String =

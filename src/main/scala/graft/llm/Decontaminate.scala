@@ -45,16 +45,25 @@ object Decontaminate {
     docs.join(contaminationHits(docs, id, text, bench, benchText, n),
       id === col("id"), "left_anti")
 
-  /** (id, n_hits) for contaminated documents only. `wordShingles` emits
+  /** Distinct word n-grams via the JVM kernel shared with the MinHash
+    * prepare stage (Dedup.shingleSet): Spark's array higher-order functions
+    * evaluate interpreted at ~1 ms per ~100-token document — at corpus
+    * scale the gram pass must be a primitive-typed scan, not a
+    * sequence/transform/slice chain.
+    */
+  private def shinglesUdf(n: Int) =
+    udf { (text: String) => Dedup.shingleSet(text, n) }
+
+  /** (id, n_hits) for contaminated documents only. The kernel emits
     * DISTINCT n-grams per document, so the post-join count is already a
     * distinct-gram count without a `countDistinct` expand.
     */
   private def contaminationHits(docs: DataFrame, id: Column, text: Column,
       bench: DataFrame, benchText: Column, n: Int): DataFrame = {
     val benchGrams = bench
-      .select(explode(Dedup.wordShingles(benchText, n)).as("gram"))
+      .select(explode(shinglesUdf(n)(benchText)).as("gram"))
       .distinct()
-    docs.select(id.as("id"), explode(Dedup.wordShingles(text, n)).as("gram"))
+    docs.select(id.as("id"), explode(shinglesUdf(n)(text)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }

@@ -309,6 +309,54 @@ object TextStats {
     (tokens, nPunct, mwl, hex.toString)
   }
 
+  /** Single-pass subword/token-count kernel: counts matches of the BPE-ish
+    * tokenizer regex `[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]` (greedy leftmost,
+    * non-overlapping — a run of L letters yields ⌈L/4⌉ chunks, digits and
+    * non-alphanumeric glyphs are singletons, whitespace matches nothing)
+    * plus the whitespace token count, without two regex passes over the
+    * corpus. Equivalence to [[subwordCount]]/[[tokenCount]] is spec-pinned.
+    */
+  val subwordStatsUdf = udf { (text: String) =>
+    val t = if (text == null) "" else text
+    val len = t.length
+    @inline def isSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    @inline def isAlpha(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    var subwords = 0
+    var i = 0
+    while (i < len) {
+      val c = t.charAt(i)
+      if (isSpace(c)) i += 1
+      else if (isAlpha(c)) {
+        var j = i + 1
+        while (j < len && j < i + 4 && isAlpha(t.charAt(j))) j += 1
+        subwords += 1
+        i = j
+      } else { subwords += 1; i += 1 } // digit or other glyph: singleton
+    }
+    // token count: EXACT [[tokenCount]] semantics — fields of a \s+ split
+    // of the SPACE-trimmed string (Spark/DuckDB trim strips ' ' only; edge
+    // runs of other whitespace contribute empty fields, so "\tfoo" is 2)
+    var a = 0
+    var b = len
+    while (a < b && t.charAt(a) == ' ') a += 1
+    while (b > a && t.charAt(b - 1) == ' ') b -= 1
+    var tokens = 0
+    if (b > a) {
+      tokens = 1
+      var inWs = false
+      var p = a
+      while (p < b) {
+        val ws = isSpace(t.charAt(p))
+        if (ws && !inWs) tokens += 1
+        inWs = ws
+        p += 1
+      }
+    }
+    (subwords, tokens)
+  }
+
   /** Single-pass repetition kernel (the Gopher-style repetition signals):
     * fraction of tokens taken by the single most frequent word, and the
     * fraction of DUPLICATE bigrams (1 − distinct/total) — both over the

@@ -163,6 +163,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(all.count() == 4000)
   }
 
+  test("subword kernel matches the regex column forms exactly") {
+    import spark.implicits._
+    val goldens = Seq(
+      "the quick brown fox", "abcdefghij run of letters", "digits 12345 mix3d",
+      "punct!!! and, (parens) [brackets]", "", "   ", "\tfoo", " foo\t ",
+      "a", "ñé unicode glyphs ß", "x  double  spaces", "tab\tinner\nnewline")
+    val df = (goldens ++ graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cmp = df.select(
+      col("id"),
+      TextStats.subwordStatsUdf(col("text")).as("k"),
+      TextStats.subwordCount(col("text")).as("rs"),
+      TextStats.tokenCount(col("text")).as("rt"))
+      .collect()
+    cmp.foreach { r =>
+      val k = r.getStruct(1)
+      assert(k.getInt(0) == r.getInt(2), s"subwords mismatch on id ${r.getLong(0)}")
+      assert(k.getInt(1) == r.getInt(3), s"tokens mismatch on id ${r.getLong(0)}")
+    }
+  }
+
   test("semantic dedup pairs near-dups within clusters only") {
     import spark.implicits._
     // two well-separated clusters on orthogonal axes; ids 0/1 become the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Decontaminate, Dedup, Mixing, Multimodal, Pii, Similarity, TextStats}
+import graft.llm.{Boilerplate, Decontaminate, Dedup, Incremental, Mixing, Multimodal, Pii, Similarity, TextStats, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -713,6 +713,78 @@ object QueriesLlm {
       |WHERE list_cosine_similarity(a.e, b.e) > 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q_dedup_incr — incremental-ingest dedup: delta docs (doc_id % 3 = 0)
+    * whose dedup key already exists in the reference corpus (the other
+    * two-thirds) are dropped, via Bloom-prefilter + broadcast verify —
+    * the corpus itself never shuffles. Exact, so the oracle is a plain
+    * anti-join. Key = 30-char text prefix (same as q_dedup_exact, so the
+    * sf data actually contains cross-split duplicates).
+    */
+  val qDedupIncr: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val delta = docs.where(col("doc_id") % 3 === 0)
+    Incremental.newRows(
+      corpus, substring(col("text"), 1, 30),
+      delta, substring(col("text"), 1, 30))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrSql: String =
+    """SELECT d.doc_id, d.lang, d.source FROM documents d
+      |WHERE d.doc_id % 3 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.doc_id % 3 <> 0
+      |    AND substr(c.text, 1, 30) = substr(d.text, 1, 30))
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q_tfidf — top-3 TF-IDF terms per document. Scores rounded to 6 dp
+    * before ranking so the rank order is replayable by the oracle; ties
+    * break by term ascending.
+    */
+  val qTfidf: Q = (s, dir) =>
+    TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rk")
+
+  val qTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE length(term) > 0 GROUP BY doc_id, term),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk, term, tf, score FROM (
+      |  SELECT doc_id, term, tf, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored) WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** q_top_ngrams — corpus boilerplate: the 20 most document-frequent word
+    * trigrams (distinct-per-doc via the shared shingle kernel; ties break
+    * by gram ascending so the LIMIT is deterministic).
+    */
+  val qTopNgrams: Q = (s, dir) =>
+    Boilerplate.topGrams(Tables.documents(s, dir), col("text"), n = 3, k = 20)
+
+  val qTopNgramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS gram
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT gram, count(*) AS n_docs FROM grams
+      |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q_embed_neardup_ann" -> qEmbedNeardupAnn,
     "q_dedup_exact" -> qDedupExact,
@@ -740,7 +812,10 @@ object QueriesLlm {
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
     "q_sample_mix" -> qSampleMix,
-    "q_semantic_dedup" -> qSemanticDedup)
+    "q_semantic_dedup" -> qSemanticDedup,
+    "q_dedup_incr" -> qDedupIncr,
+    "q_tfidf" -> qTfidf,
+    "q_top_ngrams" -> qTopNgrams)
 
   /** Expected-output fixtures for the sketch queries: MinHash/SimHash/LSH
     * recall is not SQL-expressible, but every sketch here is seeded and
@@ -782,5 +857,8 @@ object QueriesLlm {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample_mix" -> qSampleMixSql,
-    "q_semantic_dedup" -> qSemanticDedupSql)
+    "q_semantic_dedup" -> qSemanticDedupSql,
+    "q_dedup_incr" -> qDedupIncrSql,
+    "q_tfidf" -> qTfidfSql,
+    "q_top_ngrams" -> qTopNgramsSql)
 }

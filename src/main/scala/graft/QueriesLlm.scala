@@ -575,7 +575,8 @@ object QueriesLlm {
 
   val qDecontaminateSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
       |  FROM documents WHERE length(trim(text)) > 0),
       |grams AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
@@ -641,7 +642,8 @@ object QueriesLlm {
 
   val qRepetitionSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS t
       |  FROM documents WHERE length(trim(text)) > 0),
       |wc AS (
       |  SELECT doc_id, w, count(*) AS c
@@ -699,7 +701,7 @@ object QueriesLlm {
       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 1000),
       |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
       |sims AS (
-      |  SELECT v.vec_id, c.cid, list_cosine_similarity(v.e, c.ce) AS s
+      |  SELECT v.vec_id, c.cid, round(list_cosine_similarity(v.e, c.ce), 6) AS s
       |  FROM v CROSS JOIN c),
       |asg AS (
       |  SELECT vec_id, cid FROM (
@@ -710,7 +712,7 @@ object QueriesLlm {
       |FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
       |JOIN v a ON a.vec_id = aa.vec_id
       |JOIN v b ON b.vec_id = bb.vec_id
-      |WHERE list_cosine_similarity(a.e, b.e) > 0.3
+      |WHERE round(list_cosine_similarity(a.e, b.e), 6) > 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
   /** q_dedup_incr — incremental-ingest dedup: delta docs (doc_id % 3 = 0)
@@ -776,7 +778,8 @@ object QueriesLlm {
 
   val qTopNgramsSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
       |  FROM documents WHERE length(trim(text)) > 0),
       |grams AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),

@@ -31,7 +31,7 @@ object Decontaminate {
       bench: DataFrame, benchText: Column, n: Int = 8): DataFrame = {
     val hits = contaminationHits(docs, id, text, bench, benchText, n)
     docs.select(id.as("id"))
-      .join(hits, Seq("id"), "left")
+      .join(hits, col("id") === hits(HitId), "left")
       .select(col("id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
@@ -41,9 +41,16 @@ object Decontaminate {
     * against the hit ids — the shape that drops straight into a pipeline).
     */
   def removeContaminated(docs: DataFrame, id: Column, text: Column,
-      bench: DataFrame, benchText: Column, n: Int = 8): DataFrame =
-    docs.join(contaminationHits(docs, id, text, bench, benchText, n),
-      id === col("id"), "left_anti")
+      bench: DataFrame, benchText: Column, n: Int = 8): DataFrame = {
+    val hits = contaminationHits(docs, id, text, bench, benchText, n)
+    docs.join(hits, id === hits(HitId), "left_anti")
+  }
+
+  /** Collision-proof internal name for the hits-side id: callers' `docs`
+    * routinely already carry an `id` column, and a bare `col("id")` join
+    * condition would resolve against the wrong side (or ambiguously).
+    */
+  private val HitId = "_decon_id"
 
   /** Distinct word n-grams via the JVM kernel shared with the MinHash
     * prepare stage (Dedup.shingleSet): Spark's array higher-order functions
@@ -54,7 +61,7 @@ object Decontaminate {
   private def shinglesUdf(n: Int) =
     udf { (text: String) => Dedup.shingleSet(text, n) }
 
-  /** (id, n_hits) for contaminated documents only. The kernel emits
+  /** (_decon_id, n_hits) for contaminated documents only. The kernel emits
     * DISTINCT n-grams per document, so the post-join count is already a
     * distinct-gram count without a `countDistinct` expand.
     */
@@ -63,8 +70,8 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(shinglesUdf(n)(benchText)).as("gram"))
       .distinct()
-    docs.select(id.as("id"), explode(shinglesUdf(n)(text)).as("gram"))
+    docs.select(id.as(HitId), explode(shinglesUdf(n)(text)).as("gram"))
       .join(broadcast(benchGrams), "gram")
-      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .groupBy(HitId).agg(count(lit(1)).as("n_hits"))
   }
 }

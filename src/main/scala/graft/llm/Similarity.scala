@@ -281,9 +281,14 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(centroids.nonEmpty, "semanticDedupPairs: empty corpus slice")
     // bind each centroid similarity once (the argmax fold then compares
-    // attributes — same bound-column pattern as TextStats.withLangId)
+    // attributes — same bound-column pattern as TextStats.withLangId).
+    // Similarities are rounded to 6 dp BEFORE the argmax and threshold
+    // comparisons: different engines (and different summation orders) agree
+    // on cosine only to ~1e-15, and an unrounded argmax/threshold would let
+    // an ulp flip cluster assignment or pair membership across engines —
+    // the same cross-engine discipline as TfIdf's pre-rank rounding.
     val simCols = centroids.zipWithIndex.map { case ((_, cv), i) =>
-      dot(col("v"), lit(cv)).as(s"_csim_$i")
+      round(dot(col("v"), lit(cv)), 6).as(s"_csim_$i")
     }
     val withSims = s.select(col("id") +: col("v") +: simCols: _*)
     val seed = struct(col("_csim_0").as("sim"), lit(centroids.head._1).as("cid"))
@@ -299,7 +304,7 @@ object Similarity {
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid"))
       .where(col("id_a") < col("id_b"))
-      .where(dot(col("v_a"), col("v_b")) > threshold)
+      .where(round(dot(col("v_a"), col("v_b")), 6) > threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
   }
 }

@@ -49,6 +49,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getLong(1) == 0L, "2-token doc has no 4-grams")
   }
 
+  test("decontamination joins survive a docs-side `id` column (ADVICE r3)") {
+    import spark.implicits._
+    // the caller's DataFrame already has a column literally named `id` —
+    // the internal hits join must not resolve against it
+    val withId = docs.withColumn("id", col("doc_id") * 10)
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")
+    val kept = Decontaminate.removeContaminated(withId, col("doc_id"), col("text"),
+      bench, col("btext"), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L), "anti-join keyed on the caller's id column")
+    val counts = Decontaminate.contaminationCounts(withId, col("doc_id"), col("text"),
+      bench, col("btext"), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("pii scrub counts and redacts emails, phones, IPv4s") {
     import spark.implicits._
     val df = Seq(
@@ -103,7 +119,10 @@ class PipelineOpsSpec extends SparkSpec {
       "Mixed CASE mixed case MIXED case",          // lowercase folding
       "single",
       "",
-      "  \t leading and trailing \n ")
+      "  \t leading and trailing \n ",
+      "\tfoo",                                     // edge tab: empty fields dropped
+      "\t",                                        // non-space whitespace only
+      "a\u000Bb a\u000Bb")                   // vertical tab is a separator
     val out = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
       .withColumn("r", TextStats.repetitionUdf(col("text")))

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{ChunkDedup, Fingerprint, LangModel, Packing}
+import graft.operators.Profile
+
+/** Round-4 pipeline operators as driver queries: winnowing fingerprints,
+  * passage-level (chunk) dedup stats, bigram language-model scoring,
+  * sequence packing, and per-group profiling. Same determinism contract as
+  * [[Queries]]: orderBy on a unique key, doubles rounded on both sides,
+  * identical column aliases.
+  */
+object QueriesPipeline {
+
+  import Queries.Q
+
+  /** q_winnow — MOSS winnowing fingerprints (k=8 char grams, window 4):
+    * per-document selection count and a digest of the sorted selection.
+    * The oracle replays gram hashing (md5 prefix), the sliding-window min,
+    * and the distinct selection in SQL.
+    */
+  val qWinnow: Q = (s, dir) =>
+    Fingerprint.summary(Tables.documents(s, dir), col("doc_id"), col("text"),
+      k = 8, w = 4)
+      .select(col("id").as("doc_id"), col("n_fp"), col("fp_md5"))
+      .orderBy("doc_id")
+
+  val qWinnowSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+      |  FROM documents WHERE length(text) >= 8),
+      |g AS (
+      |  SELECT doc_id, i, substr(md5(substr(text, i::INT, 8)), 1, 16) AS h
+      |  FROM pos),
+      |win AS (
+      |  SELECT doc_id, i,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |    max(i) OVER (PARTITION BY doc_id) AS mx
+      |  FROM g),
+      |sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= mx - 3),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_fp,
+      |    md5(string_agg(fp, ',' ORDER BY fp)) AS fp_md5
+      |  FROM sel GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.fp_md5
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_chunk_dedup — passage-level duplication: per document, the count and
+    * fraction of its 16-token chunks whose exact token sequence occurs in
+    * ≥ 2 distinct documents.
+    */
+  val qChunkDedup: Q = (s, dir) =>
+    ChunkDedup.stats(Tables.documents(s, dir), col("doc_id"), col("text"),
+      c = 16)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chunk_frac"))
+      .orderBy("doc_id")
+
+  val qChunkDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, ((len(t) + 15) // 16) + 1),
+      |      j -> array_to_string(t[(j - 1) * 16 + 1 : j * 16], ' '))) AS c
+      |  FROM toks WHERE len(t) > 0),
+      |df AS (SELECT c, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY c),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_chunks,
+      |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      |  FROM chunks JOIN df USING (c) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_chunks, 0) AS n_chunks,
+      |  coalesce(p.n_dup, 0)::BIGINT AS n_dup_chunks,
+      |  round(CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0.0
+      |    ELSE p.n_dup::DOUBLE / p.n_chunks END, 6) AS dup_chunk_frac
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_bigram_logprob — add-one-smoothed bigram LM quality score (mean
+    * log P(w2|w1) per document; rounded to 4 dp like q_unigram_logprob —
+    * avg summation order and ln differ at the ulp level across engines).
+    */
+  val qBigramLogprob: Q = (s, dir) =>
+    LangModel.bigramLogProb(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), round(col("logprob"), 4).as("logprob"))
+      .orderBy("doc_id")
+
+  val qBigramLogprobSql: String =
+    """WITH tl AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |uni AS (
+      |  SELECT w1, count(*) AS cu
+      |  FROM (SELECT unnest(t) AS w1 FROM tl) GROUP BY w1),
+      |v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+      |bg AS (
+      |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |          i -> [t[i], t[i + 1]])) AS p
+      |        FROM tl WHERE len(t) >= 2)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2)
+      |SELECT bg.doc_id,
+      |  round(avg(ln((cb + 1) / (cu + v.v))), 4) AS logprob
+      |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
+  /** q_pack_bins — sequence packing: shard id by running token count in
+    * doc_id order with a 2048-token budget. The oracle is the global-window
+    * cumsum; the Spark plan is the two-pass distributed prefix sum (no
+    * global window — PlanAudit stays clean).
+    */
+  val PackBudget = 2048L
+
+  val qPackBins: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Packing.assignBins(docs, col("doc_id"),
+      graft.llm.TextStats.tokenCount(col("text")), PackBudget)
+      .select(col("id").as("doc_id"), col("n_tok"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  val qPackBinsSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, n_tok,
+      |  (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |   // $PackBudget)::BIGINT AS bin
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q_profile — per-source numeric profile of n_chars: count, mean, std,
+    * min, exact interpolated median, max. Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition.
+    */
+  val qProfile: Q = (s, dir) =>
+    Profile.exact(Tables.documents(s, dir), col("source"), col("n_chars"))
+      .select(col("grp").as("source"), col("n"), col("mean"), col("std"),
+        col("min"), col("median"), col("max"))
+      .orderBy("source")
+
+  val qProfileSql: String =
+    """SELECT source,
+      |  count(*) AS n,
+      |  round(avg(n_chars), 6) AS mean,
+      |  round(stddev(n_chars), 6) AS std,
+      |  min(n_chars)::DOUBLE AS min,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS median,
+      |  max(n_chars)::DOUBLE AS max
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  def all: Map[String, Q] = Map(
+    "q_winnow" -> qWinnow,
+    "q_chunk_dedup" -> qChunkDedup,
+    "q_bigram_logprob" -> qBigramLogprob,
+    "q_pack_bins" -> qPackBins,
+    "q_profile" -> qProfile)
+
+  def oracles: Map[String, String] = Map(
+    "q_winnow" -> qWinnowSql,
+    "q_chunk_dedup" -> qChunkDedupSql,
+    "q_bigram_logprob" -> qBigramLogprobSql,
+    "q_pack_bins" -> qPackBinsSql,
+    "q_profile" -> qProfileSql)
+}

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Passage-level duplication statistics (the RefinedWeb/C4-style intra-
+  * corpus repeated-passage signal): split every document into consecutive
+  * fixed-size token chunks and measure, per document, how many of its
+  * chunks also occur in OTHER documents. High dup_chunk_frac marks mirror
+  * pages, templated articles, and quote farms that document-level dedup
+  * (exact or MinHash) misses because the surrounding chrome differs.
+  *
+  * Scale design: chunking is a narrow per-document kernel pass. Chunks
+  * leave the document as (id, md5-of-chunk) pairs — 16-byte digests, never
+  * chunk text — so both shuffles (the chunk document-frequency groupBy and
+  * the per-doc rollup) carry slim fixed-width rows. The doc-frequency agg
+  * partial-aggregates map-side, so a boilerplate chunk occurring millions
+  * of times costs one row per partition in the shuffle, not one per
+  * occurrence.
+  *
+  * Tokenization matches the corpus convention everywhere else in this
+  * package: whitespace split, empty tokens dropped (Dedup.shingleSet
+  * semantics). The trailing partial chunk is kept — dropping it would blind
+  * the detector to short documents entirely.
+  */
+object ChunkDedup {
+
+  /** Consecutive `c`-token chunk strings of one document (space-rejoined). */
+  private[graft] def chunks(text: String, c: Int): Array[String] = {
+    val words =
+      if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) Array.empty
+    else {
+      val n = (words.length + c - 1) / c
+      Array.tabulate(n) { j =>
+        val from = j * c
+        val until = math.min(from + c, words.length)
+        val sb = new java.lang.StringBuilder(words(from))
+        var i = from + 1
+        while (i < until) { sb.append(' ').append(words(i)); i += 1 }
+        sb.toString
+      }
+    }
+  }
+
+  private def chunksUdf(c: Int) = udf { (text: String) => chunks(text, c) }
+
+  /** Per-document chunk duplication stats: (id, n_chunks, n_dup_chunks,
+    * dup_chunk_frac) where a chunk is "duplicated" when its exact token
+    * sequence occurs in ≥ 2 distinct documents. Empty documents score
+    * (0, 0, 0.0).
+    */
+  def stats(df: DataFrame, id: Column, text: Column, c: Int = 16): DataFrame = {
+    val chunked = df
+      .select(id.as("id"), explode(chunksUdf(c)(text)).as("chunk"))
+      .select(col("id"), md5(col("chunk").cast("binary")).as("h"))
+    // document frequency per chunk digest: distinct docs, not occurrences
+    val docFreq = chunked.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("_nd"))
+    val perDoc = chunked
+      .join(docFreq, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    df.select(id.as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        when(coalesce(col("n_chunks"), lit(0L)) === 0, 0d)
+          .otherwise(round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+          .as("dup_chunk_frac"))
+  }
+
+  /** The corpus with every duplicated chunk's LATER occurrences removed and
+    * documents re-assembled (keep-first at chunk granularity, first =
+    * smallest id) — the destructive form of [[stats]] used when repeated
+    * passages should be excised rather than scored. Documents whose every
+    * chunk was a later duplicate come back empty-text rather than vanishing:
+    * row identity is the caller's to manage.
+    */
+  def removeDupChunks(df: DataFrame, id: Column, text: Column,
+      c: Int = 16): DataFrame = {
+    val chunked = df
+      .select(id.as("id"), posexplode(chunksUdf(c)(text)).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+    // first (smallest-id, then smallest-pos) occurrence of each digest wins
+    val winners = chunked.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.id").as("_wid"), col("w.pos").as("_wpos"))
+    chunked.join(winners, "h")
+      .where(col("id") === col("_wid") && col("pos") === col("_wpos"))
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("chunk"))))
+        .getField("chunk"), " ").as("text"))
+  }
+}

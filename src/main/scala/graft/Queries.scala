@@ -215,7 +215,7 @@ object Queries {
       |WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ Map(
+  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
     "q1_agg" -> q1Agg,
@@ -227,7 +227,7 @@ object Queries {
     "q_bbox_cells" -> qBboxCells
   )
 
-  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ Map(
+  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,
     "q1_agg" -> q1AggSql,

@@ -156,17 +156,72 @@ object QueriesPipeline {
       |  max(n_chars)::DOUBLE AS max
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q_kmeans — distributed k-means (Lloyd's, k=8, 2 centroid updates,
+    * deterministic seed = vectors of the 8 smallest vec_ids). The oracle
+    * unrolls the same iterations in SQL; both engines round centroid
+    * components and squared distances to 6 dp before any comparison and
+    * break argmin ties toward the lower cluster id (see [[graft.llm
+    * .Cluster]] for the determinism contract).
+    */
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  val qKmeans: Q = (s, dir) =>
+    graft.llm.Cluster.kmeans(Tables.embeddings(s, dir), col("vec_id"),
+      col("embedding"), k = KmeansK, iters = KmeansIters)
+      .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+
+  val qKmeansSql: String = {
+    def dist(cTab: String): String =
+      s"round(list_sum(list_transform(range(1, len(e) + 1), " +
+        s"i -> (e[i]::DOUBLE - $cTab.c[i]) * (e[i]::DOUBLE - $cTab.c[i]))), 6)"
+    val iterBlocks = (1 to KmeansIters).map { t =>
+      val p = s"c${t - 1}"
+      s"""a$t AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${dist(p)}, cid) AS rn
+         |  FROM emb CROSS JOIN $p),
+         |m$t AS (SELECT vec_id, cid FROM a$t WHERE rn = 1),
+         |u$t AS (SELECT cid, unnest(range(1, len(e) + 1)) AS i, e
+         |        FROM m$t JOIN emb USING (vec_id)),
+         |n$t AS (
+         |  SELECT cid, list(m ORDER BY i) AS c
+         |  FROM (SELECT cid, i, round(avg(e[i]::DOUBLE), 6) AS m
+         |        FROM u$t GROUP BY cid, i)
+         |  GROUP BY cid),
+         |c$t AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+         |        FROM $p p LEFT JOIN n$t n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |         list_transform(e, x -> x::DOUBLE) AS c
+       |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $KmeansK)),
+       |$iterBlocks,
+       |af AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM (SELECT vec_id, cid, ${dist(s"c$KmeansIters")} AS d
+       |        FROM emb CROSS JOIN c$KmeansIters))
+       |SELECT vec_id, cid AS cluster, d AS dist FROM af WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q_winnow" -> qWinnow,
     "q_chunk_dedup" -> qChunkDedup,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_pack_bins" -> qPackBins,
-    "q_profile" -> qProfile)
+    "q_profile" -> qProfile,
+    "q_kmeans" -> qKmeans)
 
   def oracles: Map[String, String] = Map(
     "q_winnow" -> qWinnowSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_pack_bins" -> qPackBinsSql,
-    "q_profile" -> qProfileSql)
+    "q_profile" -> qProfileSql,
+    "q_kmeans" -> qKmeansSql)
 }

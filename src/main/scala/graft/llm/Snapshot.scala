@@ -1,0 +1,34 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the versioning primitive of an evolving
+  * training corpus: given two snapshots keyed by document id, classify
+  * every id as added / removed / changed / unchanged by content digest.
+  * This is how incremental pipelines decide what to re-process (changed ∪
+  * added) and how dataset cards report churn between releases.
+  *
+  * Scale design: each side reduces to (id, 16-byte md5) before the join —
+  * payload text never enters the shuffle — and the full-outer join is a
+  * sort-merge on the id key, the plan shape that survives two 100 TB
+  * snapshots. No driver-side state.
+  */
+object Snapshot {
+
+  /** Full-outer diff of two snapshots: (id, status) for every id present
+    * in either snapshot, status ∈ added | removed | changed | unchanged
+    * (relative to `oldDf` → `newDf`).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+      payload: Column): DataFrame = {
+    val o = oldDf.select(id.as("_snap_id"), md5(payload.cast("binary")).as("_old_h"))
+    val n = newDf.select(id.as("_snap_id"), md5(payload.cast("binary")).as("_new_h"))
+    o.join(n, Seq("_snap_id"), "full_outer")
+      .select(col("_snap_id").as("id"),
+        when(col("_old_h").isNull, "added")
+          .when(col("_new_h").isNull, "removed")
+          .when(col("_old_h") =!= col("_new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequency-ranked vocabulary construction and tokenize-to-ids — the
+  * front half of every LM training pipeline: build a token vocabulary from
+  * corpus frequencies, then map documents to bounded integer id sequences
+  * with out-of-vocabulary tokens folded to a reserved id (0).
+  *
+  * Scale design: the count table is one partial-aggregated groupBy (slim
+  * (token, count) rows); the top-n cut is a TakeOrdered (sort + limit —
+  * no full sort materializes). Ranking runs AFTER the limit, over ≤ n rows
+  * — the same post-limit global window q_embed_topk pins as benign. The
+  * id-mapping join broadcasts the vocabulary (a few KB), so tokenization
+  * is a map-side join: per-document cost independent of corpus size, no
+  * shuffle except the per-document rollup.
+  *
+  * Token convention: lowercased whitespace split, empty tokens dropped
+  * ([[Dedup.shingleSet]] / [[ChunkDedup]] semantics; the oracle replicates
+  * with list_filter over regexp_split_to_array).
+  */
+object Vocab {
+
+  /** Top-`n` tokens by (count desc, token asc): (rank, token, cnt) with
+    * rank contiguous from 1.
+    */
+  def build(df: DataFrame, text: Column, n: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextStats.tokens(lower(text))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(n)
+    // rank over the ≤ n post-limit rows (driver-bounded, not data-sized)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select("rank", "token", "cnt")
+  }
+
+  /** Map each document to its vocabulary-id sequence: (id, n_tok, n_oov,
+    * ids_md5) where ids_md5 digests the comma-joined id sequence in token
+    * order (OOV → 0) and is NULL for token-less documents.
+    */
+  def tokenIds(df: DataFrame, id: Column, text: Column,
+      vocab: DataFrame): DataFrame = {
+    val pos = df
+      .select(id.as("id"),
+        posexplode_outer(TextStats.tokens(lower(text))).as(Seq("pos", "token")))
+    val joined = pos.join(
+      broadcast(vocab.select(col("token"), col("rank"))),
+      Seq("token"), "left")
+      .select(col("id"), col("pos"), col("token"),
+        when(col("token").isNotNull, coalesce(col("rank"), lit(0)))
+          .as("tid"))
+    joined.groupBy("id").agg(
+      count(col("token")).as("n_tok"),
+      sum(when(col("token").isNotNull && col("tid") === 0, 1L)
+        .otherwise(0L)).as("n_oov"),
+      when(count(col("token")) === 0, lit(null).cast("string"))
+        .otherwise(md5(concat_ws(",",
+          transform(array_sort(collect_list(
+            when(col("token").isNotNull, struct(col("pos"), col("tid"))))),
+            s => s.getField("tid").cast("string"))).cast("binary")))
+        .as("ids_md5"))
+  }
+}

@@ -21,7 +21,9 @@ object PlanAudit {
     "q_embed_neardup" // id-bounded (maxId) theta-join: candidate set fixed-size by construction
   )
   private val allowedGlobalWindow = Set(
-    "q_embed_topk" // rank over 20 post-limit rows, not data-sized input
+    "q_embed_topk", // rank over 20 post-limit rows, not data-sized input
+    "q_vocab",      // rank over ≤16 post-limit vocab rows (Vocab.build)
+    "q_token_ids"   // same vocab rank window feeding the broadcast join
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,150 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.{SkewJoin, TopK}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: vocabulary/token-ids, normalization,
+  * snapshot diff, salted skew join, per-group top-k.
+  */
+class CurateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------------------- vocab
+
+  test("vocab ranks by count desc then token asc, contiguous from 1") {
+    val df = Seq("b b b a a c", "a c c", "").toDF("text")
+    val v = Vocab.build(df, col("text"), 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // counts: a=3, b=3, c=3 -> all tie on count, rank by token
+    assert(v.toSeq == Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 3L)))
+  }
+
+  test("vocab truncates to n and lowercases") {
+    val df = Seq("X x y Z z z").toDF("text")
+    val v = Vocab.build(df, col("text"), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((1, "z", 3L), (2, "x", 2L)))
+  }
+
+  test("tokenIds maps OOV to 0 and digests ids in token order") {
+    val docs = Seq((1L, "b a q b"), (2L, "   "), (3L, "q q")).toDF("id", "text")
+    val vocab = Vocab.build(docs, col("text"), 2)
+    val got = Vocab.tokenIds(docs, col("id"), col("text"), vocab)
+      .orderBy("id").collect()
+    // counts: q=3, b=2, a=1 -> vocab (1,q),(2,b); a is OOV
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 1) // 4 tokens, 1 OOV (a)
+    // doc 1 "b a q b" -> ids 2,0,1,2
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("2,0,1,2".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r1.getString(3) == expectedMd5)
+    // whitespace-only doc: no tokens, null digest
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0 && got(1).isNullAt(3))
+    assert(got(2).getLong(1) == 2 && got(2).getLong(2) == 0)
+  }
+
+  test("tokenIds join stays broadcast (map-side vocabulary)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val vocab = Vocab.build(docs, col("text"), 16)
+    val plan = Vocab.tokenIds(docs, col("doc_id"), col("text"), vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+  }
+
+  // ------------------------------------------------------------- normalize
+
+  test("normalize kernel: NFC, lowercase, whitespace collapse, trim") {
+    // e + combining acute (NFD) composes to é, then lowercases
+    val nfd = "Café  \t DU JOUR\n"
+    assert(Normalize.normalize(nfd) == "café du jour")
+    assert(Normalize.normalize("  a  b  ") == "a b")
+    assert(Normalize.normalize("") == "")
+    assert(Normalize.normalize("\t\n") == "")
+    assert(Normalize.normalize(null) == null)
+    // already-NFC input unchanged apart from case/space
+    assert(Normalize.normalize("Café") == "café")
+  }
+
+  test("normalize column form matches kernel over corpus sample") {
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+    val got = docs.select(col("text"), Normalize(col("text")).as("n")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == Normalize.normalize(r.getString(0)))
+    }
+  }
+
+  // ---------------------------------------------------------- snapshot diff
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "text")
+    val got = Snapshot.diff(old, nw, col("id"), col("text"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshot diff shuffles digests, not payloads") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Snapshot.diff(docs, docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    // the exchange must not carry the text column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"payload in shuffle:\n$plan")
+  }
+
+  // -------------------------------------------------------------- skew join
+
+  test("salted join equals the plain join") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .withColumn("o_orderkey", col("l_orderkey"))
+    val ord = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(ord, "o_orderkey")
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = SkewJoin.salted(li, ord, "o_orderkey",
+      xxhash64(col("l_orderkey"), col("l_linenumber")), salt = 8)
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.sameElements(plain))
+  }
+
+  test("salting spreads a hot key across salt values") {
+    val facts = (0 until 1000).map(i => (1L, i.toLong)).toDF("k", "row_id")
+    val dim = Seq((1L, "hot")).toDF("k", "v")
+    val dimRep = dim.withColumn("_salt", explode(lit((0 until 8).toArray)))
+    val saltDist = facts
+      .withColumn("_salt", pmod(xxhash64(col("row_id")), lit(8L)).cast("int"))
+      .groupBy("_salt").count().collect()
+    assert(saltDist.length == 8, "hot key must hit all 8 salt buckets")
+    assert(saltDist.map(_.getLong(1)).max < 1000, "no single bucket owns the key")
+    // and the join result is complete
+    val joined = SkewJoin.salted(facts, dim, "k", xxhash64(col("row_id")), 8)
+    assert(joined.count() == 1000)
+  }
+
+  // ----------------------------------------------------------- top-k/group
+
+  test("perGroup keeps k best per group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 5L), ("a", 4L, 20L),
+      ("b", 5L, 1L)).toDF("g", "id", "score")
+    val got = TopK.perGroup(df, col("g"), col("score"), col("id"), 2)
+      .select("g", "id", "rk").orderBy("g", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 4L, 1), ("a", 1L, 2), ("b", 5L, 1)))
+  }
+
+  test("perGroup window partitions by the group key (no global window)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = TopK.perGroup(docs, col("source"), col("n_chars"),
+      col("doc_id"), 5).queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"window not partitioned by group:\n$plan")
+  }
+}

@@ -178,7 +178,47 @@ object QueriesCurate {
       |WHERE quality >= t ORDER BY doc_id""".stripMargin
   }
 
+  /** q_shuffle_order — deterministic corpus shuffle: a stable pseudo-
+    * random training position per document (md5-keyed permutation, id
+    * tie-break). The Spark plan is the two-pass distributed rank — no
+    * global window; the oracle is the global-window row_number.
+    */
+  val qShuffleOrder: Q = (s, dir) =>
+    graft.llm.Shuffle.order(Tables.documents(s, dir), col("doc_id"))
+      .select(col("id").as("doc_id"), col("shuf_pos"))
+      .orderBy("doc_id")
+
+  val qShuffleOrderSql: String =
+    """SELECT doc_id,
+      |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS shuf_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q_cube_stats — corpus rollup over every (lang, source) margin in one
+    * pass (GROUP BY CUBE): the dataset-card summary a curation pipeline
+    * publishes. Spark's partial-aggregated cube expansion shuffles one
+    * row per (group, margin) per partition. Subtotal rows surface as
+    * '(all)' (no NULL group values exist in the corpus; engines disagree
+    * on NULL sort order, so markers keep the output order portable).
+    */
+  val qCubeStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n"), col("chars"))
+      .orderBy("lang", "source")
+
+  val qCubeStatsSql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |  coalesce(source, '(all)') AS source,
+      |  count(*) AS n, sum(n_chars)::BIGINT AS chars
+      |FROM documents GROUP BY CUBE(lang, source)
+      |ORDER BY lang, source""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_shuffle_order" -> qShuffleOrder,
+    "q_cube_stats" -> qCubeStats,
     "q_vocab" -> qVocab,
     "q_token_ids" -> qTokenIds,
     "q_normalize" -> qNormalize,
@@ -188,6 +228,8 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_shuffle_order" -> qShuffleOrderSql,
+    "q_cube_stats" -> qCubeStatsSql,
     "q_vocab" -> qVocabSql,
     "q_token_ids" -> qTokenIdsSql,
     "q_normalize" -> qNormalizeSql,

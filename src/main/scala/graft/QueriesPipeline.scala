@@ -209,7 +209,36 @@ object QueriesPipeline {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q_cluster_sample — cluster-balanced exemplar selection: the 10 most
+    * central vectors (smallest distance, vec_id tie-break) of each
+    * k-means cluster — the SemDeDup/DSIR-style "representatives per
+    * semantic bucket" sampling step. Pure composition: [[graft.llm
+    * .Cluster.kmeans]] → [[graft.operators.TopK.perGroup]]; the oracle
+    * reuses the full unrolled-Lloyd SQL as a CTE.
+    */
+  val qClusterSample: Q = (s, dir) => {
+    val assigned = graft.llm.Cluster.kmeans(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), k = KmeansK, iters = KmeansIters)
+    graft.operators.TopK.perGroup(assigned, col("cluster"),
+      -col("dist"), col("id"), k = 10)
+      .select(col("cluster"), col("rk").cast("long").as("rk"),
+        col("id").as("vec_id"), col("dist"))
+      .orderBy("cluster", "rk")
+  }
+
+  // stripSuffix, NOT replace: the kmeans SQL also orders the seed-
+  // selection LIMIT by vec_id — only the trailing output sort must go
+  val qClusterSampleSql: String =
+    s"""WITH kk AS (${qKmeansSql.stripSuffix("\nORDER BY vec_id")})
+       |SELECT cluster, rk, vec_id, dist FROM (
+       |  SELECT cluster, vec_id, dist,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY dist, vec_id) AS rk
+       |  FROM kk)
+       |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_cluster_sample" -> qClusterSample,
     "q_winnow" -> qWinnow,
     "q_chunk_dedup" -> qChunkDedup,
     "q_bigram_logprob" -> qBigramLogprob,
@@ -218,6 +247,7 @@ object QueriesPipeline {
     "q_kmeans" -> qKmeans)
 
   def oracles: Map[String, String] = Map(
+    "q_cluster_sample" -> qClusterSampleSql,
     "q_winnow" -> qWinnowSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_bigram_logprob" -> qBigramLogprobSql,

@@ -159,21 +159,27 @@ object QueriesCurate {
 
   /** q_quality_filter — keep documents at or above the corpus's 75th
     * quality percentile. Both engines interpolate the exact percentile
-    * over the SAME 6-dp-rounded quality values (the q_quality contract),
-    * so the threshold agrees; quality values sit on the 1e-6 grid, far
-    * from the interpolated threshold's ulp noise.
+    * over the SAME 6-dp-rounded quality values (the q_quality contract)
+    * — and the threshold is itself rounded to 6 dp before the comparison:
+    * quality scores are heavily duplicated (banded formula), so the
+    * percentile often lands EXACTLY on a data value with many docs at the
+    * boundary (19 of 5000 at sf0.1), where a one-ulp cross-engine
+    * difference in interpolation order would otherwise flip them all.
+    * Rounding snaps a ±ulp threshold to the same 1e-6 grid point the
+    * quality values live on.
     */
   val qQualityFilter: Q = (s, dir) => {
     val q = QueriesLlm.qQuality(s, dir)
     // one scalar to the driver (like LangModel's V)
-    val thr = q.agg(expr("percentile(quality, 0.75)")).head.getDouble(0)
+    val raw = q.agg(expr("percentile(quality, 0.75)")).head.getDouble(0)
+    val thr = math.floor(raw * 1e6 + 0.5) / 1e6 // DuckDB round() semantics
     q.where(col("quality") >= thr).orderBy("doc_id")
   }
 
   val qQualityFilterSql: String = {
     val qualityCte = QueriesLlm.qQualitySql.replace("ORDER BY doc_id", "")
     s"""WITH qual AS ($qualityCte),
-      |thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM qual)
+      |thr AS (SELECT round(quantile_cont(quality, 0.75), 6) AS t FROM qual)
       |SELECT doc_id, quality FROM qual, thr
       |WHERE quality >= t ORDER BY doc_id""".stripMargin
   }
@@ -216,7 +222,133 @@ object QueriesCurate {
       |FROM documents GROUP BY CUBE(lang, source)
       |ORDER BY lang, source""".stripMargin
 
+  /** q_bm25 — ranked retrieval for a fixed query over the corpus (top 20
+    * by 4-dp score, id tie-break). The token stream is pruned to the
+    * query terms before any shuffle; N and avgdl are the only corpus-
+    * wide state (two scalars).
+    */
+  val Bm25Terms = Seq("spark", "window", "merge")
+
+  val qBm25: Q = (s, dir) =>
+    graft.llm.Bm25.topDocs(Tables.documents(s, dir), col("doc_id"),
+      col("text"), Bm25Terms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END::DOUBLE AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(
+      |          regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |          x -> len(x) > 0)) AS tok
+      |        FROM documents WHERE length(trim(text)) > 0)
+      |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
+      |SELECT tf.doc_id, round(sum(
+      |    ln((n - df + 0.5) / (df + 0.5) + 1)
+      |    * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+      |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+  }
+
+  /** q_split — deterministic train/val/test routing (80/10/10) by md5
+    * hash-range: reproducible across engines, reruns, and layouts; a
+    * pure narrow expression (the [[graft.llm.Mixing]] gate family).
+    */
+  val SplitBuckets: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  val qSplit: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.llm.Mixing.splitBucket(col("doc_id"), SplitBuckets).as("bucket"))
+      .orderBy("doc_id")
+
+  val qSplitSql: String = {
+    val h8 = graft.llm.Mixing.rateToHex(0.8)
+    val h9 = graft.llm.Mixing.rateToHex(0.9)
+    val d = graft.llm.Mixing.HexDigits
+    s"""SELECT doc_id,
+      |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, $d) < '$h8' THEN 'train'
+      |       WHEN substr(md5(doc_id::VARCHAR), 1, $d) < '$h9' THEN 'val'
+      |       ELSE 'test' END AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_seq_split — max-length training-sequence preparation: every
+    * document split into consecutive 64-token sequences (narrow kernel
+    * pass, no shuffle).
+    */
+  val SeqLen = 64
+
+  val qSeqSplit: Q = (s, dir) =>
+    graft.llm.ChunkDedup.sequences(Tables.documents(s, dir), col("doc_id"),
+      col("text"), c = SeqLen)
+      .select(col("id").as("doc_id"), col("seq_idx"), col("n_tok"), col("seq_md5"))
+      .orderBy("doc_id", "seq_idx")
+
+  val qSeqSplitSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |seqs AS (
+      |  SELECT doc_id, j - 1 AS seq_idx,
+      |    t[(j - 1) * $SeqLen + 1 : j * $SeqLen] AS s
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, ((len(t) + $SeqLen - 1) // $SeqLen) + 1)) AS j
+      |        FROM toks WHERE len(t) > 0))
+      |SELECT doc_id, seq_idx::BIGINT AS seq_idx, len(s)::BIGINT AS n_tok,
+      |  md5(array_to_string(s, ' ')) AS seq_md5
+      |FROM seqs ORDER BY doc_id, seq_idx""".stripMargin
+
+  /** q_shuffle_pack — the loader pipeline end-to-end: shuffle the corpus
+    * deterministically, then pack context windows by running token count
+    * IN SHUFFLED ORDER. Composition of [[graft.llm.Shuffle.order]] and
+    * [[graft.llm.Packing.assignBins]] — two two-pass distributed ranks,
+    * still no global window anywhere; the oracle is the windowed cumsum
+    * over the md5 order.
+    */
+  val qShufflePack: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pos = graft.llm.Shuffle.order(docs, col("doc_id"))
+      .select(col("id").as("doc_id"), col("shuf_pos"))
+    val toks = docs.select(col("doc_id"),
+      graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.llm.Packing.assignBins(pos.join(toks, "doc_id"),
+      col("shuf_pos"), col("n_tok"), QueriesPipeline.PackBudget)
+      .select(col("id").as("shuf_pos"), col("n_tok"), col("bin"))
+      .join(pos, "shuf_pos")
+      .select(col("doc_id"), col("shuf_pos"), col("n_tok"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  val qShufflePackSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+      |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS shuf_pos
+      |  FROM documents)
+      |SELECT doc_id, shuf_pos, n_tok,
+      |  (coalesce(sum(n_tok) OVER (ORDER BY shuf_pos
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |   // ${QueriesPipeline.PackBudget})::BIGINT AS bin
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_bm25" -> qBm25,
+    "q_split" -> qSplit,
+    "q_seq_split" -> qSeqSplit,
+    "q_shuffle_pack" -> qShufflePack,
     "q_shuffle_order" -> qShuffleOrder,
     "q_cube_stats" -> qCubeStats,
     "q_vocab" -> qVocab,
@@ -228,6 +360,10 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_bm25" -> qBm25Sql,
+    "q_split" -> qSplitSql,
+    "q_seq_split" -> qSeqSplitSql,
+    "q_shuffle_pack" -> qShufflePackSql,
     "q_shuffle_order" -> qShuffleOrderSql,
     "q_cube_stats" -> qCubeStatsSql,
     "q_vocab" -> qVocabSql,

@@ -73,6 +73,20 @@ object ChunkDedup {
           .as("dup_chunk_frac"))
   }
 
+  /** Max-length training-sequence preparation: split every document into
+    * consecutive `c`-token sequences — the loader-facing sibling of
+    * [[stats]] (same chunk kernel, but emitting the sequences themselves).
+    * One narrow kernel pass + generator; no shuffle. Returns (id, seq_idx,
+    * n_tok, seq_md5) with seq_idx 0-based in document order; token-less
+    * documents produce no sequences.
+    */
+  def sequences(df: DataFrame, id: Column, text: Column,
+      c: Int = 128): DataFrame =
+    df.select(id.as("id"), posexplode(chunksUdf(c)(text)).as(Seq("seq_idx", "chunk")))
+      .select(col("id"), col("seq_idx").cast("long").as("seq_idx"),
+        (size(split(col("chunk"), " "))).cast("long").as("n_tok"),
+        md5(col("chunk").cast("binary")).as("seq_md5"))
+
   /** The corpus with every duplicated chunk's LATER occurrences removed and
     * documents re-assembled (keep-first at chunk granularity, first =
     * smallest id) — the destructive form of [[stats]] used when repeated

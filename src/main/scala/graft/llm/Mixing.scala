@@ -60,4 +60,22 @@ object Mixing {
   def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
     df.where(stratifiedGate(key, stratum, rates, defaultRate))
+
+  /** Deterministic disjoint split (train/val/test …): route each key to
+    * the bucket whose cumulative hash range holds its prefix. Same
+    * hash-gate guarantees as sampling — reproducible across engines,
+    * reruns, and layouts; a pure narrow expression. Fractions must sum to
+    * ~1 (the last bucket absorbs the hex-quantization remainder).
+    */
+  def splitBucket(key: Column, buckets: Seq[(String, Double)]): Column = {
+    require(buckets.size >= 2, "need at least two buckets")
+    require(math.abs(buckets.map(_._2).sum - 1.0) < 1e-9,
+      "bucket fractions must sum to 1")
+    val cum = buckets.map(_._2).scanLeft(0.0)(_ + _).tail
+    val hp = hashPrefix(key)
+    buckets.init.zip(cum).foldRight(lit(buckets.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(hp < lit(rateToHex(c)), name).otherwise(acc)
+    }
+  }
 }

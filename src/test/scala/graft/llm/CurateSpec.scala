@@ -127,6 +127,77 @@ class CurateSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  // ---------------------------------------------------------------- bm25
+
+  test("bm25 scores match a hand-computed reference") {
+    val docs = Seq(
+      (1L, "spark spark window"),
+      (2L, "merge"),
+      (3L, "table scan row"),
+      (4L, "")).toDF("id", "text")
+    val got = Bm25.topDocs(docs, col("id"), col("text"),
+      Seq("spark", "merge"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // N=4, avgdl=(3+1+3+0)/4=1.75; df(spark)=1, df(merge)=1
+    val idf = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1)
+    def part(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 1.75))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - r4(part(2, 3))) < 1e-9)
+    assert(math.abs(got(2L) - r4(part(1, 1))) < 1e-9)
+    // doc 3 matches no term, doc 4 is empty: absent
+  }
+
+  test("bm25 prunes to query terms before the shuffle") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Bm25.topDocs(docs, col("doc_id"), col("text"),
+      Seq("spark"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("isin") || plan.contains("= spark") ||
+      plan.contains("IN (spark"), s"no term prune found:\n$plan")
+  }
+
+  // --------------------------------------------------------------- split
+
+  test("splitBucket routes every key and respects rough proportions") {
+    val df = (1L to 2000L).toDF("id")
+    val got = df.select(Mixing.splitBucket(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.values.sum == 2000)
+    assert(got("train") > 1500 && got("train") < 1700, s"train=${got("train")}")
+    assert(got("val") > 120 && got("val") < 280)
+    assert(got("test") > 120 && got("test") < 280)
+    // deterministic rerun
+    val again = df.select(Mixing.splitBucket(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == got)
+  }
+
+  test("splitBucket rejects non-unit fraction sums") {
+    intercept[IllegalArgumentException] {
+      Mixing.splitBucket(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  // ----------------------------------------------------------- sequences
+
+  test("sequences splits documents into c-token chunks in order") {
+    val docs = Seq((1L, (1 to 10).map("w" + _).mkString(" ")), (2L, "  "))
+      .toDF("id", "text")
+    val got = ChunkDedup.sequences(docs, col("id"), col("text"), c = 4)
+      .orderBy("id", "seq_idx").collect()
+    assert(got.length == 3) // 10 tokens -> 4+4+2; empty doc -> none
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 4L, 2L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest("w9 w10".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(2).getString(3) == exp)
+  }
+
   // ----------------------------------------------------------- top-k/group
 
   test("perGroup keeps k best per group with deterministic ties") {

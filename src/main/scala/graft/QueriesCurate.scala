@@ -169,7 +169,11 @@ object QueriesCurate {
     * quality values live on.
     */
   val qQualityFilter: Q = (s, dir) => {
-    val q = QueriesLlm.qQuality(s, dir)
+    // persist the slim (doc_id, quality) table across the two jobs — the
+    // percentile pass and the filter would otherwise each run the full
+    // text kernel; at 8 bytes + a double per doc this caches fine at any
+    // corpus size (and Spark spills/evicts it, it's an optimization only)
+    val q = QueriesLlm.qQuality(s, dir).persist()
     // one scalar to the driver (like LangModel's V)
     val raw = q.agg(expr("percentile(quality, 0.75)")).head.getDouble(0)
     val thr = math.floor(raw * 1e6 + 0.5) / 1e6 // DuckDB round() semantics
@@ -344,7 +348,52 @@ object QueriesCurate {
       |   // ${QueriesPipeline.PackBudget})::BIGINT AS bin
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q_event_convert — view → same-user purchase within 1 hour (event
+    * time): the batch run of the stream-stream interval join in
+    * [[graft.streaming.EventStream.conversionPairs]]. Timestamps are
+    * μs-aligned in the corpus, so μs (Spark) vs ns (DuckDB) precision
+    * cannot split a boundary.
+    */
+  val qEventConvert: Q = (s, dir) =>
+    graft.streaming.EventStream.conversionPairs(Tables.events(s, dir))
+      .orderBy("view_id", "buy_id")
+
+  val qEventConvertSql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS buy_id, a.user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+      |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      |ORDER BY view_id, buy_id""".stripMargin
+
+  /** q_fuzzy_pairs — fuzzy key dedup candidates: distinct keys (first
+    * token + id-digit suffix, planting single-character neighbors) paired
+    * at levenshtein ≤ 1. The Spark plan is the FastSS deletion-blocked
+    * join; the oracle brute-forces all pairs (fine at oracle scale, the
+    * exact thing the blocked plan avoids at corpus scale).
+    */
+  val qFuzzyPairs: Q = (s, dir) => {
+    import graft.llm.TextStats
+    val keyed = Tables.documents(s, dir)
+      .where(length(trim(col("text"))) > 0)
+      .select(concat(element_at(TextStats.tokens(col("text")), 1),
+        pmod(col("doc_id"), lit(10)).cast("string")).as("k"))
+    graft.llm.Fuzzy.keyPairs(keyed, col("k"))
+      .orderBy("key_a", "key_b")
+  }
+
+  val qFuzzyPairsSql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT
+      |    (list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> len(x) > 0))[1] || (doc_id % 10)::VARCHAR AS k
+      |  FROM documents WHERE length(trim(text)) > 0)
+      |SELECT a.k AS key_a, b.k AS key_b
+      |FROM keys a JOIN keys b ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_fuzzy_pairs" -> qFuzzyPairs,
+    "q_event_convert" -> qEventConvert,
     "q_bm25" -> qBm25,
     "q_split" -> qSplit,
     "q_seq_split" -> qSeqSplit,
@@ -360,6 +409,8 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_fuzzy_pairs" -> qFuzzyPairsSql,
+    "q_event_convert" -> qEventConvertSql,
     "q_bm25" -> qBm25Sql,
     "q_split" -> qSplitSql,
     "q_seq_split" -> qSeqSplitSql,

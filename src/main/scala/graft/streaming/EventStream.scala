@@ -129,4 +129,31 @@ object EventStream {
         sum("value").as("total_value"))
       .drop("session_id")
   }
+
+  /** Stream-STREAM event-time interval join — each view paired with the
+    * same user's purchases inside `within` after it (the conversion-
+    * attribution shape). Watermarks on BOTH inputs plus the closed time
+    * interval are what let Structured Streaming bound the join state:
+    * views age out once the purchase watermark passes view_ts + within,
+    * purchases once the view watermark passes buy_ts. The same function
+    * runs in batch (withWatermark is a no-op there), which is how the
+    * q_event_convert oracle checks it; EventStreamSpec runs the genuine
+    * two-stream form and asserts batch equivalence.
+    */
+  def conversionPairs(events: DataFrame, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val buys = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("_buy_user"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    views.join(buys,
+      col("user_id") === col("_buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr(s"INTERVAL $within"))
+      .select("view_id", "buy_id", "user_id")
+  }
 }

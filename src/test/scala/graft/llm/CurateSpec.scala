@@ -183,6 +183,42 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- fuzzy
+
+  test("del1 kernel emits the string and each single deletion, distinct") {
+    assert(Fuzzy.del1("abc").toSet == Set("abc", "bc", "ac", "ab"))
+    assert(Fuzzy.del1("aa").toSet == Set("aa", "a")) // collapsed duplicates
+    assert(Fuzzy.del1("x").toSet == Set("x", ""))
+    assert(Fuzzy.del1("").toSet == Set(""))
+  }
+
+  test("fuzzy blocking finds exactly the levenshtein<=1 pairs") {
+    val keys = Seq("spark", "spork", "sparks", "park", "brick", "brisk",
+      "table", "cable", "fable", "zzz").toDF("k")
+    val got = Fuzzy.keyPairs(keys, col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force reference
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ks = keys.collect().map(_.getString(0))
+    val expect = (for {
+      a <- ks; b <- ks if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == expect)
+    // sanity on content: substitutions, insertions, deletions all present
+    assert(got.contains(("spark", "spork")))  // substitution
+    assert(got.contains(("spark", "sparks"))) // insertion
+    assert(got.contains(("park", "spark")))   // deletion
+    assert(!got.exists(p => p._1 == "brick" && p._2 == "table"))
+  }
+
   // ----------------------------------------------------------- sequences
 
   test("sequences splits documents into c-token chunks in order") {

@@ -41,6 +41,36 @@ class EventStreamSpec extends SparkSpec {
       s"stream/batch mismatch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("convstream").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir)
+
+    // genuine two-stream join: both sides derive from the same readStream
+    // source but are independent streaming relations after the filters
+    val stream = EventStream.readStream(spark, dir)
+    val joined = EventStream.conversionPairs(stream, "1 hour", "2 hours")
+    // inner stream-stream joins emit matches as they arrive — append works
+    // with a single AvailableNow micro-batch
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("convert_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("convert_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStream.conversionPairs(
+      Tables.events(spark, sf), "1 hour", "2 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "streaming join emitted no pairs")
+    assert(streamed == batch,
+      s"stream/batch mismatch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+  }
+
   test("stateful sessionization matches the batch window form") {
     import spark.implicits._
     implicit val s = spark

@@ -391,7 +391,66 @@ object QueriesCurate {
       |FROM keys a JOIN keys b ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** q_rolling — per-user 3-event moving average of event value (sliding
+    * ROW frame over a keyed window): the smoothing/trend primitive.
+    * Partitioned by user — per-group sort only, scales with group count.
+    */
+  val qRolling: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(avg("value").over(w), 6).as("mavg"))
+      .orderBy("event_id")
+  }
+
+  val qRollingSql: String =
+    """SELECT event_id, user_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q_label_centroids — element-wise mean embedding per label (the
+    * class-prototype primitive behind centroid classifiers and drift
+    * checks): posexplode + partial-aggregated groupBy(label, pos) — the
+    * shuffle carries labels × dims rows per partition, never vectors.
+    */
+  val qLabelCentroids: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
+      .orderBy("label", "pos")
+
+  val qLabelCentroidsSql: String =
+    """SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS m
+      |FROM (SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+      |        embedding
+      |      FROM embeddings)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  /** q_hist — fixed-width histogram of document length (width 25 from
+    * origin 0: purely arithmetic binning, no corpus scalars, so the
+    * binning is a narrow map and the agg is one partial-agg'd shuffle).
+    */
+  val HistWidth = 25L
+
+  val qHist: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy((col("n_chars") / HistWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  val qHistSql: String =
+    s"""SELECT (n_chars // $HistWidth)::BIGINT AS bin, count(*) AS n
+      |FROM documents GROUP BY bin ORDER BY bin""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_rolling" -> qRolling,
+    "q_label_centroids" -> qLabelCentroids,
+    "q_hist" -> qHist,
     "q_fuzzy_pairs" -> qFuzzyPairs,
     "q_event_convert" -> qEventConvert,
     "q_bm25" -> qBm25,
@@ -409,6 +468,9 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_rolling" -> qRollingSql,
+    "q_label_centroids" -> qLabelCentroidsSql,
+    "q_hist" -> qHistSql,
     "q_fuzzy_pairs" -> qFuzzyPairsSql,
     "q_event_convert" -> qEventConvertSql,
     "q_bm25" -> qBm25Sql,

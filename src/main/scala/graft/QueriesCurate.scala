@@ -447,7 +447,39 @@ object QueriesCurate {
     s"""SELECT (n_chars // $HistWidth)::BIGINT AS bin, count(*) AS n
       |FROM documents GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** q_dsir — DSIR importance weights against the English slice as the
+    * target domain: documents whose token mix looks like the target score
+    * positive. See [[graft.llm.Dsir]] for the model and scale shape.
+    */
+  val qDsir: Q = (s, dir) =>
+    graft.llm.Dsir.weights(Tables.documents(s, dir), col("doc_id"),
+      col("text"), col("lang") === "en")
+      .select(col("id").as("doc_id"), col("weight"))
+      .orderBy("doc_id")
+
+  val qDsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |occ AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+      |cr AS (SELECT w, count(*) AS c FROM occ GROUP BY w),
+      |ct AS (SELECT w, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY w),
+      |s AS (SELECT (SELECT count(*) FROM occ) AS nr,
+      |             (SELECT count(*) FROM occ WHERE lang = 'en') AS nt,
+      |             (SELECT count(*) FROM cr) AS v),
+      |wt AS (
+      |  SELECT cr.w,
+      |    ln((coalesce(ct.c, 0) + 1)::DOUBLE / (nt + v))
+      |      - ln((cr.c + 1)::DOUBLE / (nr + v)) AS lw
+      |  FROM cr LEFT JOIN ct USING (w), s)
+      |SELECT doc_id, round(avg(lw), 4) + 0 AS weight
+      |FROM occ JOIN wt USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_dsir" -> qDsir,
     "q_rolling" -> qRolling,
     "q_label_centroids" -> qLabelCentroids,
     "q_hist" -> qHist,
@@ -468,6 +500,7 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_dsir" -> qDsirSql,
     "q_rolling" -> qRollingSql,
     "q_label_centroids" -> qLabelCentroidsSql,
     "q_hist" -> qHistSql,

@@ -183,6 +183,28 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- dsir
+
+  test("dsir weights match a hand-computed reference and rank by target-likeness") {
+    val docs = Seq(
+      (1L, "aaa aaa", true),   // target-domain doc
+      (2L, "aaa bbb", false),
+      (3L, "bbb bbb", false))
+      .toDF("id", "text", "tgt")
+    val got = Dsir.weights(docs, col("id"), col("text"), col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // raw: aaa=3, bbb=3, nRaw=6; target: aaa=2, nTgt=2; V=2
+    def lw(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (2 + 2)) - math.log((cr + 1.0) / (6 + 2))
+    def r4h(x: Double) = // HALF_UP away from zero like Spark round()
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wAaa = lw(2, 3); val wBbb = lw(0, 3)
+    assert(math.abs(got(1L) - r4h(wAaa)) < 1e-9)
+    assert(math.abs(got(2L) - r4h((wAaa + wBbb) / 2)) < 1e-9)
+    assert(math.abs(got(3L) - r4h(wBbb)) < 1e-9)
+    assert(got(1L) > got(2L) && got(2L) > got(3L), "target-likeness order")
+  }
+
   // ---------------------------------------------------------------- fuzzy
 
   test("del1 kernel emits the string and each single deletion, distinct") {

@@ -478,7 +478,59 @@ object QueriesCurate {
       |FROM occ JOIN wt USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q_pipeline_e2e — the curation pipeline composed end-to-end: exact
+    * dedup (keep first) → quality gate (≥ 0.86 on the 6-dp score) →
+    * train/val/test split → per-bucket manifest (docs + tokens). Every
+    * stage is an already-oracle-checked operator; the oracle here is the
+    * same composition assembled from those queries' SQL fragments —
+    * proving the pieces compose without semantic drift.
+    */
+  val PipelineQualityMin = 0.86
+
+  val qPipelineE2e: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val deduped = graft.llm.Dedup.exact(docs, col("text"), col("doc_id"))
+    val kept = deduped
+      .join(QueriesLlm.qualityOf(deduped), "doc_id")
+      .where(col("quality") >= PipelineQualityMin)
+    kept.select(
+        graft.llm.Mixing.splitBucket(col("doc_id"), SplitBuckets).as("bucket"),
+        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("bucket")
+  }
+
+  val qPipelineE2eSql: String = {
+    val qualityOnDedup = QueriesLlm.qQualitySql
+      .replace("FROM documents", "FROM dedup")
+      .replace("ORDER BY doc_id", "")
+    val h8 = graft.llm.Mixing.rateToHex(0.8)
+    val h9 = graft.llm.Mixing.rateToHex(0.9)
+    val d = graft.llm.Mixing.HexDigits
+    s"""WITH dedup AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+      |        FROM documents GROUP BY md5(text)) k
+      |    ON md5(d.text) = k.h AND d.doc_id = k.keep),
+      |qual AS ($qualityOnDedup),
+      |kept AS (
+      |  SELECT dedup.doc_id, dedup.text FROM dedup JOIN qual USING (doc_id)
+      |  WHERE quality >= $PipelineQualityMin),
+      |bt AS (
+      |  SELECT
+      |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, $d) < '$h8' THEN 'train'
+      |         WHEN substr(md5(doc_id::VARCHAR), 1, $d) < '$h9' THEN 'val'
+      |         ELSE 'test' END AS bucket,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      |  FROM kept)
+      |SELECT bucket, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+      |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q_pipeline_e2e" -> qPipelineE2e,
     "q_dsir" -> qDsir,
     "q_rolling" -> qRolling,
     "q_label_centroids" -> qLabelCentroids,
@@ -500,6 +552,7 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_dsir" -> qDsirSql,
     "q_rolling" -> qRollingSql,
     "q_label_centroids" -> qLabelCentroidsSql,

@@ -118,9 +118,12 @@ object QueriesLlm {
     * regex passes; LlmSpec pins its equivalence to the column-algebra
     * form); the weighted band arithmetic stays column algebra.
     */
-  val qQuality: Q = (s, dir) => {
-    Tables.documents(s, dir)
-      .withColumn("_qs", TextStats.qualityStatsUdf(col("text")))
+  /** The composite quality score (doc_id, quality 6-dp) for any
+    * documents-shaped frame — shared by q_quality, q_quality_filter, and
+    * the q_pipeline_e2e composition.
+    */
+  def qualityOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("_qs", TextStats.qualityStatsUdf(col("text")))
       .select(
         col("doc_id"),
         round(
@@ -132,8 +135,9 @@ object QueriesLlm {
           + least(lit(1d), col("_qs._3") * 5) * 0.2
           + (when(col("_qs._4").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
           6).as("quality"))
-      .orderBy("doc_id")
-  }
+
+  val qQuality: Q = (s, dir) =>
+    qualityOf(Tables.documents(s, dir)).orderBy("doc_id")
 
   val qQualitySql: String = {
     val cnt = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"

@@ -38,10 +38,24 @@ object Fuzzy {
 
   /** Distinct unordered pairs (key_a < key_b) of `key` values at
     * levenshtein distance ≤ 1.
+    *
+    * `maxBucket` caps each variant bucket at its N smallest keys (the
+    * MinHash hot-bucket discipline): a pathological variant shared by
+    * millions of keys — single characters, the empty string from
+    * length-1 keys — would otherwise go quadratic. The cap trades recall
+    * ONLY inside oversized buckets, deterministically (smallest keys
+    * win); at the driver's corpus scales no bucket approaches the
+    * default, so q_fuzzy_pairs' brute-force oracle is exact.
     */
-  def keyPairs(df: DataFrame, key: Column): DataFrame = {
+  def keyPairs(df: DataFrame, key: Column,
+      maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keys = df.select(key.as("k")).where(col("k").isNotNull).distinct()
     val buckets = keys.select(col("k"), explode(del1Udf(col("k"))).as("v"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("v").orderBy("k")))
+      .where(col("_r") <= maxBucket)
+      .drop("_r")
     buckets.as("x").join(buckets.as("y"),
         col("x.v") === col("y.v") && col("x.k") < col("y.k"))
       .select(col("x.k").as("key_a"), col("y.k").as("key_b"))

@@ -241,6 +241,23 @@ class CurateSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == "brick" && p._2 == "table"))
   }
 
+  test("fuzzy hot-bucket cap bounds work deterministically") {
+    // 30 keys differing in the last char all share the "ke" variant
+    val keys = (0 until 30).map(i => "ke" + ('a' + i % 26).toChar + i / 26)
+      .distinct.toDF("k")
+    val capped = Fuzzy.keyPairs(keys, col("k"), maxBucket = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = Fuzzy.keyPairs(keys, col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(full), "cap must only REMOVE pairs")
+    assert(capped.nonEmpty && capped.size < full.size,
+      s"cap did not bind: ${capped.size} vs ${full.size}")
+    // deterministic under rerun
+    val again = Fuzzy.keyPairs(keys, col("k"), maxBucket = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again == capped)
+  }
+
   // ----------------------------------------------------------- sequences
 
   test("sequences splits documents into c-token chunks in order") {

@@ -71,6 +71,44 @@ class EventStreamSpec extends SparkSpec {
       s"stream/batch mismatch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 
+  test("stream-stream join state survives restart: purchase pairs with pre-restart view") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(mm: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$mm%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("convckpt").toString
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("view_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("buy_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    def runBatch(): Set[(Long, Long)] = {
+      val joined = EventStream.conversionPairs(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        "1 hour", "2 hours")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/pairs")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(180000)
+        spark.read.schema(outSchema).parquet(s"$base/pairs")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // run 1: only the view arrives — it must be buffered in join state
+    mem.addData(Seq((10L, ts(0), 1L, "view")))
+    assert(runBatch().isEmpty)
+    // run 2 (fresh query over the same checkpoint): the purchase must
+    // pair against the view recovered from run 1's state
+    mem.addData(Seq((20L, ts(10), 1L, "purchase"),
+      (30L, ts(11), 2L, "purchase"))) // different user: no pair
+    val pairs = runBatch()
+    assert(pairs == Set((10L, 20L)),
+      s"expected the recovered view to pair with the new purchase, got $pairs")
+  }
+
   test("stateful sessionization matches the batch window form") {
     import spark.implicits._
     implicit val s = spark

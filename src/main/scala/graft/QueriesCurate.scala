@@ -529,7 +529,53 @@ object QueriesCurate {
       |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** q_ctfidf — class-based TF-IDF (the BERTopic c-TF-IDF shape): the 5
+    * most DISTINCTIVE terms per source, scored tf(t, source) · ln(1 + A /
+    * f(t)) with f(t) the corpus term count and A the mean tokens per
+    * source. Complements q_tfidf (per-document keywords) with per-GROUP
+    * topic profiles. Two partial-aggregated counts + a broadcast term-
+    * total join + a group-partitioned rank; one corpus scalar (A).
+    */
+  val qCtfidf: Q = (s, dir) => {
+    import graft.llm.TextStats
+    val occ = Tables.documents(s, dir)
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("term"))
+    val tf = occ.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("term").agg(sum("tf").as("f"))
+    val nSources = tf.select("source").distinct().count()
+    val a = occ.count().toDouble / nSources // mean tokens per source
+    val scored = tf.join(broadcast(tot), "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(1d) + lit(a) / col("f")), 6))
+    graft.operators.TopK.perGroup(scored, col("source"), col("score"),
+      col("term"), k = 5)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("term"),
+        col("score"))
+      .orderBy("source", "rk")
+  }
+
+  val qCtfidfSql: String =
+    """WITH occ AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (SELECT source, term, count(*) AS tf FROM occ GROUP BY source, term),
+      |tot AS (SELECT term, sum(tf)::BIGINT AS f FROM tf GROUP BY term),
+      |a AS (SELECT (SELECT count(*) FROM occ)::DOUBLE
+      |             / (SELECT count(DISTINCT source) FROM tf) AS a),
+      |scored AS (
+      |  SELECT source, term, round(tf * ln(1 + a.a / f), 6) AS score
+      |  FROM tf JOIN tot USING (term), a)
+      |SELECT source, rk, term, score FROM (
+      |  SELECT source, term, score,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_ctfidf" -> qCtfidf,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_dsir" -> qDsir,
     "q_rolling" -> qRolling,
@@ -552,6 +598,7 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_ctfidf" -> qCtfidfSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_dsir" -> qDsirSql,
     "q_rolling" -> qRollingSql,

@@ -205,6 +205,22 @@ class CurateSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > got(3L), "target-likeness order")
   }
 
+  test("dsir log-ratio table joins broadcast (map-side scoring)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Dsir.weights(docs, col("doc_id"), col("text"),
+      col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio join not broadcast:\n$plan")
+  }
+
+  test("bm25 df table joins broadcast") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Bm25.topDocs(docs, col("doc_id"), col("text"),
+      Seq("spark", "merge"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df-table join not broadcast:\n$plan")
+  }
+
   // ---------------------------------------------------------------- fuzzy
 
   test("del1 kernel emits the string and each single deletion, distinct") {

@@ -35,6 +35,57 @@ object LlmProperties extends Properties("llm") {
       d.map(_ ^ k).distinct.length == d.length
     }
 
+  // ---- fuzzy deletion-blocking completeness (Fuzzy.keyPairs relies on
+  // this: any pair within levenshtein 1 MUST share a del1 variant, or the
+  // blocked join silently loses it) ----
+
+  private val shortStr: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString)
+
+  private def mutate(s: String): Gen[String] = {
+    val sub = for {
+      i <- Gen.chooseNum(0, s.length - 1); c <- Gen.alphaNumChar
+    } yield s.substring(0, i) + c + s.substring(i + 1)
+    val ins = for {
+      i <- Gen.chooseNum(0, s.length); c <- Gen.alphaNumChar
+    } yield s.substring(0, i) + c + s.substring(i)
+    val del = Gen.chooseNum(0, s.length - 1)
+      .map(i => s.substring(0, i) + s.substring(i + 1))
+    Gen.oneOf(sub, ins, del)
+  }
+
+  property("del1 neighborhoods intersect for every distance<=1 mutation") =
+    forAll(shortStr.flatMap(s => mutate(s).map((s, _)))) { case (a, b) =>
+      Fuzzy.del1(a).toSet.intersect(Fuzzy.del1(b).toSet).nonEmpty
+    }
+
+  property("del1 emits the string plus at most len deletions, each 1 shorter") =
+    forAll(shortStr) { s =>
+      val d = Fuzzy.del1(s)
+      d.contains(s) && d.length <= s.length + 1 &&
+        d.filterNot(_ == s).forall(_.length == s.length - 1)
+    }
+
+  // ---- normalization canonicality ----
+
+  private val messyText: Gen[String] = {
+    val piece = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf(" ", "\t", "\n", "  ", "Café", "CAFÉ", "ﬁ", "ＡＢ"))
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString)
+  }
+
+  property("normalize is idempotent") = forAll(messyText) { s =>
+    val once = Normalize.normalize(s)
+    Normalize.normalize(once) == once
+  }
+
+  property("normalize output has no edge/doubled whitespace or uppercase") =
+    forAll(messyText) { s =>
+      val n = Normalize.normalize(s)
+      n == n.trim && !n.contains("  ") && !n.exists(c => c.isUpper) &&
+        !n.exists(c => c == '\t' || c == '\n')
+    }
+
   // random text over an alphabet rich in boundary cases: markers,
   // marker-substring words ("sand" contains "and"), punctuation glued to
   // markers, digits, CJK, tabs/newlines, empty runs

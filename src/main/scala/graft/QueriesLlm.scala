@@ -123,18 +123,7 @@ object QueriesLlm {
     * the q_pipeline_e2e composition.
     */
   def qualityOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.withColumn("_qs", TextStats.qualityStatsUdf(col("text")))
-      .select(
-        col("doc_id"),
-        round(
-          (when(col("_qs._1").between(100, 20000), 1d)
-            .when(col("_qs._1") < 100, col("_qs._1") / 100d)
-            .otherwise(lit(20000d) / col("_qs._1"))) * 0.3
-          + (when(col("_qs._2") <= 0.2, 1d)
-              .otherwise(greatest(lit(0d), lit(1d) - (col("_qs._2") - 0.2) * 2))) * 0.3
-          + least(lit(1d), col("_qs._3") * 5) * 0.2
-          + (when(col("_qs._4").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
-          6).as("quality"))
+    df.select(col("doc_id"), TextStats.qualityScoreKernel(col("text")).as("quality"))
 
   val qQuality: Q = (s, dir) =>
     qualityOf(Tables.documents(s, dir)).orderBy("doc_id")

@@ -221,6 +221,25 @@ object TextStats {
     (len, pr, sr, mwl)
   }
 
+  /** [[qualityScore]] computed from the single-pass [[qualityStatsUdf]]
+    * kernel instead of four regex passes — same bands, same 6-dp result
+    * (LlmSpec pins the kernel/columnar equivalence). Stateless column —
+    * identical in batch (q_quality's oracle pins it against DuckDB) and
+    * streaming (DocStream.qualityGate).
+    */
+  def qualityScoreKernel(text: Column): Column = {
+    val qs = qualityStatsUdf(text)
+    round(
+      (when(qs.getField("_1").between(100, 20000), 1d)
+        .when(qs.getField("_1") < 100, qs.getField("_1") / 100d)
+        .otherwise(lit(20000d) / qs.getField("_1"))) * 0.3
+      + (when(qs.getField("_2") <= 0.2, 1d)
+          .otherwise(greatest(lit(0d), lit(1d) - (qs.getField("_2") - 0.2) * 2))) * 0.3
+      + least(lit(1d), qs.getField("_3") * 5) * 0.2
+      + (when(qs.getField("_4").between(3, 10), 1d).otherwise(0.5d)) * 0.2,
+      6)
+  }
+
   /** Single-pass kernel for the basic text statistics: whitespace token
     * count, sentence-punctuation count ([.,!?;:] over the original text),
     * mean word length, and the whitespace-collapsed form (for columnar

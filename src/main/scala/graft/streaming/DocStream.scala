@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.llm.Dedup
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection over a document stream: MinHash
@@ -60,6 +60,19 @@ object DocStream {
     * may be flagged once per agreeing band; distinct-ify downstream
     * (`flags.dropDuplicates("doc_id")` or a keep-first join).
     */
+  /** Stateless streaming quality gate: score each arriving document with
+    * the shared single-pass kernel ([[graft.llm.TextStats.qualityScore]],
+    * oracle-pinned in batch by q_quality) and keep those at or above
+    * `minQuality`. No state, no watermark, no shuffle — a pure streaming
+    * map + filter whose throughput scales with ingest parallelism; the
+    * natural first stage in front of the stateful near-dup flagger below.
+    */
+  def qualityGate(docs: DataFrame, minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.withColumn("quality", graft.llm.TextStats.qualityScoreKernel(col("text")))
+      .where(col("quality") >= minQuality)
+  }
+
   def nearDupFlags(docs: Dataset[Doc],
                    shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, maxBucketSize: Int = 200,

@@ -574,7 +574,79 @@ object QueriesCurate {
       |  FROM scored)
       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** q_funnel — ordered-stage conversion funnel over event time: users
+    * whose first view precedes a click precedes a purchase (strictly
+    * increasing ns timestamps). Three keyed min-aggregations + two
+    * same-key joins — every shuffle is on user_id, so the stages
+    * co-partition and the funnel scales with user count. Times compared
+    * in raw nanoseconds on both engines.
+    */
+  val qFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def firstAfter(evType: String, prev: org.apache.spark.sql.DataFrame,
+        prevTs: String, out: String) =
+      ev.where(col("event_type") === evType)
+        .join(prev, "user_id")
+        .where(col("ts_ns") > col(prevTs))
+        .groupBy("user_id").agg(min("ts_ns").as(out))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2
+      |  GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** q_cohort — retention matrix: users grouped by first-activity day
+    * (cohort), counted per day-offset of later activity. Day arithmetic
+    * on raw ns epochs (86 400e9) keeps both engines on exact integer
+    * math — no timezone or truncation semantics in play.
+    */
+  val qCohort: Q = (s, dir) => {
+    // integral div — long `/` is double division and ns epochs exceed 2^53
+    // (the Tables.normalizeEventTs precedent)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  val qCohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+      |SELECT cohort, day - cohort AS day_offset, count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN cohorts USING (user_id)
+      |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_cohort" -> qCohort,
     "q_ctfidf" -> qCtfidf,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_dsir" -> qDsir,
@@ -598,6 +670,8 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_cohort" -> qCohortSql,
     "q_ctfidf" -> qCtfidfSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_dsir" -> qDsirSql,

@@ -644,7 +644,54 @@ object QueriesCurate {
       |FROM ev JOIN cohorts USING (user_id)
       |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin
 
+  /** q_pagerank — join-based PageRank (3 damped power-iteration steps,
+    * 9-dp rounding per update on both engines) over a deterministic
+    * synthetic link graph: every document links to (id·13+7) mod N and
+    * (id·29+1) mod N — two out-links each, ids 0..N−1 contiguous by
+    * construction of the corpus. The oracle unrolls the same iterations.
+    */
+  val PrIters = 3
+  val PrDamping = 0.85
+
+  val qPagerank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("id"))
+    val edges = nodes.select(col("id").as("src"),
+        pmod(col("id") * 13 + 7, lit(n)).as("dst"))
+      .unionByName(nodes.select(col("id").as("src"),
+        pmod(col("id") * 29 + 1, lit(n)).as("dst")))
+    graft.operators.PageRank.run(nodes, edges, PrIters, PrDamping)
+      .select(col("id").as("doc_id"), col("r").as("pr"))
+      .orderBy("doc_id")
+  }
+
+  val qPagerankSql: String = {
+    val iterBlocks = (1 to PrIters).map { t =>
+      val p = s"r${t - 1}"
+      s"""c$t AS (
+         |  SELECT e.dst AS id, sum(r.r / e.deg) AS s
+         |  FROM edges e JOIN $p r ON e.src = r.id GROUP BY e.dst),
+         |r$t AS (
+         |  SELECT n.id,
+         |    round((1 - $PrDamping) / nn.n + $PrDamping * coalesce(c$t.s, 0), 9) AS r
+         |  FROM nodes n LEFT JOIN c$t USING (id), nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |e0 AS (
+       |  SELECT id AS src, (id * 13 + 7) % (SELECT count(*) FROM nodes) AS dst FROM nodes
+       |  UNION ALL
+       |  SELECT id, (id * 29 + 1) % (SELECT count(*) FROM nodes) FROM nodes),
+       |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e0 GROUP BY src),
+       |edges AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |r0 AS (SELECT id, round(1.0 / nn.n, 9) AS r FROM nodes, nn),
+       |$iterBlocks
+       |SELECT id AS doc_id, r AS pr FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q_pagerank" -> qPagerank,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_ctfidf" -> qCtfidf,
@@ -670,6 +717,7 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_ctfidf" -> qCtfidfSql,

@@ -690,7 +690,60 @@ object QueriesCurate {
        |SELECT id AS doc_id, r AS pr FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  /** q_group_sample — exactly-k-per-stratum deterministic sample: rank
+    * each source's documents by the md5 hash surrogate (the [[graft.llm
+    * .Mixing]] uniform key) and keep the 10 smallest — fixed-size
+    * per-group sampling that is reproducible across engines and layouts,
+    * where rate-based gates ([[graft.llm.Mixing.stratifiedSample]]) give
+    * binomial counts.
+    */
+  val qGroupSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("hp", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        graft.llm.Mixing.hashPrefix(col("doc_id")).as("hp"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
+  val qGroupSampleSql: String = {
+    val d = graft.llm.Mixing.HexDigits
+    s"""SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY substr(md5(doc_id::VARCHAR), 1, $d), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+  }
+
+  /** q_dedup_rate — per-source duplication report: documents, distinct
+    * texts, and duplicate fraction — the dataset-card statistic behind
+    * "source X is 40% mirrors". Digest-grouped exact counts, partial-
+    * aggregated; text never shuffles (md5 only).
+    */
+  val qDedupRate: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6)
+          .as("dup_frac"))
+      .orderBy("source")
+
+  val qDedupRateSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6) AS dup_frac
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_group_sample" -> qGroupSample,
+    "q_dedup_rate" -> qDedupRate,
     "q_pagerank" -> qPagerank,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
@@ -717,6 +770,8 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_group_sample" -> qGroupSampleSql,
+    "q_dedup_rate" -> qDedupRateSql,
     "q_pagerank" -> qPagerankSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,

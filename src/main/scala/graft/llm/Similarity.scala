@@ -219,28 +219,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN near-dup pairs: bucket self-join per table, verify cosine.
+  /** ANN near-dup pairs: bucket grouping per table, verify cosine.
     *
     * Candidate generation shuffles (table, bucket, id) triples ONLY — the
-    * full vectors would otherwise ride the explode and both join sides
-    * ×tables copies through the exchange. Vectors are joined back by id
-    * exactly once per side for the verify, the same slim-shuffle shape as
-    * [[Dedup.minhashNearDupPairs]]. Candidate cardinality ~ O(near-dups),
-    * not O(corpus²), so the verify join payload stays small.
+    * full vectors would otherwise ride the explode ×tables copies through
+    * the exchange. Buckets are built by groupBy + sorted collect_list and
+    * pairs explode with plain column algebra, the same shape as
+    * [[Dedup.minhashNearDupPairs]] — grouping instead of a bucket
+    * self-join scans the signature lineage once, not twice. Degenerate
+    * buckets (near-zero or duplicated embeddings collapsing onto one
+    * signature) are capped at `maxBucketSize` members, the same skew guard
+    * every sibling LSH path carries (MinHash 200, winnowing 200, fuzzy
+    * 10k): an uncapped hot bucket is |bucket|² candidate rows — the
+    * classic skewed-key scale-killer at 100 TB — while a bucket that
+    * co-locates >cap of the corpus carries no near-dup signal. Vectors
+    * are joined back by id exactly once for the verify, so candidate
+    * cardinality ~ O(near-dups), not O(corpus²).
     */
   def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       threshold: Double, dim: Int = 64, tables: Int = 6,
-                      bits: Int = 10): DataFrame = {
+                      bits: Int = 10, maxBucketSize: Int = 200): DataFrame = {
     val planes = hyperplanes(dim, tables, bits)
     val prepared = df.select(id.as("id"), normalized(vec).as("v"))
     val tagged = prepared.select(col("id"),
       posexplode(array(planes.map(tp => signature(col("v"), tp)): _*))
         .as(Seq("table_idx", "bucket")))
-    val a = tagged.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
-    val b = tagged.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("table_idx", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = tagged
+      .groupBy("table_idx", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // single vector pass + single join (pairs explode to member ids, the
     // vector table joins once, the pair reassembles by grouping) — the
@@ -271,13 +282,22 @@ object Similarity {
     * Scale shape: the assignment is a narrow map against k broadcast
     * literal centroids (no join); the pair stage shuffles (cluster, id,
     * vec) once, grouped by cluster. Cluster count governs both skew and
-    * cost — at corpus scale pick k ~ √n (cells of ~√n vectors) instead of
-    * this query's fixed 8, exactly as with the IVF index.
+    * cost: k ~ √n gives cells of ~√n vectors, so the within-cluster pair
+    * space is ~n total instead of n² — pass k ≤ 0 to derive it from a
+    * cheap count ([[semanticDedupAutoK]]). `maxClusterSize` guards the
+    * residual skew (most of a corpus collapsing into one cell): oversized
+    * cells are dropped before any pair is generated, the same cap
+    * discipline as the LSH paths.
     */
+  def semanticDedupAutoK(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
-      threshold: Double, maxId: Long = Long.MaxValue): DataFrame = {
+      threshold: Double, maxId: Long = Long.MaxValue,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val s = df.where(id < maxId).select(id.as("id"), normalized(vec).as("v"))
-    val centroids: Array[(Long, Array[Double])] = s.orderBy("id").limit(k)
+    val kEff = if (k > 0) k else semanticDedupAutoK(s.count())
+    val centroids: Array[(Long, Array[Double])] = s.orderBy("id").limit(kEff)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(centroids.nonEmpty, "semanticDedupPairs: empty corpus slice")
     // bind each centroid similarity once (the argmax fold then compares
@@ -298,8 +318,18 @@ object Similarity {
           struct(col(s"_csim_$i").as("sim"), lit(cid).as("cid")))
           .otherwise(acc)
     }
-    val assigned = withSims.withColumn("cid", best.getField("cid"))
+    val assigned0 = withSims.withColumn("cid", best.getField("cid"))
       .drop(centroids.indices.map(i => s"_csim_$i"): _*)
+    // skew guard: a cell holding more than maxClusterSize vectors would be
+    // |cell|² pairs — drop it before any pair exists. The size table is
+    // ≤ k rows, so the gate is a broadcast semi-join, not a shuffle.
+    val assigned =
+      if (maxClusterSize == Int.MaxValue) assigned0
+      else {
+        val small = assigned0.groupBy("cid").agg(count(lit(1)).as("_n"))
+          .where(col("_n") <= maxClusterSize).select("cid")
+        assigned0.join(broadcast(small), Seq("cid"), "left_semi")
+      }
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid"))

@@ -201,6 +201,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ann near-dup hot-bucket cap bounds degenerate-embedding candidates") {
+    import spark.implicits._
+    // 1,000 identical vectors: every table hashes them all into ONE bucket.
+    // Uncapped that is 1000·999/2 ≈ 500k candidate pairs; the cap drops the
+    // oversized buckets entirely, so the pair count is bounded by
+    // tables · cap² regardless of corpus size.
+    val one = Array.fill(16)(1.0f)
+    val df = (0L until 1000L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val capped = Similarity.annNearDupPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.99, dim = 16, tables = 6, bits = 8, maxBucketSize = 50)
+    assert(capped.count() == 0, "oversized degenerate buckets must be dropped")
+    // and a mixed corpus keeps its small-bucket signal: plant 10 dups among
+    // 1,000 identical decoys — the dup pairs still surface because their
+    // buckets are small once the degenerate bucket is excluded
+    val rnd = new scala.util.Random(7)
+    val planted = (1000L until 1010L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val dups = planted.map { case (i, v) => (i + 10, v.map(_ * 1.001f)) }
+    val mixed = ((0L until 1000L).map(i => (i, one)) ++ planted ++ dups)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.annNearDupPairs(mixed, col("vec_id"), col("embedding"),
+      threshold = 0.99, dim = 16, tables = 6, bits = 8, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1000L until 1010L).foreach { i =>
+      assert(pairs.contains((i, i + 10)), s"missing planted pair $i under cap")
+    }
+  }
+
   test("text stats basics") {
     import spark.implicits._
     val df = Seq("one two  three", "", "  ").toDF("text")

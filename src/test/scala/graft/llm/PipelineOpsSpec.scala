@@ -245,4 +245,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairSet.contains((0L, 2L)))
     assert(!pairSet.contains((1L, 2L)), "cross-cluster pair leaked")
   }
+
+  test("semantic dedup auto-k and skewed-cluster cap") {
+    import spark.implicits._
+    // k ≤ 0 derives k = max(8, ceil(sqrt(n)))
+    assert(Similarity.semanticDedupAutoK(4L) == 8)
+    assert(Similarity.semanticDedupAutoK(10000L) == 100)
+    assert(Similarity.semanticDedupAutoK(10001L) == 101)
+    // skewed corpus: 200 copies of +x collapse into one cell, plus a small
+    // +y cell with a planted near-dup. The cap drops the degenerate cell
+    // (which would be ~20k pairs) but keeps the small cell's pair.
+    val skew = (2L until 200L).map(i => (i, Array(1f, 0f, 0f)))
+    val vecs = (Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (200L, Array(0f, 0.99f, 0.1f))) ++ skew).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(vecs, col("vec_id"),
+      col("embedding"), k = 2, threshold = 0.9, maxClusterSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 200L)),
+      s"capped cell must contribute nothing, small cell survives: $pairs")
+    // auto-k end-to-end: k ≤ 0 still returns the planted pair (n=201 → k=15)
+    val auto = Similarity.semanticDedupPairs(vecs, col("vec_id"),
+      col("embedding"), k = 0, threshold = 0.9, maxClusterSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((1L, 200L)), s"auto-k lost the planted pair: $auto")
+  }
 }

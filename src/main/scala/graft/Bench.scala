@@ -29,9 +29,20 @@ object Bench {
     } catch { case _: Throwable => }
     // min-of-N per query: a single sample is hostage to GC pauses / JIT /
     // machine drift (BENCH_r02's q_text_stats "regression" gate); the min
-    // is the least-noisy estimator of the plan's actual cost
+    // is the least-noisy estimator of the plan's actual cost. ALL samples
+    // plus per-query GC-time deltas and wall-clock timestamps are emitted
+    // too, so a machine stall (r4) is attributable from the JSON alone:
+    // a stalled query shows one wild sample among normal ones and/or a
+    // gc_ms spike, a real regression shows every sample uniformly slower.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val startedAtMs = System.currentTimeMillis()
     var failures = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -39,6 +50,8 @@ object Bench {
       // execute the FULL physical plan (projection, sort, every output
       // column) without collecting to the driver; a count() would let
       // Catalyst prune the query's own work away
+      val gc0 = gcMillis()
+      val at = System.currentTimeMillis() - startedAtMs
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
@@ -46,13 +59,21 @@ object Bench {
       }
       val ok = samples.forall(_ >= 0)
       if (!ok) failures ::= name
-      name -> (if (ok) samples.min else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, if (ok) samples.min else -1.0, samples, gcMillis() - gc0, at)
+    }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    def fmtSec(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val sampleStr = results.map { case (k, _, ss, _, _) =>
+      "\"" + k + "\":[" + ss.map(fmtSec).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcStr = results.map { case (k, _, _, gc, _) => s"\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val atStr = results.map { case (k, _, _, _, at) => s"\"" + k + "\":" + at }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failStr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"started_at_ms":$startedAtMs,"reps":$reps,"sf":"$sfDir","failures":$failStr}""")
     spark.stop()
   }
 }

@@ -174,9 +174,13 @@ object QueriesCurate {
     // text kernel; at 8 bytes + a double per doc this caches fine at any
     // corpus size (and Spark spills/evicts it, it's an optimization only)
     val q = QueriesLlm.qQuality(s, dir).persist()
-    // one scalar to the driver (like LangModel's V)
-    val raw = q.agg(expr("percentile(quality, 0.75)")).head.getDouble(0)
-    val thr = math.floor(raw * 1e6 + 0.5) / 1e6 // DuckDB round() semantics
+    // one scalar to the driver (like LangModel's V). Exact percentile here
+    // because the oracle's quantile_cont interpolates; the production
+    // sketch path is the same call with exact = false
+    // (Profile.percentileThreshold; ProfileSpec pins both paths to the
+    // same 6-dp grid point on this distribution)
+    val thr = graft.operators.Profile.percentileThreshold(
+      q, col("quality"), 0.75, exact = true)
     q.where(col("quality") >= thr).orderBy("doc_id")
   }
 

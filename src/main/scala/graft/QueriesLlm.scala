@@ -384,13 +384,14 @@ object QueriesLlm {
       |  list_min(qv)::BIGINT AS qmin
       |FROM q ORDER BY vec_id""".stripMargin
 
-  /** q_multimodal_meta — multimodal metadata plumbing: synthesize payload
-    * table, resize metadata; the arithmetic is SQL-expressible so the
-    * schema/stage shape is oracle-checked (decode itself is the stub).
+  /** q_multimodal_meta — multimodal metadata plumbing: synthesize the real
+    * encoded media table, thumbnail-resize the metadata. Dims mirror the
+    * encoded truth (PNG 4..53 × 4..43, audio 0×0, 8×8 frames), so the
+    * resize math is SQL-expressible from the corpus recipe.
     */
   val qMultimodalMeta: Q = (s, dir) => {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id"))
-    Multimodal.resizeMeta(media, 256)
+    Multimodal.resizeMeta(media, 32)
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.width").as("w"), col("meta.height").as("h"))
       .orderBy("media_id")
@@ -398,47 +399,74 @@ object QueriesLlm {
 
   val qMultimodalMetaSql: String =
     """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |         ELSE 'video/mp4' END AS mime,
-      |    (doc_id % 1920 + 1)::INT AS width,
-      |    (doc_id % 1080 + 1)::INT AS height
+      |  SELECT doc_id AS media_id, doc_id % 3 AS k,
+      |    (CASE doc_id % 3 WHEN 0 THEN doc_id % 50 + 4 WHEN 1 THEN 0 ELSE 8 END)::INT AS width,
+      |    (CASE doc_id % 3 WHEN 0 THEN doc_id % 40 + 4 WHEN 1 THEN 0 ELSE 8 END)::INT AS height
       |  FROM documents)
-      |SELECT media_id, mime,
-      |  CASE WHEN greatest(width, height) <= 256 THEN width
-      |       ELSE ceil(width * (256.0 / greatest(width, height)))::INT END AS w,
-      |  CASE WHEN greatest(width, height) <= 256 THEN height
-      |       ELSE ceil(height * (256.0 / greatest(width, height)))::INT END AS h
+      |SELECT media_id,
+      |  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |         ELSE 'video/x-frameseq' END AS mime,
+      |  CASE WHEN greatest(width, height) <= 32 THEN width
+      |       ELSE ceil(width * (32.0 / greatest(width, height)))::INT END AS w,
+      |  CASE WHEN greatest(width, height) <= 32 THEN height
+      |       ELSE ceil(height * (32.0 / greatest(width, height)))::INT END AS h
       |FROM m ORDER BY media_id""".stripMargin
 
-  /** q_multimodal_features — the decode/feature-extract stage (stubbed
-    * decode, real plumbing). The stub's fold is plain double byte
-    * arithmetic, so DuckDB replays it from the synthetic payload recipe:
-    * fsum = Σ_buckets (bucket_sum / n) = (Σ bytes/255) / n up to the
-    * float32 cast of each of the 16 features (≤2e-7 — invisible at
-    * round-4; validated against the boundary at both sf0.01 and sf0.1).
+  /** q_multimodal_features — the REAL decode/feature-extract stage: the
+    * engine parses actual PNG pixels (javax.imageio), WAV PCM samples
+    * (javax.sound.sampled) and frame-sequence containers; the oracle
+    * PREDICTS the decoded features from the closed-form content recipe
+    * without decoding anything — agreement means the bytes were truly
+    * parsed. All feature arithmetic is exact IEEE double both engines
+    * reproduce bit-identically (integer sums < 2^53, identical division
+    * and left-assoc fold order).
     */
   val qMultimodalFeatures: Q = (s, dir) => {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id"))
-    Multimodal.extractFeatures(media, col("payload"))
-      .select(col("media_id"), size(col("features")).cast("long").as("dim"),
+    Multimodal.extractFeatures(media, col("payload"), col("meta.mime"))
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        size(col("features")).cast("long").as("dim"),
+        round(element_at(col("features"), 3), 4).as("f2"),
         round(aggregate(col("features"), lit(0d), (a, x) => a + x), 4).as("fsum"))
       .orderBy("media_id")
   }
 
   val qMultimodalFeaturesSql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |    repeat(md5(doc_id::VARCHAR), (doc_id % 127 + 2)::INT) AS s
-      |  FROM documents),
-      |v AS (
-      |  SELECT media_id, length(s) AS len,
-      |    list_sum(list_transform(string_split(s, ''), c -> ascii(c))) AS code_sum
-      |  FROM m)
-      |SELECT media_id, 16::BIGINT AS dim,
-      |  round((code_sum / 255.0) / greatest(1, len // 16), 4) AS fsum
-      |FROM v ORDER BY media_id""".stripMargin
+    """WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+      |img AS (
+      |  SELECT media_id,
+      |    (media_id % 50 + 4)::DOUBLE AS w, (media_id % 40 + 4)::DOUBLE AS h,
+      |    (media_id % 199)::DOUBLE AS rb, (media_id * 3 % 199)::DOUBLE AS gb,
+      |    (media_id * 7 % 256)::DOUBLE AS bb
+      |  FROM m WHERE k = 0),
+      |aud AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, (media_id % 500 + 100)::INT),
+      |      t -> ((media_id + 3 * t) % 256 - 128)::DOUBLE) AS s
+      |  FROM m WHERE k = 1),
+      |vid AS (
+      |  SELECT media_id, (media_id % 3 + 2) AS f,
+      |    list_aggregate(list_transform(range(0, (media_id % 3 + 2)::INT),
+      |      i -> ((media_id + 17 * i) % 256)::DOUBLE), 'avg') AS mean_r
+      |  FROM m WHERE k = 2),
+      |feat AS (
+      |  SELECT media_id, 'image/png' AS mime, 5::BIGINT AS dim,
+      |    rb + (w - 1) / 2 AS f2,
+      |    w + h + (rb + (w - 1) / 2) + (gb + (h - 1) / 2) + bb AS fsum
+      |  FROM img
+      |  UNION ALL
+      |  SELECT media_id, 'audio/wav', 4::BIGINT,
+      |    list_aggregate(s, 'min'),
+      |    len(s)::DOUBLE + list_aggregate(s, 'avg')
+      |      + list_aggregate(s, 'min') + list_aggregate(s, 'max')
+      |  FROM aud
+      |  UNION ALL
+      |  SELECT media_id, 'video/x-frameseq', 4::BIGINT,
+      |    8.0,
+      |    (f + 8 + 8)::DOUBLE + mean_r
+      |  FROM vid)
+      |SELECT media_id, mime, dim, round(f2, 4) AS f2, round(fsum, 4) AS fsum
+      |FROM feat ORDER BY media_id""".stripMargin
 
   /** q_events_hourly — event-time windowed aggregation (the batch shape of
     * the streaming pipeline; see graft.streaming for the readStream form).
@@ -685,8 +713,13 @@ object QueriesLlm {
     * [[Similarity.semanticDedupPairs]]).
     */
   val qSemanticDedup: Q = (s, dir) =>
+    // args pinned explicitly (incl. the uncapped cluster size — the SQL
+    // oracle generates the full within-cluster pair space) so the
+    // engine-side AutoClusterCap default can evolve without moving this
+    // oracle; the id-bounded slice keeps the pair space fixed at any sf
     Similarity.semanticDedupPairs(Tables.embeddings(s, dir), col("vec_id"),
-      col("embedding"), k = 8, threshold = 0.3, maxId = 1000)
+      col("embedding"), k = 8, threshold = 0.3, maxId = 1000,
+      maxClusterSize = Int.MaxValue)
       .orderBy("id_a", "id_b")
 
   val qSemanticDedupSql: String =

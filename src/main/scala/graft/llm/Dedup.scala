@@ -46,6 +46,35 @@ object Dedup {
   def exactGroups(df: DataFrame, key: Column): DataFrame =
     df.groupBy(xxhash64(key).as("dup_key")).count().where(col("count") > 1)
 
+  /** Shared LSH bucket builder: group `tagged` rows by `keys`, collect the
+    * sorted member-id array, keep buckets of >= 2 members TRUNCATED to
+    * their first `cap` ids.
+    *
+    * The cap is the hot-bucket skew guard every LSH path carries: an
+    * uncapped bucket is |bucket|² candidate pairs — the classic
+    * skewed-key scale-killer at 100 TB. Truncation (not dropping) keeps
+    * recall on giant exact-duplicate clusters (boilerplate pages
+    * collapsing onto one signature are the highest-value dedup targets):
+    * the first `cap` sorted members still pair with each other, so the
+    * cluster is flagged and transitively collapsible, at ≤ cap²/2 cost.
+    * The cap is applied by a `row_number` window over the SAME
+    * partitioning the groupBy needs — Spark reuses the exchange, and the
+    * collect_list buffer is bounded at `cap` ids instead of materializing
+    * the full hot bucket before slicing.
+    */
+  private[llm] def cappedBuckets(tagged: DataFrame, keys: Seq[String],
+      idCol: String, cap: Int): DataFrame = {
+    require(cap >= 2,
+      s"bucket cap must be >= 2 (got $cap) — a smaller cap silently yields no pairs")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+  }
+
   // ---------------- shingling + MinHash ----------------
 
   /** Distinct word n-gram shingles of a text column (pure column algebra:
@@ -226,12 +255,11 @@ object Dedup {
       .where(col("sb").isNotNull)
       .select(col("id"), posexplode(col("sb._2")).as(Seq("band_idx", "band_key")))
     // skew guard: degenerate signatures (boilerplate/near-empty docs) can
-    // produce quadratic hot buckets; cap bucket size like production LSH
-    // dedup pipelines do — oversized buckets carry no near-dup signal
-    val buckets = exploded
-      .groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
+    // produce quadratic hot buckets; truncate oversized buckets to their
+    // first `maxBucketSize` sorted members (see [[cappedBuckets]] — recall
+    // on giant duplicate clusters survives, cost stays bounded)
+    val buckets = cappedBuckets(exploded, Seq("band_idx", "band_key"), "id",
+      maxBucketSize)
     // all (i < j) pairs of the sorted bucket: explode each member, then
     // explode the ids after it — worst case maxBucketSize² rows per
     // bucket, bounded by the cap

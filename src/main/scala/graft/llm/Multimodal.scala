@@ -1,21 +1,41 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * payloads with typed metadata, plus decode / feature-extract /
-  * frame-sample stages.
+  * payloads with typed metadata, plus REAL decode / feature-extract /
+  * frame-sample stages built on the JDK's own codecs — `javax.imageio`
+  * (PNG/JPEG/BMP/GIF) for stills and frame sequences,
+  * `javax.sound.sampled` (WAV/AIFF) for audio. No external dependency,
+  * no stub: [[decodeImage]] parses actual PNG bytes pixel by pixel,
+  * [[decodeAudio]] parses actual RIFF/WAVE PCM, [[decodeFrames]] walks a
+  * length-prefixed PNG frame container (the stand-in for a video
+  * bitstream — the JDK ships no H.264 decoder, so "video" rows carry an
+  * honest `video/x-frameseq` container of real encoded frames).
   *
-  * The Spark-side shapes — schema, partition-friendly batching, UDF
-  * signatures over binary, array<float> feature columns — are real and
-  * tested. The media decode itself is STUBBED with a deterministic fake
-  * (this container ships no image/audio codecs); swap [[decodeStub]] for a
-  * real decoder (e.g. a JNI/FFI call or mapInPandas + PIL on a Python
-  * cluster) without touching any surrounding plan.
+  * Scale shape: every decode is a narrow per-row kernel (binary in,
+  * fixed-width struct out) — no shuffle, no driver involvement; the
+  * payload column never moves except through the one projection that
+  * decodes it, and downstream stages carry only the slim feature struct.
+  * On a real cluster the same plan applies whether payloads are inlined
+  * in parquet or externalized to object-store keys.
+  *
+  * The synthetic corpus ([[syntheticMedia]]) encodes real media whose
+  * CONTENT is a closed-form recipe of `media_id` (gradient PNGs, modular
+  * PCM waveforms), so a SQL oracle can predict the decoded features
+  * without decoding: the engine must actually parse the bytes to agree.
   */
 object Multimodal {
+
+  ImageIO.setUseCache(false) // in-memory codec paths; no temp-file cache
 
   /** Typed metadata carried next to every payload. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -29,57 +49,255 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** Deterministic synthetic media table derived from any source table —
-    * payload bytes and metadata are functions of the id, so tests and
-    * benchmarks are reproducible without binary fixtures.
+  val MimeImage = "image/png"
+  val MimeAudio = "audio/wav"
+  val MimeVideo = "video/x-frameseq"
+
+  val SampleRateHz = 8000
+  val FrameMs = 40L // 25 fps frame sequence
+
+  // ---------------- synthetic corpus recipes (closed-form in media_id) ----
+
+  /** PNG dims/gradient bases: width 4..53, height 4..43; red ramps along x
+    * from `rBase`, green along y from `gBase`, blue constant — all chosen
+    * so no channel value wraps past 255 (means stay closed-form).
     */
-  def syntheticMedia(df: DataFrame, id: Column): DataFrame =
-    df.select(id.cast("long").as("media_id"))
-      .withColumn("payload",
-        // pseudo-payload: the utf8 bytes of a seeded hex blob, length 64-4096
-        encode(repeat(md5(col("media_id").cast("string")),
-          (pmod(col("media_id"), lit(127)) + 2).cast("int")), "utf-8"))
-      .withColumn("meta", struct(
-        when(pmod(col("media_id"), lit(3)) === 0, "image/png")
-          .when(pmod(col("media_id"), lit(3)) === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
-        (pmod(col("media_id"), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(col("media_id"), lit(1080)) + 1).cast("int").as("height"),
-        (pmod(col("media_id"), lit(60000))).cast("long").as("duration_ms")))
+  def pngWidth(m: Long): Int = (m % 50).toInt + 4
+  def pngHeight(m: Long): Int = (m % 40).toInt + 4
+  def pngRBase(m: Long): Int = (m % 199).toInt
+  def pngGBase(m: Long): Int = (m * 3 % 199).toInt
+  def pngBlue(m: Long): Int = (m * 7 % 256).toInt
 
-  // ================== STUB: media decode ==================
-  // A real implementation would decode the payload (PNG/WAV/MP4) here.
-  // The deterministic fake hashes payload windows into a fixed-length
-  // feature vector so downstream plumbing (schema, batching, similarity)
-  // is fully exercisable.
-  val FeatureDim = 16
+  /** WAV: `n` 16-bit PCM mono samples at 8 kHz, sample(t) = (m+3t)%256-128. */
+  def wavSamples(m: Long): Int = (m % 500).toInt + 100
+  def wavSample(m: Long, t: Int): Int = ((m + 3L * t) % 256).toInt - 128
 
-  private def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    if (payload == null) return null
-    // accumulate in double so the fold is plain byte arithmetic any engine
-    // reproduces exactly (float32 accumulation order would diverge from a
-    // SQL oracle); the feature vector itself stays array<float>
-    val acc = Array.ofDim[Double](FeatureDim)
+  /** Frame sequence: 2..4 frames of 8×8 uniform color per frame. */
+  def seqFrames(m: Long): Int = (m % 3).toInt + 2
+  val SeqFrameSide = 8
+  def seqFrameRed(m: Long, f: Int): Int = ((m + 17L * f) % 256).toInt
+  def seqFrameGreen(m: Long, f: Int): Int = ((m * 5 + 29L * f) % 256).toInt
+  def seqFrameBlue(m: Long, f: Int): Int = ((m * 11 + 43L * f) % 256).toInt
+
+  private def encodePng(w: Int, h: Int, red: (Int, Int) => Int,
+      green: (Int, Int) => Int, blue: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (red(x, y) << 16) | (green(x, y) << 8) | blue(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2) // 16-bit LE mono
     var i = 0
-    while (i < payload.length) {
-      acc(i % FeatureDim) += (payload(i) & 0xff) / 255d
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val n = math.max(1, payload.length / FeatureDim)
-    acc.map(a => (a / n).toFloat)
+    val fmt = new AudioFormat(SampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
-  // ========================================================
 
-  val decodeStub = udf((payload: Array[Byte]) => Option(fakeDecode(payload)))
-
-  /** Feature extraction stage: binary payload → array<float>.
-    * One narrow map; batching is Spark's own columnar batching.
+  /** Container: "FSEQ" magic, int32 frame count, then per frame an int32
+    * byte length + the PNG bytes.
     */
-  def extractFeatures(df: DataFrame, payload: Column): DataFrame =
-    df.withColumn("features", decodeStub(payload))
+  private def encodeFrameSeq(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeBytes("FSEQ")
+    d.writeInt(frames.length)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    out.toByteArray
+  }
 
-  /** Pseudo-resize: recompute metadata + re-window features (shape of an
-    * image-resize stage; decode is the stub above).
+  private def buildPayload(m: Long): Array[Byte] = (m % 3) match {
+    case 0 =>
+      encodePng(pngWidth(m), pngHeight(m),
+        red = (x, _) => pngRBase(m) + x,
+        green = (_, y) => pngGBase(m) + y,
+        blue = (_, _) => pngBlue(m))
+    case 1 =>
+      encodeWav(Array.tabulate(wavSamples(m))(t => wavSample(m, t)))
+    case _ =>
+      encodeFrameSeq((0 until seqFrames(m)).map { f =>
+        encodePng(SeqFrameSide, SeqFrameSide,
+          red = (_, _) => seqFrameRed(m, f),
+          green = (_, _) => seqFrameGreen(m, f),
+          blue = (_, _) => seqFrameBlue(m, f))
+      })
+  }
+
+  private val buildPayloadUdf = udf((m: Long) => buildPayload(m))
+
+  /** Deterministic synthetic media table derived from any source table —
+    * payloads are REAL encoded PNG / WAV / frame-sequence bytes whose
+    * content is a function of the id, so tests and benchmarks are
+    * reproducible without binary fixtures and a SQL oracle can predict
+    * the decoded features. Metadata mirrors the encoded truth (image dims,
+    * audio duration at 8 kHz, frame count × 40 ms).
+    */
+  def syntheticMedia(df: DataFrame, id: Column): DataFrame = {
+    val m = col("media_id")
+    df.select(id.cast("long").as("media_id"))
+      .withColumn("payload", buildPayloadUdf(m))
+      .withColumn("meta", struct(
+        when(pmod(m, lit(3)) === 0, MimeImage)
+          .when(pmod(m, lit(3)) === 1, MimeAudio)
+          .otherwise(MimeVideo).as("mime"),
+        when(pmod(m, lit(3)) === 0, pmod(m, lit(50)) + 4)
+          .when(pmod(m, lit(3)) === 1, 0)
+          .otherwise(SeqFrameSide).cast("int").as("width"),
+        when(pmod(m, lit(3)) === 0, pmod(m, lit(40)) + 4)
+          .when(pmod(m, lit(3)) === 1, 0)
+          .otherwise(SeqFrameSide).cast("int").as("height"),
+        when(pmod(m, lit(3)) === 0, 0L)
+          .when(pmod(m, lit(3)) === 1,
+            floor((pmod(m, lit(500)) + 100) * 1000 / SampleRateHz))
+          .otherwise((pmod(m, lit(3)) + 2) * lit(FrameMs))
+          .cast("long").as("duration_ms")))
+  }
+
+  // ---------------- decode kernels (JDK codecs, no stubs) ----------------
+
+  /** (width, height, mean_r, mean_g, mean_b) from real image bytes —
+    * anything `javax.imageio` reads (PNG/JPEG/BMP/GIF). Null for bytes no
+    * reader accepts.
+    */
+  def decodeImageJvm(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (payload == null) return None
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  val decodeImage = udf(decodeImageJvm _)
+
+  /** (n_samples, mean, v_min, v_max) from real RIFF/WAVE bytes (16-bit
+    * signed little-endian mono PCM — the synthetic corpus format). Null
+    * for bytes `javax.sound.sampled` rejects.
+    */
+  def decodeAudioJvm(payload: Array[Byte]): Option[(Long, Double, Int, Int)] = {
+    if (payload == null) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"synthetic corpus is 16-bit LE mono, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L; var vmin = Int.MaxValue; var vmax = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        sum += s
+        if (s < vmin) vmin = s
+        if (s > vmax) vmax = s
+        i += 1
+      }
+      if (n == 0) Some((0L, 0d, 0, 0))
+      else Some((n.toLong, sum.toDouble / n, vmin, vmax))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+  }
+
+  val decodeAudio = udf(decodeAudioJvm _)
+
+  /** (n_frames, width, height, mean_r) over a FSEQ frame container: every
+    * frame is ImageIO-decoded; width/height from the first frame, mean_r
+    * averaged across all frames' pixels. Null unless the magic matches.
+    */
+  def decodeFramesJvm(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    frameList(payload).map { frames =>
+      val decoded = frames.flatMap(b => decodeImageJvm(b))
+      require(decoded.length == frames.length, "undecodable frame in FSEQ payload")
+      val (w, h) = (decoded.head._1, decoded.head._2)
+      (decoded.length, w, h, decoded.map(_._3).sum / decoded.length)
+    }
+  }
+
+  private def frameList(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8) return None
+    if (!(payload(0) == 'F' && payload(1) == 'S' && payload(2) == 'E' && payload(3) == 'Q'))
+      return None
+    val d = new DataInputStream(new ByteArrayInputStream(payload, 4, payload.length - 4))
+    val count = d.readInt()
+    Some((0 until count).map { _ =>
+      val len = d.readInt()
+      val buf = new Array[Byte](len)
+      d.readFully(buf)
+      buf
+    })
+  }
+
+  val decodeFrames = udf(decodeFramesJvm _)
+
+  /** Feature extraction stage: binary payload → array<double>, dispatched
+    * on the metadata mime. One narrow map per row, ONE decode per row
+    * (each CASE branch is a single UDF — field-plucking from a struct UDF
+    * here would plant duplicate decode expressions in the projection);
+    * feature layout is kind-specific:
+    *   image: [width, height, mean_r, mean_g, mean_b]
+    *   audio: [n_samples, mean, v_min, v_max]
+    *   video: [n_frames, width, height, mean_r]
+    * Doubles, not floats: decoded sums/means are exact rationals both
+    * engines reproduce bit-identically in IEEE double; a float32 feature
+    * column would quantize them ~1e-7 and poison hash comparison (the
+    * storage-compression path is [[Similarity.quantizeUdf]], a deliberate
+    * lossy operator).
+    */
+  private val imageFeatures = udf { (payload: Array[Byte]) =>
+    decodeImageJvm(payload).map { case (w, h, r, g, b) =>
+      Array(w.toDouble, h.toDouble, r, g, b)
+    }
+  }
+  private val audioFeatures = udf { (payload: Array[Byte]) =>
+    decodeAudioJvm(payload).map { case (n, mean, vmin, vmax) =>
+      Array(n.toDouble, mean, vmin.toDouble, vmax.toDouble)
+    }
+  }
+  private val videoFeatures = udf { (payload: Array[Byte]) =>
+    decodeFramesJvm(payload).map { case (f, w, h, r) =>
+      Array(f.toDouble, w.toDouble, h.toDouble, r)
+    }
+  }
+
+  def extractFeatures(df: DataFrame, payload: Column, mime: Column): DataFrame =
+    df.withColumn("features",
+      when(mime.startsWith("image/"), imageFeatures(payload))
+        .when(mime.startsWith("audio/"), audioFeatures(payload))
+        .otherwise(videoFeatures(payload)))
+
+  /** Pseudo-resize: recompute metadata + scale dims to fit `maxSide`
+    * (aspect-preserving ceil, the thumbnailing contract). Metadata-only —
+    * payload re-encode is the same narrow-kernel shape as the decodes.
     */
   def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
     val w = col("meta.width"); val h = col("meta.height")
@@ -92,12 +310,24 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms")))
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame
-    * timestamp (every `everyMs` ms of duration). Explode is the scalable
-    * shape: rows fan out within partitions, no shuffle.
+  /** Frame sampling over video rows: one output row per DECODED frame —
+    * (frame_idx, frame_ts_ms, frame mean color). posexplode fans out
+    * within partitions, no shuffle; the decode runs once per payload in a
+    * projection BELOW the generator (a UDF beside a generator would
+    * re-evaluate per generated row).
     */
-  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
-    df.where(col("meta.mime").startsWith("video/"))
-      .withColumn("frame_ts_ms",
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+  def sampleFrames(df: DataFrame): DataFrame = {
+    val perFrame = udf { (payload: Array[Byte]) =>
+      frameList(payload).map(_.map { b =>
+        val d = decodeImageJvm(b).get
+        (d._3, d._4, d._5)
+      })
+    }
+    df.where(col("meta.mime") === MimeVideo)
+      .withColumn("_frames", perFrame(col("payload")))
+      .select(col("*"), posexplode(col("_frames")).as(Seq("frame_idx", "_f")))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * FrameMs).as("frame_ts_ms"),
+        col("_f._1").as("mean_r"), col("_f._2").as("mean_g"), col("_f._3").as("mean_b"))
+  }
 }

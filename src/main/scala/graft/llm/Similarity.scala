@@ -16,6 +16,7 @@ import scala.util.Random
 object Similarity {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
+  import Dedup.cappedBuckets
 
   /** dot(a, b) in double via the native [[graft.functions.ArrayDot]]
     * expression — a primitive codegen loop; the zip_with+aggregate
@@ -226,28 +227,35 @@ object Similarity {
     * the exchange. Buckets are built by groupBy + sorted collect_list and
     * pairs explode with plain column algebra, the same shape as
     * [[Dedup.minhashNearDupPairs]] — grouping instead of a bucket
-    * self-join scans the signature lineage once, not twice. Degenerate
+    * self-join scans the signature lineage once, not twice. Oversized
     * buckets (near-zero or duplicated embeddings collapsing onto one
-    * signature) are capped at `maxBucketSize` members, the same skew guard
-    * every sibling LSH path carries (MinHash 200, winnowing 200, fuzzy
-    * 10k): an uncapped hot bucket is |bucket|² candidate rows — the
-    * classic skewed-key scale-killer at 100 TB — while a bucket that
-    * co-locates >cap of the corpus carries no near-dup signal. Vectors
-    * are joined back by id exactly once for the verify, so candidate
-    * cardinality ~ O(near-dups), not O(corpus²).
+    * signature) are TRUNCATED to their first `maxBucketSize` sorted
+    * members, the same skew guard every sibling LSH path carries: an
+    * uncapped hot bucket is |bucket|² candidate rows — the classic
+    * skewed-key scale-killer at 100 TB. Truncation (not dropping) keeps
+    * recall on large exact-duplicate clusters — at corpus scale a
+    * 10⁶-copy boilerplate page collapses onto one signature, and those
+    * are the highest-value dedup targets; the first `cap` members still
+    * pair with each other (and transitive closure over the shared members
+    * collapses the cluster), while cost stays ≤ cap²/2 per bucket.
+    * The cap is applied by a `row_number` window over the SAME
+    * (table, bucket) partitioning the collect_list groupBy needs — Spark
+    * reuses the exchange, and the aggregation buffer is bounded at `cap`
+    * ids instead of materializing the full hot bucket before slicing.
+    * Vectors are joined back by id exactly once for the verify, so
+    * candidate cardinality ~ O(near-dups), not O(corpus²).
     */
   def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       threshold: Double, dim: Int = 64, tables: Int = 6,
                       bits: Int = 10, maxBucketSize: Int = 200): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2 (got $maxBucketSize) — a smaller cap silently yields no pairs")
     val planes = hyperplanes(dim, tables, bits)
     val prepared = df.select(id.as("id"), normalized(vec).as("v"))
     val tagged = prepared.select(col("id"),
       posexplode(array(planes.map(tp => signature(col("v"), tp)): _*))
         .as(Seq("table_idx", "bucket")))
-    val buckets = tagged
-      .groupBy("table_idx", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
+    val buckets = cappedBuckets(tagged, Seq("table_idx", "bucket"), "id", maxBucketSize)
     val candidates = buckets
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
       .select(col("id_a"),
@@ -280,60 +288,134 @@ object Similarity {
     * via strict-> over ascending centroid order).
     *
     * Scale shape: the assignment is a narrow map against k broadcast
-    * literal centroids (no join); the pair stage shuffles (cluster, id,
-    * vec) once, grouped by cluster. Cluster count governs both skew and
+    * centroids (no join) — a codegen'd literal-column argmax fold for
+    * small k, a broadcast-array kernel past [[FoldAssignMaxK]] (Catalyst
+    * analysis and codegen degrade with thousands of literal columns; the
+    * kernel carries k only as broadcast data). The pair stage is the same
+    * capped-bucket shape as the LSH paths: groupBy(cid) + sorted
+    * collect_list + slice-explosion — ONE scan of the assignment lineage
+    * (the previous a×b self-join on cid scanned it twice, plus a third
+    * pass for the size gate), with the cluster cap applied structurally
+    * by the shared row_number window. Cluster count governs both skew and
     * cost: k ~ √n gives cells of ~√n vectors, so the within-cluster pair
     * space is ~n total instead of n² — pass k ≤ 0 to derive it from a
-    * cheap count ([[semanticDedupAutoK]]). `maxClusterSize` guards the
-    * residual skew (most of a corpus collapsing into one cell): oversized
-    * cells are dropped before any pair is generated, the same cap
-    * discipline as the LSH paths.
+    * cheap count ([[semanticDedupAutoK]]); past ~10⁵ centroids the
+    * driver-collected seed table itself is the limit and the k-means
+    * [[ivfIndex]] (distributed assignment, no id-seed collect) is the
+    * production quantizer.
+    *
+    * `maxClusterSize` guards residual skew (much of a corpus collapsing
+    * into one cell): oversized cells are TRUNCATED to their first
+    * `maxClusterSize` sorted members before any pair is generated —
+    * recall on giant duplicate clusters survives (see
+    * [[Dedup.cappedBuckets]]), cost stays ≤ cap²/2 per cell. The default
+    * [[AutoClusterCap]] derives a finite 10·√n cap from the same count —
+    * an opt-in guard protects nobody at 100 TB; callers wanting the
+    * unbounded pair space must say `Int.MaxValue` explicitly.
     */
   def semanticDedupAutoK(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Sentinel for `maxClusterSize`: derive 10·√n from the corpus count. */
+  val AutoClusterCap = 0
+
+  def semanticDedupAutoClusterCap(n: Long): Int =
+    math.max(64, 10 * math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Above this k the assignment switches from the literal-column argmax
+    * fold to the broadcast-array kernel (PipelineOpsSpec pins the two
+    * paths value-identical).
+    */
+  val FoldAssignMaxK = 64
+
+  /** Nearest-centroid-by-cosine assignment of unit vectors `(id, v)`:
+    * adds `cid`. Similarities are rounded to 6 dp BEFORE the argmax:
+    * different engines (and summation orders) agree on cosine only to
+    * ~1e-15, and an unrounded argmax would let an ulp flip cluster
+    * assignment across engines — the same cross-engine discipline as
+    * TfIdf's pre-rank rounding. Ties go to the earliest centroid (strict
+    * `>` over ascending order) on both paths.
+    */
+  private[llm] def assignClusters(s: DataFrame,
+      centroids: Array[(Long, Array[Double])], viaFold: Boolean): DataFrame = {
+    if (viaFold) {
+      // bind each centroid similarity once (the argmax fold then compares
+      // attributes — same bound-column pattern as TextStats.withLangId)
+      val simCols = centroids.zipWithIndex.map { case ((_, cv), i) =>
+        round(dot(col("v"), lit(cv)), 6).as(s"_csim_$i")
+      }
+      val withSims = s.select(col("id") +: col("v") +: simCols: _*)
+      val seed = struct(col("_csim_0").as("sim"), lit(centroids.head._1).as("cid"))
+      val best = centroids.zipWithIndex.tail.foldLeft(seed: Column) {
+        case (acc, ((cid, _), i)) =>
+          when(col(s"_csim_$i") > acc.getField("sim"),
+            struct(col(s"_csim_$i").as("sim"), lit(cid).as("cid")))
+            .otherwise(acc)
+      }
+      withSims.withColumn("cid", best.getField("cid"))
+        .drop(centroids.indices.map(i => s"_csim_$i"): _*)
+    } else {
+      // broadcast-array kernel: k rides as data, not as plan width. The
+      // rounding must be bit-identical to Spark's round() on the fold
+      // path: Round on DoubleType goes through BigDecimal.decimal HALF_UP
+      val bc = s.sparkSession.sparkContext.broadcast(centroids)
+      val nearest = udf { (v: Seq[Double]) =>
+        val cs = bc.value
+        var bestCid = cs(0)._1
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)._2
+          var d = 0d
+          var j = 0
+          val m = math.min(c.length, v.length)
+          while (j < m) { d += v(j) * c(j); j += 1 }
+          val sim = BigDecimal.decimal(d)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (sim > bestSim) { bestSim = sim; bestCid = cs(i)._1 }
+          i += 1
+        }
+        bestCid
+      }
+      s.withColumn("cid", nearest(col("v")))
+    }
+  }
+
   def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
       threshold: Double, maxId: Long = Long.MaxValue,
-      maxClusterSize: Int = Int.MaxValue): DataFrame = {
-    val s = df.where(id < maxId).select(id.as("id"), normalized(vec).as("v"))
-    val kEff = if (k > 0) k else semanticDedupAutoK(s.count())
+      maxClusterSize: Int = AutoClusterCap): DataFrame = {
+    require(maxClusterSize >= 0,
+      s"maxClusterSize must be >= 1, or $AutoClusterCap for the 10·√n default (got $maxClusterSize)")
+    val bounded = df.where(id < maxId)
+    // auto parameters come from ONE count of the raw slice (column-pruned,
+    // often metadata-only) — not of the normalized projection
+    lazy val n = bounded.count()
+    val kEff = if (k > 0) k else semanticDedupAutoK(n)
+    val capEff =
+      if (maxClusterSize == AutoClusterCap) semanticDedupAutoClusterCap(n)
+      else maxClusterSize
+    val s = bounded.select(id.as("id"), normalized(vec).as("v"))
     val centroids: Array[(Long, Array[Double])] = s.orderBy("id").limit(kEff)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(centroids.nonEmpty, "semanticDedupPairs: empty corpus slice")
-    // bind each centroid similarity once (the argmax fold then compares
-    // attributes — same bound-column pattern as TextStats.withLangId).
-    // Similarities are rounded to 6 dp BEFORE the argmax and threshold
-    // comparisons: different engines (and different summation orders) agree
-    // on cosine only to ~1e-15, and an unrounded argmax/threshold would let
-    // an ulp flip cluster assignment or pair membership across engines —
-    // the same cross-engine discipline as TfIdf's pre-rank rounding.
-    val simCols = centroids.zipWithIndex.map { case ((_, cv), i) =>
-      round(dot(col("v"), lit(cv)), 6).as(s"_csim_$i")
-    }
-    val withSims = s.select(col("id") +: col("v") +: simCols: _*)
-    val seed = struct(col("_csim_0").as("sim"), lit(centroids.head._1).as("cid"))
-    val best = centroids.zipWithIndex.tail.foldLeft(seed: Column) {
-      case (acc, ((cid, _), i)) =>
-        when(col(s"_csim_$i") > acc.getField("sim"),
-          struct(col(s"_csim_$i").as("sim"), lit(cid).as("cid")))
-          .otherwise(acc)
-    }
-    val assigned0 = withSims.withColumn("cid", best.getField("cid"))
-      .drop(centroids.indices.map(i => s"_csim_$i"): _*)
-    // skew guard: a cell holding more than maxClusterSize vectors would be
-    // |cell|² pairs — drop it before any pair exists. The size table is
-    // ≤ k rows, so the gate is a broadcast semi-join, not a shuffle.
-    val assigned =
-      if (maxClusterSize == Int.MaxValue) assigned0
-      else {
-        val small = assigned0.groupBy("cid").agg(count(lit(1)).as("_n"))
-          .where(col("_n") <= maxClusterSize).select("cid")
-        assigned0.join(broadcast(small), Seq("cid"), "left_semi")
-      }
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("cid"))
-      .where(col("id_a") < col("id_b"))
+    val assigned = assignClusters(s, centroids, viaFold = kEff <= FoldAssignMaxK)
+    // ONE scan builds the (capped) cluster member lists; clusters are
+    // disjoint so no cross-bucket pair dedup is needed
+    val buckets = cappedBuckets(assigned.select("cid", "id"), Seq("cid"), "id", capEff)
+    val candidates = buckets
+      .select(col("cid"), col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("cid"), col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+    // verify: pairs explode to member ids, the vector table joins ONCE by
+    // id, the pair reassembles by grouping (the minhash/ANN verify shape)
+    val sides = candidates.select(col("cid"), col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    sides.join(s, "id")
+      .groupBy("cid", "id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("v")), ignoreNulls = true).as("v_a"),
+        first(when(col("id") === col("id_b"), col("v")), ignoreNulls = true).as("v_b"))
+      .where(col("v_a").isNotNull && col("v_b").isNotNull)
       .where(round(dot(col("v_a"), col("v_b")), 6) > threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
   }

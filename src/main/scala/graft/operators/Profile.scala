@@ -50,4 +50,28 @@ object Profile {
     val cols = summaryCols(value, exactQuantile = false, accuracy)
     df.groupBy(group.as("grp")).agg(cols.head, cols.tail: _*)
   }
+
+  /** Corpus-level percentile threshold as ONE driver scalar, snapped to the
+    * `dp` grid the values live on (a ±ulp threshold at a duplicated
+    * boundary value would otherwise flip every boundary row — the
+    * q_quality_filter contract).
+    *
+    * `exact = true` uses `percentile` (interpolated, full value map on the
+    * final aggregator — verification grade, bounded only when the value
+    * domain is, e.g. dp-rounded scores). `exact = false` uses
+    * `percentile_approx` (mergeable KLL-style sketch, O(accuracy) state,
+    * no value map) — the 100 TB path: the sketch returns an actual data
+    * value, which on a dp-grid-duplicated distribution is the same grid
+    * point the exact interpolation lands on (ProfileSpec pins the
+    * equivalence on the corpus quality distribution).
+    */
+  def percentileThreshold(df: DataFrame, value: Column, p: Double,
+      exact: Boolean = true, accuracy: Int = 10000, dp: Int = 6): Double = {
+    val v = value.cast("double")
+    val agg = if (exact) percentile(v, lit(p))
+              else percentile_approx(v, lit(p), lit(accuracy))
+    val raw = df.agg(agg).head.getDouble(0)
+    val scale = math.pow(10, dp)
+    math.floor(raw * scale + 0.5) / scale // DuckDB round() semantics
+  }
 }

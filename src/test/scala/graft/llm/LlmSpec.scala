@@ -204,14 +204,24 @@ class LlmSpec extends SparkSpec {
   test("ann near-dup hot-bucket cap bounds degenerate-embedding candidates") {
     import spark.implicits._
     // 1,000 identical vectors: every table hashes them all into ONE bucket.
-    // Uncapped that is 1000·999/2 ≈ 500k candidate pairs; the cap drops the
-    // oversized buckets entirely, so the pair count is bounded by
-    // tables · cap² regardless of corpus size.
+    // Uncapped that is 1000·999/2 ≈ 500k candidate pairs; the cap TRUNCATES
+    // each oversized bucket to its first 50 sorted members, so the giant
+    // exact-duplicate cluster is still flagged (the first 50 ids pair with
+    // each other — transitively collapsible) while the pair count is
+    // bounded by cap²/2 per bucket regardless of corpus size.
     val one = Array.fill(16)(1.0f)
     val df = (0L until 1000L).map(i => (i, one)).toDF("vec_id", "embedding")
     val capped = Similarity.annNearDupPairs(df, col("vec_id"), col("embedding"),
       threshold = 0.99, dim = 16, tables = 6, bits = 8, maxBucketSize = 50)
-    assert(capped.count() == 0, "oversized degenerate buckets must be dropped")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == 50 * 49 / 2,
+      s"truncated bucket must yield exactly cap·(cap-1)/2 pairs, got ${capped.length}")
+    assert(capped.forall { case (a, b) => a < 50 && b < 50 },
+      "pairs must come from the first cap sorted members only")
+    intercept[IllegalArgumentException] {
+      Similarity.annNearDupPairs(df, col("vec_id"), col("embedding"),
+        threshold = 0.99, dim = 16, tables = 6, bits = 8, maxBucketSize = 1)
+    }
     // and a mixed corpus keeps its small-bucket signal: plant 10 dups among
     // 1,000 identical decoys — the dup pairs still surface because their
     // buckets are small once the degenerate bucket is excluded
@@ -337,23 +347,87 @@ class LlmSpec extends SparkSpec {
     assert(scored.values.forall(_ < 0d)) // log of probabilities < 1
   }
 
-  test("multimodal plumbing: synthetic payloads, features, frames") {
+  test("multimodal decode: real PNG/WAV/frame bytes round-trip the recipe") {
     import spark.implicits._
-    val src = (0L until 30L).map(i => Tuple1(i * 3001L)).toDF("doc_id")
-    val media = Multimodal.syntheticMedia(src, col("doc_id"))
+    // ids picked to cover each modality: 3·k → PNG, 3·k+1 → WAV, 3·k+2 → FSEQ
+    val src = (0L until 30L).map(Tuple1(_)).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(src, col("doc_id")).persist()
     assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
-    val feats = Multimodal.extractFeatures(media, col("payload"))
-    val row = feats.where(col("media_id") === 3001L).select("features").head
-    assert(row.getSeq[Float](0).length == Multimodal.FeatureDim)
-    // deterministic: same id -> same features
-    val again = Multimodal.extractFeatures(media, col("payload"))
-      .where(col("media_id") === 3001L).select("features").head
-    assert(row.getSeq[Float](0) == again.getSeq[Float](0))
-    val resized = Multimodal.resizeMeta(media, 256)
+
+    // the payloads are REAL containers: PNG magic / RIFF magic / FSEQ magic
+    val magics = media.select(col("media_id"), substring(col("payload"), 1, 4))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(magics(0L).drop(1).sameElements("PNG".getBytes), "PNG signature")
+    assert(magics(1L).sameElements("RIFF".getBytes), "RIFF/WAVE signature")
+    assert(magics(2L).sameElements("FSEQ".getBytes), "frame-container magic")
+
+    // image: javax.imageio must recover the gradient recipe exactly.
+    // m=6: w=10, h=10, rb=6, gb=18, blue=42; mean_r = 6 + 4.5, mean_g = 22.5
+    val m = 6L
+    val png = media.where(col("media_id") === m).select("payload")
+      .head.getAs[Array[Byte]](0)
+    val Some((w, h, mr, mg, mb)) = Multimodal.decodeImageJvm(png)
+    assert((w, h) == (Multimodal.pngWidth(m), Multimodal.pngHeight(m)))
+    assert(mr == Multimodal.pngRBase(m) + (w - 1) / 2.0, s"mean_r $mr")
+    assert(mg == Multimodal.pngGBase(m) + (h - 1) / 2.0, s"mean_g $mg")
+    assert(mb == Multimodal.pngBlue(m).toDouble, s"mean_b $mb")
+
+    // audio: javax.sound.sampled must recover the PCM recipe exactly
+    val ma = 7L
+    val wav = media.where(col("media_id") === ma).select("payload")
+      .head.getAs[Array[Byte]](0)
+    val Some((n, mean, vmin, vmax)) = Multimodal.decodeAudioJvm(wav)
+    val ref = (0 until Multimodal.wavSamples(ma)).map(Multimodal.wavSample(ma, _))
+    assert(n == ref.length.toLong)
+    assert(mean == ref.sum.toDouble / ref.length)
+    assert(vmin == ref.min && vmax == ref.max)
+
+    // video: every frame decodes; means follow the per-frame recipe
+    val mv = 8L
+    val seq = media.where(col("media_id") === mv).select("payload")
+      .head.getAs[Array[Byte]](0)
+    val Some((nf, fw, fh, fmr)) = Multimodal.decodeFramesJvm(seq)
+    assert(nf == Multimodal.seqFrames(mv) && fw == 8 && fh == 8)
+    val refMr = (0 until nf).map(Multimodal.seqFrameRed(mv, _)).sum.toDouble / nf
+    assert(fmr == refMr)
+
+    // cross-modality garbage is rejected as null, not mis-decoded
+    assert(Multimodal.decodeImageJvm(wav).isEmpty)
+    assert(Multimodal.decodeAudioJvm(png).isEmpty)
+    assert(Multimodal.decodeFramesJvm(png).isEmpty)
+
+    // distributed feature stage: one row per media row, kind-specific dims
+    val feats = Multimodal.extractFeatures(media, col("payload"), col("meta.mime"))
+      .select(col("media_id"), col("meta.mime").as("mime"), col("features"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2))).toList
+    assert(feats.length == 30)
+    feats.foreach { case (id, mime, f) =>
+      if (mime.startsWith("image/")) assert(f.length == 5, s"$id")
+      else assert(f.length == 4, s"$id")
+      assert(f.forall(v => !v.isNaN))
+    }
+    // determinism: same id → same features
+    val f1 = feats.find(_._1 == 6L).get._3
+    val again = Multimodal.extractFeatures(media, col("payload"), col("meta.mime"))
+      .where(col("media_id") === 6L).select("features").head.getSeq[Double](0)
+    assert(f1 == again)
+
+    // resize math caps dims, audio stays 0×0
+    val resized = Multimodal.resizeMeta(media, 32)
     val dims = resized.select(greatest(col("meta.width"), col("meta.height")))
       .collect().map(_.getInt(0))
-    assert(dims.forall(_ <= 256))
-    val frames = Multimodal.sampleFrames(media, 10000L)
-    assert(frames.count() > media.count() / 3) // video rows fan out
+    assert(dims.forall(_ <= 32))
+
+    // frame sampling: one row per DECODED frame with recipe-true means
+    val frames = Multimodal.sampleFrames(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val expectFrames = (0L until 30L).filter(_ % 3 == 2)
+      .map(Multimodal.seqFrames).sum
+    assert(frames.length == expectFrames, "one row per contained frame")
+    frames.filter(_._1 == mv).foreach { case (_, idx, ts, meanR) =>
+      assert(ts == idx * Multimodal.FrameMs)
+      assert(meanR == Multimodal.seqFrameRed(mv, idx).toDouble)
+    }
+    media.unpersist()
   }
 }

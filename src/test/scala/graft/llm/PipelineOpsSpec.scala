@@ -253,8 +253,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Similarity.semanticDedupAutoK(10000L) == 100)
     assert(Similarity.semanticDedupAutoK(10001L) == 101)
     // skewed corpus: 200 copies of +x collapse into one cell, plus a small
-    // +y cell with a planted near-dup. The cap drops the degenerate cell
-    // (which would be ~20k pairs) but keeps the small cell's pair.
+    // +y cell with a planted near-dup. The cap TRUNCATES the degenerate
+    // cell to its first 50 sorted members (which would be ~20k pairs
+    // uncapped; the duplicate cluster is still flagged) and keeps the
+    // small cell's pair untouched.
     val skew = (2L until 200L).map(i => (i, Array(1f, 0f, 0f)))
     val vecs = (Seq(
       (0L, Array(1f, 0f, 0f)),
@@ -263,12 +265,54 @@ class PipelineOpsSpec extends SparkSpec {
     val pairs = Similarity.semanticDedupPairs(vecs, col("vec_id"),
       col("embedding"), k = 2, threshold = 0.9, maxClusterSize = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 200L)),
-      s"capped cell must contribute nothing, small cell survives: $pairs")
+    assert(pairs.contains((1L, 200L)), s"small cell's pair lost: $pairs")
+    // x cell sorted ids are 0,2,3..50 (id 1 lives in the y cell): exactly
+    // the first 50 members pair up, nothing beyond the truncation point
+    val xPairs = pairs - ((1L, 200L))
+    assert(xPairs.size == 50 * 49 / 2,
+      s"truncated cell must yield cap·(cap-1)/2 pairs, got ${xPairs.size}")
+    assert(xPairs.forall { case (a, b) => a <= 50 && b <= 50 },
+      s"pairs beyond the truncated membership: $xPairs")
     // auto-k end-to-end: k ≤ 0 still returns the planted pair (n=201 → k=15)
     val auto = Similarity.semanticDedupPairs(vecs, col("vec_id"),
       col("embedding"), k = 0, threshold = 0.9, maxClusterSize = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto.contains((1L, 200L)), s"auto-k lost the planted pair: $auto")
+    // the default cap is FINITE (10·√n) — opt-in guards protect nobody
+    assert(Similarity.semanticDedupAutoClusterCap(10000L) == 1000)
+    assert(Similarity.semanticDedupAutoClusterCap(4L) == 64)
+  }
+
+  test("cluster assignment: literal-fold and broadcast-kernel paths agree") {
+    import spark.implicits._
+    // the two assignment paths (codegen'd argmax fold for small k,
+    // broadcast-array kernel past FoldAssignMaxK) must be value-identical
+    // — same 6-dp rounding, same strict-> earliest-centroid tie-break
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val s = vecs.select(col("vec_id").as("id"),
+      Similarity.normalized(col("embedding")).as("v"))
+    val centroids = s.orderBy("id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val fold = Similarity.assignClusters(s, centroids, viaFold = true)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kernel = Similarity.assignClusters(s, centroids, viaFold = false)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fold == kernel, "assignment paths diverged")
+    // exact ties (duplicated vectors among the centroids) break the same way
+    val dupVecs = (0L until 50L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sd = dupVecs.select(col("vec_id").as("id"),
+      Similarity.normalized(col("embedding")).as("v"))
+    val dupCentroids = sd.orderBy("id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val foldD = Similarity.assignClusters(sd, dupCentroids, viaFold = true)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val kernelD = Similarity.assignClusters(sd, dupCentroids, viaFold = false)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(foldD == Set(0L) && kernelD == Set(0L),
+      s"ties must resolve to the earliest centroid: fold=$foldD kernel=$kernelD")
   }
 }

@@ -204,4 +204,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(approx("a") >= 1.0 && approx("a") <= 4.0)
     assert(approx("b") >= 10.0 && approx("b") <= 30.0)
   }
+
+  test("percentile threshold: sketch path tracks the exact path") {
+    import spark.implicits._
+    // On a heavily-duplicated grid distribution (the quality-score shape at
+    // corpus scale: many docs per banded value) the exact interpolated
+    // percentile lands ON a data value — the same value the
+    // percentile_approx sketch returns, so swapping `exact = false` in
+    // does not move the filter boundary at all.
+    // p chosen so p·(n−1) falls strictly INSIDE a 50-wide band — at an
+    // exact band edge the interpolation legitimately mixes two bands and
+    // no single data value equals it (not the duplication contract)
+    val banded = (0 until 1000).map(i => (i % 20) * 0.05).toDF("v")
+    for (p <- Seq(0.26, 0.53, 0.77, 0.91)) {
+      val ex = Profile.percentileThreshold(banded, col("v"), p, exact = true)
+      val ap = Profile.percentileThreshold(banded, col("v"), p, exact = false)
+      assert(ex == ap, s"banded p=$p: exact=$ex approx=$ap")
+    }
+    // On the real (tiny, duplication-free at this sf) corpus the exact
+    // percentile may interpolate BETWEEN two adjacent order statistics;
+    // the sketch then returns one of those two — no third data value may
+    // sit between the two thresholds (the filter boundary moves by at
+    // most the boundary docs themselves).
+    val q = graft.QueriesLlm.qQuality(spark, sf).persist()
+    try {
+      for (p <- Seq(0.5, 0.75, 0.9)) {
+        val ex = Profile.percentileThreshold(q, col("quality"), p, exact = true)
+        val ap = Profile.percentileThreshold(q, col("quality"), p, exact = false)
+        val between = q.where(col("quality") > math.min(ex, ap) &&
+          col("quality") < math.max(ex, ap)).count()
+        assert(between == 0,
+          s"p=$p: $between values strictly between exact=$ex and approx=$ap")
+      }
+    } finally { q.unpersist() }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Boilerplate, Decontaminate, Dedup, Incremental, Mixing, Multimodal, Pii, Similarity, TextStats, TfIdf}
+import graft.llm.{Boilerplate, Decontaminate, Dedup, Incremental, Mixing, Multimodal, Packing, Pii, Similarity, TextStats, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -250,21 +250,42 @@ object QueriesLlm {
     * transitive-closure dedup collapse, oracle-checked against a DuckDB
     * recursive CTE.
     */
-  val qDedupComponents: Q = (s, dir) => {
+  /** Deterministic similarity-graph edges shared by q_dedup_components and
+    * q_canonical_pick: consecutive docs with unigram Jaccard ≥ 0.7.
+    */
+  private def componentEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.wordShingles(col("text"), 1).as("sh"))
       .where(size(col("sh")) > 0)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select((col("doc_id") - 1).as("id_a"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val edges = a.join(b, "id_a")
+    a.join(b, "id_a")
       .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("_u", size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("_i").cast("double") / greatest(lit(1), col("_u")) >= 0.7)
       .select("id_a", "id_b")
-    Dedup.connectedComponents(edges)
+  }
+
+  val qDedupComponents: Q = (s, dir) =>
+    Dedup.connectedComponents(componentEdges(s, dir))
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
+
+  /** q_canonical_pick — the "which copy do we KEEP" half of dedup: for
+    * every multi-doc near-dup component (q_dedup_components' graph), the
+    * member with the highest quality score (ties → smallest doc_id) and
+    * the member count. Min-id collapse keeps the OLDEST copy; a real
+    * curation pipeline keeps the BEST one.
+    */
+  val qCanonicalPick: Q = (s, dir) => {
+    val comps = Dedup.connectedComponents(componentEdges(s, dir))
+    val scored = qualityOf(Tables.documents(s, dir))
+      .select(col("doc_id").as("id"), col("quality").as("score"))
+    Dedup.canonicalPick(comps, scored)
+      .select(col("component"), col("canonical_id"),
+        col("score").as("quality"), col("n_members"))
+      .orderBy("component")
   }
 
   val qDedupComponentsSql: String =
@@ -285,6 +306,106 @@ object QueriesLlm {
       |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id)
       |SELECT id AS doc_id, min(r) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  val qCanonicalPickSql: String = {
+    val cnt = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |        / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) >= 0.7),
+      |und AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM und
+      |  UNION
+      |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+      |t AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / length(text) END AS pr,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |              x -> length(x)), 'sum')::DOUBLE
+      |              / len(regexp_split_to_array(trim(text), '\s+')) END AS mwl,
+      |    CNT AS c_en
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, round(
+      |    (CASE WHEN len BETWEEN 100 AND 20000 THEN 1.0
+      |          WHEN len < 100 THEN len / 100.0 ELSE 20000.0 / len END) * 0.3
+      |    + (CASE WHEN pr <= 0.2 THEN 1.0
+      |            ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2) END) * 0.3
+      |    + least(1.0, (CASE WHEN n_tok = 0 THEN 0 ELSE c_en::DOUBLE / n_tok END) * 5) * 0.2
+      |    + (CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      |  FROM t),
+      |r AS (
+      |  SELECT c.component, q.doc_id, q.quality,
+      |    row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, q.doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY c.component) AS n_members
+      |  FROM comp c JOIN q USING (doc_id))
+      |SELECT component, doc_id AS canonical_id, quality, n_members
+      |FROM r WHERE rn = 1 ORDER BY component""".stripMargin.replace("CNT", cnt)
+  }
+
+  /** q_token_budget — token-budget corpus selection: highest-quality
+    * documents first until the cumulative token count would pass 12,000 —
+    * the greedy "best data that fits the training budget" cut. The global
+    * running sum runs as the two-pass distributed prefix sum
+    * ([[graft.llm.Packing.tokenBudgetSelect]]), not an unpartitioned
+    * window.
+    */
+  val TokenBudget = 12000L
+
+  val qTokenBudget: Q = (s, dir) => {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.qualityScoreKernel(col("text")).as("q"),
+      TextStats.tokenCount(col("text")).as("t"))
+    Packing.tokenBudgetSelect(scored, col("doc_id"), col("q"), col("t"), TokenBudget)
+      .select(col("id").as("doc_id"), col("score").as("quality"),
+        col("n_tok"), col("cum_tok"))
+      .orderBy("doc_id")
+  }
+
+  val qTokenBudgetSql: String = {
+    val cnt = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"
+    s"""WITH t AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / length(text) END AS pr,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      |              x -> length(x)), 'sum')::DOUBLE
+      |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS mwl,
+      |    CNT AS c_en
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, n_tok, round(
+      |    (CASE WHEN len BETWEEN 100 AND 20000 THEN 1.0
+      |          WHEN len < 100 THEN len / 100.0 ELSE 20000.0 / len END) * 0.3
+      |    + (CASE WHEN pr <= 0.2 THEN 1.0
+      |            ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2) END) * 0.3
+      |    + least(1.0, (CASE WHEN n_tok = 0 THEN 0 ELSE c_en::DOUBLE / n_tok END) * 5) * 0.2
+      |    + (CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, quality, n_tok,
+      |    sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM q)
+      |SELECT doc_id, quality, n_tok::BIGINT AS n_tok, cum::BIGINT AS cum_tok
+      |FROM c WHERE cum <= ${TokenBudget} ORDER BY doc_id""".stripMargin.replace("CNT", cnt)
+  }
 
   /** q_minhash_pairs — MinHash+LSH near-dup pairs. The corpus is augmented
     * with perturbed copies (id + 1e6) so real near-dups exist at every
@@ -570,12 +691,16 @@ object QueriesLlm {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** q_embed_neardup_ann — the LSH scale path over the FULL embedding
-    * corpus (no id bound): hyperplane-bucket self-join + exact verify.
-    * Deterministic (seeded planes) but sketch recall → rows-only.
+    * corpus (no id bound): hyperplane-bucket grouping + exact verify.
+    * Deterministic (seeded planes + auto bit-width from the corpus count)
+    * but sketch recall → rows-only. Bits are AUTO here on purpose: the
+    * bench replays this query at growing scale factors, and a pinned
+    * bit-width saturates every bucket once n ≫ 2^bits (the sf10 run
+    * caught exactly that — see SCALING.md).
     */
   val qEmbedNeardupAnn: Q = (s, dir) =>
     Similarity.annNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
-      col("embedding"), threshold = 0.3, dim = 64, tables = 6, bits = 10)
+      col("embedding"), threshold = 0.3, dim = 64, tables = 6)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
 
@@ -611,6 +736,33 @@ object QueriesLlm {
       |  (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** q_decontam_embed — embedding-space decontamination: max cosine of
+    * every corpus vector against the benchmark slice (vec_id < 100 stands
+    * in for the eval set) + contamination flag at 0.35 — the semantic
+    * complement of q_decontaminate's n-gram path (paraphrased leakage
+    * shares no n-gram but sits close in embedding space). The benchmark
+    * is broadcast; the corpus side is one narrow kernel, no join.
+    */
+  val qDecontamEmbed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Decontaminate.embeddingContamination(
+      emb.where(col("vec_id") >= 100), col("vec_id"), col("embedding"),
+      emb.where(col("vec_id") < 100), col("embedding"), threshold = 0.35)
+      .select(col("id").as("vec_id"), col("max_sim"), col("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val qDecontamEmbedSql: String =
+    """WITH bench AS (
+      |  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100),
+      |corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 100),
+      |sims AS (
+      |  SELECT c.vec_id, max(round(list_cosine_similarity(c.e, b.e), 6)) AS max_sim
+      |  FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id)
+      |SELECT vec_id, max_sim, (max_sim > 0.35)::BIGINT AS contaminated
+      |FROM sims ORDER BY vec_id""".stripMargin
 
   /** q_pii_scrub — PII scrubbing: the deterministic injection recipe plants
     * emails/phones/IPv4s from the row id (the synthetic corpus has no
@@ -825,6 +977,9 @@ object QueriesLlm {
     "q_subwords" -> qSubwords,
     "q_dedup_near_full" -> qDedupNearFull,
     "q_dedup_components" -> qDedupComponents,
+    "q_canonical_pick" -> qCanonicalPick,
+    "q_token_budget" -> qTokenBudget,
+    "q_decontam_embed" -> qDecontamEmbed,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
@@ -873,6 +1028,9 @@ object QueriesLlm {
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_subwords" -> qSubwordsSql,
     "q_dedup_components" -> qDedupComponentsSql,
+    "q_canonical_pick" -> qCanonicalPickSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_decontam_embed" -> qDecontamEmbedSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,

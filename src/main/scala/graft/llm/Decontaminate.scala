@@ -61,6 +61,54 @@ object Decontaminate {
   private def shinglesUdf(n: Int) =
     udf { (text: String) => Dedup.shingleSet(text, n) }
 
+  /** Embedding-space decontamination: for every corpus vector, its maximum
+    * cosine similarity against a small benchmark/eval vector set, plus a
+    * 0/1 contamination flag at `threshold` — the semantic complement of
+    * the n-gram path above (paraphrased or re-worded benchmark leakage
+    * shares no 8-gram but sits close in embedding space; SemDeDup-style
+    * pipelines run both).
+    *
+    * Scale shape: the benchmark set is collected and broadcast (BOUNDED BY
+    * CONTRACT — benchmarks are thousands of vectors, the same smallness
+    * assumption the n-gram path's broadcast join makes; the collect is the
+    * [[Similarity.assignClusters]] centroid pattern). The corpus side is
+    * then a NARROW map — one kernel per row, no join, no shuffle of
+    * anything: cost n·|bench| multiply-adds, embarrassingly parallel at
+    * any corpus size. Similarities are rounded to 6 dp inside the kernel
+    * (BigDecimal HALF_UP — bit-identical to Spark's and DuckDB's round())
+    * BEFORE the max/threshold, the cross-engine argmax discipline.
+    */
+  def embeddingContamination(corpus: DataFrame, id: Column, vec: Column,
+      bench: DataFrame, benchVec: Column, threshold: Double): DataFrame = {
+    import graft.llm.Similarity
+    val benchVecs: Array[Array[Double]] = bench
+      .select(Similarity.normalized(benchVec).as("bv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(benchVecs.nonEmpty, "embeddingContamination: empty benchmark set")
+    val bc = corpus.sparkSession.sparkContext.broadcast(benchVecs)
+    val maxSim = udf { (v: Seq[Double]) =>
+      val bs = bc.value
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i < bs.length) {
+        val b = bs(i)
+        var d = 0d
+        var j = 0
+        val m = math.min(b.length, v.length)
+        while (j < m) { d += v(j) * b(j); j += 1 }
+        val sim = BigDecimal.decimal(d)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (sim > best) best = sim
+        i += 1
+      }
+      best
+    }
+    corpus.select(id.as("id"), Similarity.normalized(vec).as("_v"))
+      .withColumn("max_sim", maxSim(col("_v")))
+      .select(col("id"), col("max_sim"),
+        (col("max_sim") > threshold).cast("long").as("contaminated"))
+  }
+
   /** (_decon_id, n_hits) for contaminated documents only. The kernel emits
     * DISTINCT n-grams per document, so the post-join count is already a
     * distinct-gram count without a `countDistinct` expand.

@@ -303,6 +303,30 @@ object Dedup {
     df.join(losers, id === col("_loser"), "left_anti")
   }
 
+  /** Canonical-representative selection: for each dedup component, the
+    * member with the highest score (ties → smallest id) plus the member
+    * count — the "which copy do we KEEP" half of dedup that min-id
+    * collapse skips (a real pipeline keeps the highest-QUALITY copy, not
+    * the oldest). `components` is (id, comp) as produced by
+    * [[connectedComponents]]; `scored` is (id, score) with score already
+    * rounded to a fixed dp grid (cross-engine argmax discipline — see
+    * [[graft.llm.Similarity.assignClusters]]).
+    *
+    * One shuffle (the groupBy on comp); the argmax is a struct-max
+    * aggregate — (score, -id) lexicographic max picks highest score then
+    * smallest id deterministically, with no per-group window or sort.
+    */
+  def canonicalPick(components: DataFrame, scored: DataFrame): DataFrame =
+    components.join(scored, "id")
+      .groupBy(col("comp").as("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("id")).as("_nid"))).as("_best"))
+      .select(col("component"),
+        (-col("_best._nid")).as("canonical_id"),
+        col("_best.score").as("score"),
+        col("n_members"))
+
   /** Connected components over an undirected pair set (`id_a`, `id_b`):
     * every node is labeled with the smallest id reachable through the
     * pair graph — the exact dedup-group collapse (greedy keep-first can
@@ -404,20 +428,34 @@ object Dedup {
   /** SimHash near-dup pairs: block on 4 16-bit chunks (a pair within
     * Hamming distance ≤ 3 of 64 bits must agree on at least one chunk),
     * verify with bit_count.
+    *
+    * `maxBucketSize` is the shared hot-bucket discipline
+    * ([[cappedBuckets]]): a chunk value hit by a giant identical-content
+    * cluster (every member has the SAME signature, so all 4 chunks
+    * collide) would otherwise explode |bucket|² candidate pairs;
+    * truncation to the first cap sorted members keeps the cluster
+    * flagged at ≤ cap²/2 cost. Residual scale note: 16-bit chunks give
+    * 4·n²/2^16 RANDOM collisions — negligible at bench scales but a real
+    * term at 10⁸+ docs; the production answer is blocking on chunk PAIRS
+    * (6 combos of 32 bits, Hamming ≤ 2 guarantee) which drops the random
+    * floor to n²/2^32, not raising the cap.
     */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucketSize: Int = 200): DataFrame = {
     // bucket membership via groupBy + pair explosion (same shape as the
     // MinHash path): the signature pass runs ONCE — a bucket self-join
     // would recompute the per-document SimHash fold on both sides
     val sigs = df.select(id.as("id"), simhash(text).as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"),
+    val chunks = sigs.select(
+      struct(col("id"), col("sig")).as("m"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val buckets = chunks.groupBy("chunk_idx", "chunk")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .where(size(col("ms")) >= 2)
+    // struct members sort by (id, sig); id is unique, so truncation keeps
+    // the smallest-id members deterministically
+    val buckets = cappedBuckets(chunks, Seq("chunk_idx", "chunk"), "m", maxBucketSize)
+      .withColumnRenamed("ids", "ms")
     buckets
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("a"),

@@ -220,6 +220,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sentinel for `bits`: derive the hyperplane count from the corpus
+    * size so the mean bucket load stays ~[[AnnTargetBucketLoad]].
+    */
+  val AutoBits = 0
+
+  /** Target mean vectors per LSH bucket for auto bit-width. */
+  val AnnTargetBucketLoad = 8
+
+  /** bits = ⌈log₂(n / target)⌉ clamped to [6, 22]. A FIXED bit-width is
+    * the classic LSH scale bug this replaces: with b bits there are only
+    * 2^b buckets per table, so the mean bucket load grows as n/2^b and
+    * once every bucket saturates its cap the candidate volume is
+    * tables·2^b·cap²/2 — at 100× the bench scale a pinned b=10 put ~200
+    * vectors in EVERY bucket and the verify join shuffled tens of GB
+    * (caught by the sf10 run, SCALING.md). Growing bits with log n keeps
+    * the load — and so the candidate count per vector — constant, which
+    * is the standard LSH discipline: collision probability must come from
+    * similarity, not from bucket-space exhaustion. The recall cost of
+    * wider signatures is recovered by raising `tables` (cost is linear in
+    * tables), never by shrinking bits.
+    */
+  def annBitsFor(n: Long): Int = {
+    val buckets = math.max(1.0, n.toDouble / AnnTargetBucketLoad)
+    math.min(22, math.max(6, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** ANN near-dup pairs: bucket grouping per table, verify cosine.
     *
     * Candidate generation shuffles (table, bucket, id) triples ONLY — the
@@ -247,10 +273,13 @@ object Similarity {
     */
   def annNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       threshold: Double, dim: Int = 64, tables: Int = 6,
-                      bits: Int = 10, maxBucketSize: Int = 200): DataFrame = {
+                      bits: Int = AutoBits, maxBucketSize: Int = 200): DataFrame = {
     require(maxBucketSize >= 2,
       s"maxBucketSize must be >= 2 (got $maxBucketSize) — a smaller cap silently yields no pairs")
-    val planes = hyperplanes(dim, tables, bits)
+    // auto bit-width from ONE column-pruned count (the semanticDedup
+    // pattern); explicit bits pin the signature for fixture-stable tests
+    val bitsEff = if (bits == AutoBits) annBitsFor(df.count()) else bits
+    val planes = hyperplanes(dim, tables, bitsEff)
     val prepared = df.select(id.as("id"), normalized(vec).as("v"))
     val tagged = prepared.select(col("id"),
       posexplode(array(planes.map(tp => signature(col("v"), tp)): _*))

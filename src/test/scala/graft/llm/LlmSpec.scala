@@ -68,6 +68,19 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("canonicalPick keeps the highest-scored member, ties to smallest id") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val scored = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("id", "score")
+    val got = Dedup.canonicalPick(comps, scored)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // comp 1: 2 and 3 tie at 0.9 → smallest id 2; comp 10: tie → 10
+    assert(got.toSeq == Seq((1L, 2L, 0.9, 3L), (10L, 10L, 0.5, 2L)))
+  }
+
   test("dedupByPairs removes higher-id near-dups") {
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
       shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
@@ -88,6 +101,44 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 6L)))
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash hot-bucket cap truncates identical-signature clusters") {
+    import spark.implicits._
+    // 500 copies of one text → one signature → ALL 4 chunk buckets are the
+    // same 500-member set. Uncapped that is 4 · C(500,2) candidate slots;
+    // the cap truncates each bucket to its first 40 sorted ids, so exactly
+    // C(40,2) pairs survive (all hamming 0) and they cover ids 0..39.
+    val df = (0L until 500L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, col("doc_id"), col("text"),
+      maxHamming = 3, maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 40 * 39 / 2, s"got ${pairs.length} pairs")
+    assert(pairs.forall { case (a, b) => a < 40 && b < 40 })
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(df, col("doc_id"), col("text"), maxBucketSize = 1)
+    }
+  }
+
+  test("ann auto bit-width grows with corpus size, clamped") {
+    assert(Similarity.annBitsFor(1L) == 6)
+    assert(Similarity.annBitsFor(500L) == 6)          // 500/8 → 2^6
+    assert(Similarity.annBitsFor(2000L) == 8)         // bench sf0.1 corpus
+    assert(Similarity.annBitsFor(200000L) == 15)      // sf10 corpus
+    assert(Similarity.annBitsFor(Long.MaxValue) == 22) // clamp
+    // auto path finds planted dups exactly like a sane explicit width
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dup = (200L until 210L).map(i => (i, base((i - 200).toInt)._2.map(x => x * 1.001f)))
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.annNearDupPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.99, dim = 16, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, (i + 200).toLong)), s"missing pair $i")
+    }
   }
 
   test("jaccard column function") {

@@ -19,6 +19,32 @@ class PipelineOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("embedding contamination: max cosine vs benchmark, no join in plan") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vid", "v")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy of bench 100 → 1.0
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f)),   // 0.8 vs bench 101
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vid", "v") // orthogonal → 0
+    val out = Decontaminate.embeddingContamination(corpus, col("vid"), col("v"),
+      bench, col("v"), threshold = 0.9)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L) == (1.0, 1L))
+    assert(math.abs(got(2L)._1 - 0.8) < 1e-6 && got(2L)._2 == 0L)
+    assert(got(3L) == (0.0, 0L))
+    // the corpus side must be a narrow map: no join, no shuffle exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corpus side must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"corpus side must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Decontaminate.embeddingContamination(corpus, col("vid"), col("v"),
+        bench.where(col("vid") < 0), col("v"), threshold = 0.9)
+    }
+  }
+
   test("decontamination flags docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")

@@ -171,6 +171,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection matches the sequential greedy reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 400L).map(i =>
+      (i, math.floor(rng.nextDouble() * 100) / 100, 1L + rng.nextInt(200)))
+    val budget = 5000L
+    // sequential reference: score desc, id asc, cumulative (inclusive) <= budget
+    val ref = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      .scanLeft((-1L, 0L)) { case ((_, cum), (id, _, tok)) => (id, cum + tok) }
+      .drop(1).takeWhile(_._2 <= budget).map { case (id, cum) => id -> cum }.toMap
+    for (parts <- Seq(1, 4, 16)) {
+      val df = rows.toDF("id", "score", "n_tok").repartition(parts)
+      val got = Packing.tokenBudgetSelect(df, col("id"), col("score"),
+        col("n_tok"), budget, numPartitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"partition count $parts")
+    }
+    // no unpartitioned window in the plan
+    val plan = Packing.tokenBudgetSelect(rows.toDF("id", "score", "n_tok"),
+      col("id"), col("score"), col("n_tok"), budget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "prefix sum must not plan a global window")
+    intercept[IllegalArgumentException] {
+      Packing.tokenBudgetSelect(rows.toDF("id", "score", "n_tok"),
+        col("id"), col("score"), col("n_tok"), 0L)
+    }
+  }
+
   test("packing plan has no global window and bins respect the budget") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, 100L)).toDF("id", "n_tok")

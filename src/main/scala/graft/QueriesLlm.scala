@@ -407,6 +407,24 @@ object QueriesLlm {
       |FROM c WHERE cum <= ${TokenBudget} ORDER BY doc_id""".stripMargin.replace("CNT", cnt)
   }
 
+  /** q_dedup_cross — cross-snapshot near-dup join: an incoming batch
+    * (perturbed copies, ids + 1e6) deduped against the existing corpus
+    * via MinHash-LSH band join + exact-Jaccard verify, WITHOUT forming
+    * old×old pairs — the incremental near-dup path a crawl pipeline runs
+    * per batch (q_dedup_incr is its exact-hash sibling). Deterministic
+    * (seeded constants) but sketch recall → fixture oracle.
+    */
+  val qDedupCross: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val batch = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near duplicate tail")).as("text"))
+    Dedup.minhashNearDupJoin(batch, col("doc_id"), col("text"),
+      docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_new", "id_old")
+  }
+
   /** q_minhash_pairs — MinHash+LSH near-dup pairs. The corpus is augmented
     * with perturbed copies (id + 1e6) so real near-dups exist at every
     * scale factor; LSH candidates verified by exact shingle Jaccard.
@@ -982,6 +1000,7 @@ object QueriesLlm {
     "q_decontam_embed" -> qDecontamEmbed,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_dedup_cross" -> qDedupCross,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_embed_topk" -> qEmbedTopk,
     "q_embed_quantize" -> qEmbedQuantize,
@@ -1016,6 +1035,7 @@ object QueriesLlm {
 
   def oracles: Map[String, String] = Map(
     "q_minhash_pairs" -> fixtureSql("q_minhash_pairs", "id_a, id_b"),
+    "q_dedup_cross" -> fixtureSql("q_dedup_cross", "id_new, id_old"),
     "q_simhash_pairs" -> fixtureSql("q_simhash_pairs", "id_a, id_b"),
     "q_embed_neardup_ann" -> fixtureSql("q_embed_neardup_ann", "id_a, id_b"),
     "q_dedup_near_full" -> fixtureSql("q_dedup_near_full", "doc_id"),

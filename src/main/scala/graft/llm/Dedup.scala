@@ -289,6 +289,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-snapshot near-dup JOIN: MinHash-LSH candidates between a NEW
+    * batch and an EXISTING corpus, verified by exact shingle Jaccard —
+    * the incremental complement of [[minhashNearDupPairs]] (and the
+    * near-dup complement of the Bloom-gated EXACT path in
+    * [[Incremental]]): a crawl pipeline dedups each incoming batch
+    * against the accumulated corpus without ever forming old×old pairs.
+    *
+    * Scale shape: each side contributes only (band_idx, band_key, id)
+    * triples to the candidate shuffle — the new side is typically ≪ the
+    * old side, and the band join touches only keys present on BOTH
+    * sides, so cost tracks the batch, not the corpus. Each side's bucket
+    * membership is truncated to its first `maxBucketSize` sorted ids
+    * (the shared hot-bucket discipline, applied per side BEFORE the join
+    * so a degenerate band key costs ≤ cap² candidate rows, never
+    * |new|·|old|). Verify joins each side's light shingle pass by id.
+    * At 100 TB the old side's band tags are a one-off artifact worth
+    * persisting bucketed by (band_idx, band_key) — then each batch join
+    * is shuffle-free on the corpus side.
+    */
+  def minhashNearDupJoin(
+      newDf: DataFrame, newId: Column, newText: Column,
+      oldDf: DataFrame, oldId: Column, oldText: Column,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    require(maxBucketSize >= 1,
+      s"maxBucketSize must be >= 1 (got $maxBucketSize)")
+    def sideTags(df: DataFrame, id: Column, text: Column, idName: String) = {
+      val tagged = df
+        .select(id.as(idName),
+          shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb"))
+        .where(col("sb").isNotNull)
+        .select(col(idName),
+          posexplode(col("sb._2")).as(Seq("band_idx", "band_key")))
+      val w = Window.partitionBy("band_idx", "band_key").orderBy(col(idName))
+      tagged.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= maxBucketSize)
+        .drop("_rn")
+    }
+    val candidates = sideTags(newDf, newId, newText, "id_new")
+      .join(sideTags(oldDf, oldId, oldText, "id_old"),
+        Seq("band_idx", "band_key"))
+      .select("id_new", "id_old")
+      .dropDuplicates("id_new", "id_old")
+    val shNew = newDf.select(newId.as("id_new"),
+      shinglesUdf(shingleSize)(newText).as("sh_new")).where(col("sh_new").isNotNull)
+    val shOld = oldDf.select(oldId.as("id_old"),
+      shinglesUdf(shingleSize)(oldText).as("sh_old")).where(col("sh_old").isNotNull)
+    candidates
+      .join(shNew, "id_new")
+      .join(shOld, "id_old")
+      .withColumn("jaccard", jaccardUdf(col("sh_new"), col("sh_old")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0d).otherwise(

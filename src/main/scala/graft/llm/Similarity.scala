@@ -49,12 +49,14 @@ object Similarity {
     */
   /** Unit-normalize once so pair similarity is a bare dot product — norms
     * are computed N times instead of N² times in any pairwise stage.
+    * Native codegen kernel ([[graft.functions.ArrayNormalize]]): the
+    * column-algebra `transform(v, x -> x / sqrt(dot(v,v)))` re-evaluates
+    * the norm per ELEMENT (no CSE across lambda bodies) — O(dim²)
+    * interpreted per row vs one primitive O(dim) loop.
     */
-  def normalized(vec: Column): Column = {
-    val n = norm(vec)
-    when(n === 0, transform(vec, x => x.cast("double")))
-      .otherwise(transform(vec, x => x.cast("double") / n))
-  }
+  def normalized(vec: Column): Column =
+    ColumnBridge.column(graft.functions.ArrayNormalize(
+      ColumnBridge.expression(vec)))
 
   def neardupPairsExact(df: DataFrame, id: Column, vec: Column,
                         threshold: Double, maxId: Long): DataFrame = {

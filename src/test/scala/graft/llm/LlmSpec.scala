@@ -68,6 +68,37 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("cross-snapshot near-dup join finds batch-vs-corpus dups only") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus content with many unique words here"),
+      (3L, "a third unrelated document about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight extra"), // near-dup of 1
+      (102L, "nothing in common with anything stored before at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupJoin(batch, col("doc_id"), col("text"),
+      old, col("doc_id"), col("text"),
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((101L, 1L)), s"missing planted cross pair: $got")
+    // no old×old or new×new pairs can exist by construction
+    assert(got.forall { case (n, o) => n >= 100L && o < 100L }, s"bad sides: $got")
+    assert(!got.exists(_._1 == 102L), "unrelated batch doc must not match")
+    // degenerate bucket: identical texts on both sides, cap truncates each
+    // side so candidates stay <= cap^2 per band key
+    val sameOld = (0L until 300L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sameNew = (1000L until 1300L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupJoin(sameNew, col("doc_id"), col("text"),
+      sameOld, col("doc_id"), col("text"),
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == 100, s"cap 10 per side → 10×10 pairs, got ${capped.length}")
+    assert(capped.forall { case (n, o) => n < 1010L && o < 10L })
+  }
+
   test("canonicalPick keeps the highest-scored member, ties to smallest id") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
@@ -119,6 +150,28 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairs(df, col("doc_id"), col("text"), maxBucketSize = 1)
     }
+  }
+
+  test("ArrayNormalize kernel matches the column-algebra form bit for bit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero vector passes through
+      (3L, Array(-1.5f, 2.5f, 0.25f))
+    ).toDF("id", "v")
+    val n = Similarity.norm(col("v"))
+    val oldForm = when(n === 0, transform(col("v"), x => x.cast("double")))
+      .otherwise(transform(col("v"), x => x.cast("double") / n))
+    df.select(Similarity.normalized(col("v")).as("a"), oldForm.as("b"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"row $r")
+      }
+    val nul = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    assert(nul.select(Similarity.normalized(col("v"))).head.isNullAt(0))
+    // double input is accepted too
+    val dbl = Seq((1L, Array(1.0, 1.0))).toDF("id", "v")
+    val got = dbl.select(Similarity.normalized(col("v"))).head.getSeq[Double](0)
+    assert(got == Seq(1 / math.sqrt(2), 1 / math.sqrt(2)))
   }
 
   test("ann auto bit-width grows with corpus size, clamped") {

@@ -18,6 +18,7 @@ import pandas as pd
 
 FIXTURES = {
     "q_minhash_pairs": ["id_a", "id_b"],
+    "q_dedup_cross": ["id_new", "id_old"],
     "q_simhash_pairs": ["id_a", "id_b"],
     "q_embed_neardup_ann": ["id_a", "id_b"],
     "q_dedup_near_full": ["doc_id"],

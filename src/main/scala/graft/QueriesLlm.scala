@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Boilerplate, Decontaminate, Dedup, Incremental, Mixing, Multimodal, Packing, Pii, Similarity, TextStats, TfIdf}
+import graft.llm.{Boilerplate, Decontaminate, Dedup, Fusion, Incremental, Mixing, Multimodal, Packing, Pii, Similarity, TextStats, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -984,7 +984,146 @@ object QueriesLlm {
       |SELECT gram, count(*) AS n_docs FROM grams
       |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
 
+  /** q_hybrid_rrf — hybrid retrieval: Reciprocal Rank Fusion of the BM25
+    * top-20 (the q_bm25 lexical ranking) and the cosine top-20 to vec 0
+    * (the q_embed_topk embedding ranking), fused on the shared corpus id
+    * space (doc_id ≡ vec_id by corpus construction). Both inputs are
+    * bounded top-k lists, so the fusion itself is ≤ 40 rows at any scale;
+    * the scale paths live in the rankers. Scores round to 6 dp before the
+    * final ordering (ties → doc_id).
+    */
+  val qHybridRrf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.llm.Bm25.topDocs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), QueriesCurate.Bm25Terms, topK = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select("id", "rank")
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val cos = Similarity.topK(emb.where(col("vec_id") =!= 0), col("vec_id"),
+        col("embedding"), query, 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("rank"))
+    Fusion.rrf(Seq(bm, cos), "id", "rank")
+      .select(col("id").as("doc_id"),
+        round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  val qHybridRrfSql: String = {
+    val terms = QueriesCurate.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END::DOUBLE AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(
+      |          regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |          x -> len(x) > 0)) AS tok
+      |        FROM documents WHERE length(trim(text)) > 0)
+      |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      |bm AS (
+      |  SELECT tf.doc_id, round(sum(
+      |      ln((n - df + 0.5) / (df + 0.5) + 1)
+      |      * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
+      |  GROUP BY tf.doc_id
+      |  ORDER BY score DESC, tf.doc_id LIMIT 20),
+      |bmr AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM bm),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |cosr AS (
+      |  SELECT vec_id AS doc_id,
+      |    row_number() OVER (
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+      |      e.vec_id) AS r
+      |  FROM embeddings e, q WHERE e.vec_id <> 0
+      |  QUALIFY r <= 20),
+      |u AS (
+      |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM bmr
+      |  UNION ALL
+      |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM cosr)
+      |SELECT doc_id, round(sum(contrib), 6) AS rrf_score, count(*) AS n_lists
+      |FROM u GROUP BY doc_id
+      |ORDER BY rrf_score DESC, doc_id""".stripMargin
+  }
+
+  /** q_hard_negatives — contrastive-training hard-negative mining: for each
+    * of 8 anchor vectors, the 3 most-cosine-similar corpus vectors with a
+    * DIFFERENT label ([[Similarity.hardNegatives]]: broadcast-anchor
+    * kernel + per-anchor top-k, similarities 6-dp-rounded before ranking,
+    * ties → vec_id).
+    */
+  val qHardNegatives: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(
+      emb.where(col("vec_id") >= 8), col("vec_id"), col("embedding"), col("label"),
+      emb.where(col("vec_id") < 8), col("vec_id"), col("embedding"), col("label"),
+      k = 3)
+      .select(col("anchor_id"), col("rk"), col("id").as("vec_id"), col("sim"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  val qHardNegativesSql: String =
+    """WITH a AS (
+      |  SELECT vec_id AS aid, label AS albl, embedding::DOUBLE[] AS av
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS cv
+      |  FROM embeddings WHERE vec_id >= 8),
+      |sims AS (
+      |  SELECT a.aid AS anchor_id, c.vec_id,
+      |    round(list_cosine_similarity(av, cv), 6) AS sim
+      |  FROM a JOIN c ON c.label <> a.albl),
+      |r AS (
+      |  SELECT anchor_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk
+      |  FROM sims)
+      |SELECT anchor_id, rk, vec_id, sim FROM r WHERE rk <= 3
+      |ORDER BY anchor_id, rk""".stripMargin
+
+  /** q_dup_frac — duplicated-content fraction ([[Dedup.dupShingleFraction]]
+    * over 4-grams, the q_decontaminate shingle convention): the share of
+    * each document's distinct grams that appear in ≥ 2 documents — the
+    * corpus-frequency boilerplate signal pairwise dedup misses.
+    */
+  val qDupFrac: Q = (s, dir) =>
+    Dedup.dupShingleFraction(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 4)
+      .select(col("id").as("doc_id"), col("n_grams"), col("dup_frac"))
+      .orderBy("doc_id")
+
+  val qDupFracSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+      |      i -> array_to_string(t[i:i+3], ' '))) AS g
+      |    FROM toks WHERE len(t) >= 4)),
+      |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_grams, sum((df >= 2)::BIGINT) AS n_dup
+      |  FROM grams JOIN dfreq USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+      |  round(coalesce(n_dup::DOUBLE / n_grams, 0), 6) AS dup_frac
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_dup_frac" -> qDupFrac,
     "q_embed_neardup_ann" -> qEmbedNeardupAnn,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_window" -> qDedupWindow,
@@ -1034,6 +1173,9 @@ object QueriesLlm {
     s"SELECT * FROM read_parquet('$FixtureDir/$name.parquet') ORDER BY $order"
 
   def oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> qHybridRrfSql,
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_dup_frac" -> qDupFracSql,
     "q_minhash_pairs" -> fixtureSql("q_minhash_pairs", "id_a, id_b"),
     "q_dedup_cross" -> fixtureSql("q_dedup_cross", "id_new, id_old"),
     "q_simhash_pairs" -> fixtureSql("q_simhash_pairs", "id_a, id_b"),

@@ -474,6 +474,45 @@ object Dedup {
     sig
   }
 
+  /** Duplicated-content fraction per document — the MassiveText/RefinedWeb
+    * quality signal "what share of this document's n-grams also appear in
+    * OTHER documents": near-1.0 marks boilerplate and template spam that
+    * pairwise dedup keeps (every copy differs somewhere) but a corpus-level
+    * frequency view catches.
+    *
+    * Per document: the distinct word `n`-grams (the [[shingleSet]] kernel),
+    * and the fraction of them whose corpus document-frequency is ≥ 2.
+    * Gram-less documents (< n tokens) report (0, 0.0).
+    *
+    * Scale shape: grams shuffle as (xxhash64, id) PAIRS — never strings
+    * (the exact-dedup digest discipline; at ~10¹² corpus grams the 64-bit
+    * birthday risk is a single coalesced gram pair, which moves one
+    * document's fraction by 1/|grams| — accepted and documented, the
+    * string-keyed variant costs ~10× shuffle volume). Three keyed stages:
+    * df per gram (map-side partial agg), hits join on the gram hash
+    * (co-partitioned with the df shuffle), per-doc count — all bounded,
+    * no window, no skew hotspot (a gram shared by every document still
+    * aggregates to ONE df row; the join fan-out is per-doc gram count,
+    * not df).
+    */
+  def dupShingleFraction(docs: DataFrame, id: Column, text: Column,
+      n: Int = 4): DataFrame = {
+    val grams = docs
+      .select(id.as("id"), explode(shinglesUdf(n)(text)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("h"))
+    val df = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") >= 2).cast("long")).as("n_dup"))
+    docs.select(id.as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("n_dup").cast("double") / col("n_grams"), lit(0.0)), 6)
+          .as("dup_frac"))
+  }
+
   def simhash(text: Column): Column = simhashFold(TextStats.tokens(text))
 
   /** Hamming distance between two simhash longs. */

@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — combining a lexical ranking (BM25)
+  * with an embedding ranking over the same id space, the standard shape of
+  * a RAG / training-data retrieval stack (reference: gpq has no retrieval;
+  * this extends the Bm25/Similarity operators the way production curation
+  * pipelines compose them).
+  *
+  * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+  * score(d) = Σ_lists 1 / (k + rank_list(d)), missing-from-a-list
+  * contributes nothing. RRF is scale-free — it never compares raw scores
+  * across lists, so BM25 log-weights and cosine similarities need no
+  * calibration.
+  *
+  * Scale shape: each input ranking is already top-k bounded (TakeOrdered /
+  * pruned-token aggregation upstream), so the union + groupBy here runs on
+  * ≤ Σ kᵢ rows regardless of corpus size — the expensive work stays in the
+  * rankers, which carry their own 100 TB paths (Bm25 query-term pruning,
+  * Similarity ANN). The two-term double sum is order-insensitive (IEEE
+  * addition is commutative); callers round before any cross-engine compare.
+  */
+object Fusion {
+
+  /** Fuse ranked lists sharing an id space. Each input must carry `idCol`
+    * and a 1-based `rankCol`; emits (id, rrf_score, n_lists) unordered —
+    * callers round `rrf_score` and order deterministically.
+    */
+  def rrf(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf: need at least one ranking")
+    require(k >= 1, s"rrf: k must be >= 1 (got $k)")
+    rankings
+      .map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")))
+          .as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum("contrib").as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+}

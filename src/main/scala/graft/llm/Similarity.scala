@@ -450,4 +450,63 @@ object Similarity {
       .where(round(dot(col("v_a"), col("v_b")), 6) > threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
   }
+
+  /** Hard-negative mining for contrastive / embedding-model training: for
+    * each anchor vector, the `k` most-similar corpus vectors carrying a
+    * DIFFERENT label — the "looks like the anchor but isn't" examples that
+    * make the hardest training negatives.
+    *
+    * Scale shape: the anchor set is collected and broadcast (BOUNDED BY
+    * CONTRACT — anchors are a probe set, thousands at most; the
+    * [[Decontaminate.embeddingContamination]] bench pattern). The corpus
+    * side is one narrow kernel pass emitting (anchor, sim) structs —
+    * |anchors| fused multiply-adds per row, no join, no shuffle of
+    * vectors — followed by [[graft.operators.TopK.perGroup]] on the
+    * anchor id: ONE shuffle of slim (anchor, sim, id) triples, per-group
+    * sort only. Similarities round to 6 dp inside the kernel (BigDecimal
+    * HALF_UP, the cross-engine pre-rank discipline); ties break on the
+    * corpus id.
+    *
+    * The kernel runs in a projection SEPARATE from the explode — a UDF in
+    * the same select as a generator re-evaluates per generated element.
+    */
+  def hardNegatives(corpus: DataFrame, id: Column, vec: Column,
+      label: Column, anchors: DataFrame, anchorId: Column, anchorVec: Column,
+      anchorLabel: Column, k: Int): DataFrame = {
+    require(k > 0, s"hardNegatives: k must be positive (got $k)")
+    val anchorRows: Array[(Long, Long, Array[Double])] = anchors
+      .select(anchorId.cast("long").as("aid"), anchorLabel.cast("long").as("albl"),
+        normalized(anchorVec).as("av"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(anchorRows.nonEmpty, "hardNegatives: empty anchor set")
+    val bc = corpus.sparkSession.sparkContext.broadcast(anchorRows)
+    val sims = udf { (v: Seq[Double], lbl: Long) =>
+      val as = bc.value
+      val out = Array.newBuilder[(Long, Double)]
+      var i = 0
+      while (i < as.length) {
+        val (aid, albl, av) = as(i)
+        if (albl != lbl) {
+          var d = 0d
+          var j = 0
+          val m = math.min(av.length, v.length)
+          while (j < m) { d += v(j) * av(j); j += 1 }
+          out += ((aid, BigDecimal.decimal(d)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val scored = corpus
+      .select(id.as("id"), normalized(vec).as("_v"), label.cast("long").as("_l"))
+      .select(col("id"), sims(col("_v"), col("_l")).as("_s"))
+      .select(col("id"), explode(col("_s")).as("_e"))
+      .select(col("_e._1").as("anchor_id"), col("id"), col("_e._2").as("sim"))
+    graft.operators.TopK.perGroup(scored, col("anchor_id"), col("sim"),
+        col("id"), k)
+      .select(col("anchor_id"), col("rk").cast("long").as("rk"), col("id"),
+        col("sim"))
+  }
 }

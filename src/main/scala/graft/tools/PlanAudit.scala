@@ -24,7 +24,8 @@ object PlanAudit {
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input
     "q_vocab",      // rank over ≤16 post-limit vocab rows (Vocab.build)
-    "q_token_ids"   // same vocab rank window feeding the broadcast join
+    "q_token_ids",  // same vocab rank window feeding the broadcast join
+    "q_hybrid_rrf"  // two rank windows, each over a 20-row post-limit list
   )
 
   def main(args: Array[String]): Unit = {

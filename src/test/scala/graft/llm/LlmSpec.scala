@@ -534,4 +534,56 @@ class LlmSpec extends SparkSpec {
     }
     media.unpersist()
   }
+
+  test("rrf fuses ranked lists: overlap sums, misses contribute nothing") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val sem = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    val out = Fusion.rrf(Seq(lex, sem), "id", "rank", k = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def c(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(out(2L)._1 - (c(2) + c(1))) < 1e-12 && out(2L)._2 == 2L)
+    assert(math.abs(out(1L)._1 - c(1)) < 1e-12 && out(1L)._2 == 1L)
+    assert(math.abs(out(3L)._1 - (c(3) + c(2))) < 1e-12)
+    assert(math.abs(out(4L)._1 - c(3)) < 1e-12 && out(4L)._2 == 1L)
+    // the doc ranked mid-list in BOTH lists beats a top-of-one-list doc
+    assert(out(2L)._1 > out(1L)._1 && out(3L)._1 > out(4L)._1)
+    intercept[IllegalArgumentException](Fusion.rrf(Nil, "id", "rank"))
+    intercept[IllegalArgumentException](Fusion.rrf(Seq(lex), "id", "rank", k = 0))
+  }
+
+  test("hard negatives: same-label excluded, ranked by similarity, k respected") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, 0, Array(1f, 0f)),     // same label as anchor — excluded even at sim 1
+      (11L, 1, Array(0.9f, 0.1f)), // hardest cross-label negative
+      (12L, 1, Array(0f, 1f)),     // orthogonal
+      (13L, 2, Array(1f, 0.05f))   // near-identical, different label
+    ).toDF("vec_id", "label", "embedding")
+    val anchors = Seq((0L, 0, Array(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        col("label"), anchors, col("vec_id"), col("embedding"), col("label"), k = 2)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._3).toSeq == Seq(13L, 11L), s"got ${out.toSeq}")
+    assert(out.forall(_._1 == 0L) && out.map(_._2).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r._4 > 0.9 && r._4 <= 1.0))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        col("label"), anchors, col("vec_id"), col("embedding"), col("label"), k = 0))
+  }
+
+  test("dup shingle fraction: exact dups 1.0, near-dup partial, unique 0.0") {
+    val out = Dedup.dupShingleFraction(docs, col("doc_id"), col("text"), n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // docs 1 and 6 are identical 14-token docs → 11 grams, all shared
+    assert(out(1L) == ((11L, 1.0)) && out(6L) == ((11L, 1.0)))
+    // doc 2 differs only in the last token: the 10 grams not touching it
+    // are shared with 1/6, the final gram is unique → 10/11
+    assert(out(2L)._1 == 11L)
+    assert(math.abs(out(2L)._2 - math.floor(10.0 / 11 * 1e6 + 0.5) / 1e6) < 1e-12)
+    // singleton-content docs share nothing; the empty doc has no grams
+    assert(out(3L) == ((6L, 0.0)) && out(4L) == ((10L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+  }
 }

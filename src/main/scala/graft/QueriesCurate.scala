@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Normalize, Snapshot, Vocab}
+import graft.llm.{Mixing, Normalize, Snapshot, Vocab}
 import graft.operators.{SkewJoin, TopK}
 
 /** Corpus-curation operators as driver queries: vocabulary build,
@@ -745,7 +745,79 @@ object QueriesCurate {
       |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6) AS dup_frac
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q_mix_weights — the training-mixture table: per-source doc/token
+    * counts and the α = 0.5 temperature-scaled sampling weight
+    * ([[Mixing.temperatureWeights]]). Weights round to 6 dp (the scalar
+    * normalizer divides a sum whose accumulation order differs across
+    * engines at the ulp level).
+    */
+  val qMixWeights: Q = (s, dir) =>
+    Mixing.temperatureWeights(Tables.documents(s, dir), col("source"),
+        size(graft.llm.TextStats.tokens(col("text"))), alpha = 0.5)
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("stratum")
+
+  val qMixWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source AS stratum, count(*) AS n_docs,
+      |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+      |  FROM documents GROUP BY source),
+      |d AS (SELECT sum(pow(n_tokens, 0.5)) AS denom FROM per)
+      |SELECT stratum, n_docs, n_tokens,
+      |  round(pow(n_tokens, 0.5) / denom, 6) AS weight
+      |FROM per, d ORDER BY stratum""".stripMargin
+
+  /** q_zipf — Zipf head profile ([[Vocab.zipfProfile]]): top-50 tokens
+    * with corpus share and cumulative share; rank/cum windows run over the
+    * ≤ 50 post-limit rows.
+    */
+  val qZipf: Q = (s, dir) =>
+    Vocab.zipfProfile(Tables.documents(s, dir), col("text"), 50)
+      .select(col("rank").cast("long").as("rank"), col("token"), col("cnt"),
+        round(col("share"), 6).as("share"),
+        round(col("cum_share"), 6).as("cum_share"))
+      .orderBy("rank")
+
+  val qZipfSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |tot AS (SELECT sum(cnt)::DOUBLE AS t FROM c),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt,
+      |  round(cnt / t, 6) AS share,
+      |  round(sum(cnt) OVER (ORDER BY cnt DESC, token
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6) AS cum_share
+      |FROM top, tot ORDER BY rank""".stripMargin
+
+  /** q_bpe_merges — first-iteration BPE pair counts
+    * ([[Vocab.bpePairCounts]]): top-20 adjacent character pairs by
+    * occurrence-weighted corpus frequency (ties → pair asc).
+    */
+  val qBpeMerges: Q = (s, dir) =>
+    Vocab.bpePairCounts(Tables.documents(s, dir), col("text"), 20)
+      .orderBy(col("cnt").desc, col("pair"))
+
+  val qBpeMergesSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0)) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |p AS (SELECT unnest(list_transform(range(1, length(token)),
+      |        i -> substr(token, i, 2))) AS pair, cnt
+      |      FROM c WHERE length(token) >= 2)
+      |SELECT pair, sum(cnt)::BIGINT AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_mix_weights" -> qMixWeights,
+    "q_zipf" -> qZipf,
+    "q_bpe_merges" -> qBpeMerges,
     "q_group_sample" -> qGroupSample,
     "q_dedup_rate" -> qDedupRate,
     "q_pagerank" -> qPagerank,
@@ -774,6 +846,9 @@ object QueriesCurate {
     "q_quality_filter" -> qQualityFilter)
 
   def oracles: Map[String, String] = Map(
+    "q_mix_weights" -> qMixWeightsSql,
+    "q_zipf" -> qZipfSql,
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_group_sample" -> qGroupSampleSql,
     "q_dedup_rate" -> qDedupRateSql,
     "q_pagerank" -> qPagerankSql,

@@ -1120,7 +1120,58 @@ object QueriesLlm {
       |FROM documents d LEFT JOIN perdoc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_span_overlap — exact shared-span pairs ([[Dedup.sharedSpanPairs]]):
+    * doc pairs sharing verbatim 8-token runs, with the distinct-span
+    * count; spans shared by > 50 docs are boilerplate and excluded before
+    * pair explosion in BOTH engines.
+    */
+  val qSpanOverlap: Q = (s, dir) =>
+    Dedup.sharedSpanPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 8, maxDf = 50)
+      .orderBy("id_a", "id_b")
+
+  val qSpanOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS g
+      |    FROM toks WHERE len(t) >= 8)),
+      |keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      |      WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, count(*) AS n_spans FROM p
+      |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
+  /** q_kl_quality — per-doc KL(p_doc ‖ p_corpus) typicality score
+    * ([[TextStats.klDivergence]]), 4 dp (sum order + libm-vs-StrictMath
+    * ln differ at the ulp level across engines, the q_unigram_logprob
+    * discipline).
+    */
+  val qKlQuality: Q = (s, dir) =>
+    TextStats.klDivergence(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), round(col("kl"), 4).as("kl"))
+      .orderBy("doc_id")
+
+  val qKlQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |dt AS (SELECT doc_id, tok, count(*)::DOUBLE AS c FROM toks GROUP BY doc_id, tok),
+      |dtot AS (SELECT doc_id, sum(c) AS td FROM dt GROUP BY doc_id),
+      |v AS (SELECT tok, count(*)::DOUBLE AS ct FROM toks GROUP BY tok),
+      |tot AS (SELECT sum(ct) AS t FROM v)
+      |SELECT doc_id, round(sum((c/td) * ln((c/td) / (ct/t))), 4) AS kl
+      |FROM dt JOIN dtot USING (doc_id) JOIN v USING (tok), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_span_overlap" -> qSpanOverlap,
+    "q_kl_quality" -> qKlQuality,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_hard_negatives" -> qHardNegatives,
     "q_dup_frac" -> qDupFrac,
@@ -1173,6 +1224,8 @@ object QueriesLlm {
     s"SELECT * FROM read_parquet('$FixtureDir/$name.parquet') ORDER BY $order"
 
   def oracles: Map[String, String] = Map(
+    "q_span_overlap" -> qSpanOverlapSql,
+    "q_kl_quality" -> qKlQualitySql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_dup_frac" -> qDupFracSql,

@@ -513,6 +513,40 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Exact shared-span detection: document pairs sharing at least one
+    * verbatim run of `n` consecutive tokens, with the count of distinct
+    * shared spans — the exact-substring-overlap signal (the "50-token
+    * verbatim match" dedup rule of large-corpus training-data hygiene)
+    * that sketch-based near-dup misses when the overlap is a small part
+    * of each document (quotations, syndicated passages, license blocks).
+    *
+    * Scale shape: per-doc DISTINCT n-gram spans ([[shingleSet]]) shuffle
+    * as (xxhash64, id) pairs; spans are grouped once and pairs emitted by
+    * the sorted collect_list + slice-explosion kernel (the MinHash-LSH
+    * bucket shape) — no self-join. Spans shared by more than `maxDf`
+    * documents are boilerplate, not plagiarism: they are dropped BEFORE
+    * pair explosion, making the per-span fan-out ≤ C(maxDf, 2) and the
+    * whole pass quadratic-free. The final per-pair count is one slim
+    * (id_a, id_b) aggregate.
+    */
+  def sharedSpanPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 8, maxDf: Int = 50): DataFrame = {
+    require(n >= 2, s"sharedSpanPairs: span length must be >= 2 (got $n)")
+    require(maxDf >= 2, s"sharedSpanPairs: maxDf must be >= 2 (got $maxDf)")
+    val grams = docs
+      .select(id.as("id"), explode(shinglesUdf(n)(text)).as("gram"))
+      .select(xxhash64(col("gram")).as("h"), col("id"))
+    val buckets = grams.groupBy("h")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"))
+  }
+
   def simhash(text: Column): Column = simhashFold(TextStats.tokens(text))
 
   /** Hamming distance between two simhash longs. */

@@ -78,4 +78,29 @@ object Mixing {
         when(hp < lit(rateToHex(c)), name).otherwise(acc)
     }
   }
+
+  /** Temperature-scaled sampling weights per stratum — the mixture table
+    * every multi-source / multilingual training run starts from: a source
+    * with nᵅ share of the α-tempered token mass gets weight
+    * w_s = n_sᵅ / Σ_t n_tᵅ. α = 1 reproduces natural proportions; α → 0
+    * flattens toward uniform; α ≈ 0.3–0.7 is the usual compromise that
+    * up-weights small sources without drowning large ones.
+    *
+    * Scale shape: ONE partial-aggregated groupBy to per-stratum (n_docs,
+    * n_tokens) — strata are languages/sources/domains, so the aggregate is
+    * tiny regardless of corpus size; the normalizer is a one-row scalar
+    * collect over it (the [[TextStats.unigramLogProb]] corpus-total
+    * pattern, bounded by |strata|). The token counter is a narrow
+    * `size(split)` — no explode, no token shuffle.
+    */
+  def temperatureWeights(df: DataFrame, stratum: Column, tokCount: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCount).as("n_tokens"))
+    val denom = per
+      .agg(sum(pow(col("n_tokens").cast("double"), alpha))).head().getDouble(0)
+    per.select(col("stratum"), col("n_docs"), col("n_tokens"),
+      (pow(col("n_tokens").cast("double"), alpha) / denom).as("weight"))
+  }
 }

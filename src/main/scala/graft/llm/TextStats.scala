@@ -458,6 +458,35 @@ object TextStats {
       .agg(avg(log(col("cnt").cast("double") / total)).as("logprob"))
   }
 
+  /** Per-document KL divergence KL(p_doc ‖ p_corpus) over unigrams — the
+    * "typicality" quality score: how far each document's own token
+    * distribution sits from the corpus distribution. Near-0 marks
+    * corpus-typical text; high values mark outliers (wrong language,
+    * boilerplate, token spam). Complements [[unigramLogProb]] (which
+    * scores tokens only by corpus rarity, blind to within-doc shape).
+    *
+    * Scale shape: explode to (doc, token), aggregate per-doc term counts
+    * (ONE slim keyed shuffle), per-doc totals via a window PARTITIONED BY
+    * doc (no second shuffle — same partitioning), corpus vocabulary by one
+    * partial-aggregated groupBy, corpus total as a one-row scalar collect
+    * (the [[unigramLogProb]] pattern). The vocab join shuffles slim
+    * (token, cnt) rows and broadcasts when small.
+    */
+  def klDivergence(df: org.apache.spark.sql.DataFrame, id: Column,
+                   text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("id"), explode(tokens(lower(text))).as("tok"))
+    val dt = toks.groupBy("id", "tok").agg(count(lit(1)).as("c_dt"))
+      .withColumn("t_d", sum(col("c_dt")).over(Window.partitionBy(col("id"))))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val total = vocab.agg(sum("c_t")).head().getLong(0).toDouble
+    dt.join(vocab, "tok")
+      .groupBy("id")
+      .agg(sum((col("c_dt").cast("double") / col("t_d"))
+        * log((col("c_dt").cast("double") / col("t_d"))
+          / (col("c_t").cast("double") / total))).as("kl"))
+  }
+
   /** Stable document fingerprint (md5 of the normalized text). */
   def fingerprintMd5(text: Column): Column = md5(lower(collapsed(text)))
 

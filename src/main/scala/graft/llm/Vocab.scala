@@ -38,6 +38,59 @@ object Vocab {
       .select("rank", "token", "cnt")
   }
 
+  /** Zipf head profile: [[build]]'s top-`n` vocabulary extended with each
+    * token's share of the total corpus token mass and the running
+    * cumulative share — the concentration curve ("the top 50 tokens cover
+    * X% of the corpus") that sizes vocabulary budgets and flags
+    * template-dominated corpora (a healthy natural-language head follows
+    * share ∝ 1/rank; a scraped-boilerplate corpus front-loads far harder).
+    *
+    * Scale shape: [[build]]'s count-table + TakeOrdered; the corpus total
+    * is a one-row scalar collect over the count table; share math and the
+    * cumulative window run over the ≤ n post-limit rows only.
+    */
+  def zipfProfile(df: DataFrame, text: Column, n: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextStats.tokens(lower(text))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).head().getLong(0).toDouble
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(n)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share", col("cnt").cast("double") / total)
+      .withColumn("cum_share",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / total)
+      .select("rank", "token", "cnt", "share", "cum_share")
+  }
+
+  /** First-iteration BPE pair statistics: total corpus frequency of every
+    * adjacent character pair, weighted by token occurrence counts — the
+    * count table whose argmax is byte-pair encoding's first merge, and
+    * collectively the signal tokenizer-training data work reads to judge
+    * corpus character health (alphabet mix, transliteration noise).
+    *
+    * Scale shape: the corpus-sized pass is the [[build]] token count (one
+    * partial-aggregated groupBy of slim (token, cnt) rows); pair
+    * explosion runs on the DISTINCT-token vocabulary — bounded by
+    * vocabulary size, not corpus size — weighted by the counts, then one
+    * tiny (pair, cnt) aggregate and a TakeOrdered head.
+    */
+  def bpePairCounts(df: DataFrame, text: Column, n: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextStats.tokens(lower(text))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts
+      .where(length(col("token")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(n)
+  }
+
   /** Map each document to its vocabulary-id sequence: (id, n_tok, n_oov,
     * ids_md5) where ids_md5 digests the comma-joined id sequence in token
     * order (OOV → 0) and is NULL for token-less documents.

@@ -25,7 +25,8 @@ object PlanAudit {
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input
     "q_vocab",      // rank over ≤16 post-limit vocab rows (Vocab.build)
     "q_token_ids",  // same vocab rank window feeding the broadcast join
-    "q_hybrid_rrf"  // two rank windows, each over a 20-row post-limit list
+    "q_hybrid_rrf", // two rank windows, each over a 20-row post-limit list
+    "q_zipf"        // rank + cumsum over ≤50 post-limit vocab rows
   )
 
   def main(args: Array[String]): Unit = {

@@ -309,4 +309,49 @@ class CurateSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("source")),
       s"window not partitioned by group:\n$plan")
   }
+
+  test("temperature weights: alpha=0.5 up-weights small sources, sums to 1") {
+    val df = Seq(
+      ("a", "w x y z"),
+      ("b", "w x y z"), ("b", "w x y z"), ("b", "w x y z"), ("b", "w x y z")
+    ).toDF("source", "text")
+    val out = Mixing.temperatureWeights(df, col("source"),
+        size(TextStats.tokens(col("text"))), alpha = 0.5)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // tokens: a=4, b=16; sqrt: 2 and 4, denom 6 -> 1/3 and 2/3
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 1L, 4L), ("b", 4L, 16L)))
+    assert(math.abs(out(0)._4 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out(1)._4 - 2.0 / 3) < 1e-12)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    // natural proportions at alpha=1
+    val nat = Mixing.temperatureWeights(df, col("source"),
+        size(TextStats.tokens(col("text"))), alpha = 1.0)
+      .orderBy("stratum").collect().map(_.getDouble(3))
+    assert(math.abs(nat(0) - 0.2) < 1e-12 && math.abs(nat(1) - 0.8) < 1e-12)
+    intercept[IllegalArgumentException](
+      Mixing.temperatureWeights(df, col("source"), lit(1), alpha = 0.0))
+  }
+
+  test("zipf profile: shares of corpus total, cumulative share monotone") {
+    val df = Seq("b b b a a", "c").toDF("text")
+    val out = Vocab.zipfProfile(df, col("text"), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // counts b=3 a=2 c=1, total 6; top-2 is b then a
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, "b", 3L), (2, "a", 2L)))
+    assert(math.abs(out(0)._4 - 0.5) < 1e-12 && math.abs(out(0)._5 - 0.5) < 1e-12)
+    assert(math.abs(out(1)._4 - 2.0 / 6) < 1e-12)
+    assert(math.abs(out(1)._5 - 5.0 / 6) < 1e-12)
+  }
+
+  test("bpe pair counts: occurrence-weighted, single-char tokens excluded") {
+    val df = Seq("abc abc bc x").toDF("text")
+    val out = Vocab.bpePairCounts(df, col("text"), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // abc(cnt 2) -> ab,bc each 2; bc(cnt 1) -> bc 1; x has no pair
+    assert(out.toSeq == Seq(("bc", 3L), ("ab", 2L)))
+  }
 }

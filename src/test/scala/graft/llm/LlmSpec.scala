@@ -586,4 +586,41 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((6L, 0.0)) && out(4L) == ((10L, 0.0)))
     assert(out(5L) == ((0L, 0.0)))
   }
+
+  test("shared span pairs: counts verbatim runs, maxDf drops boilerplate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"), // abc bcd cde
+      (2L, "a b c d x"), // abc bcd cdx
+      (3L, "z z z"),     // zzz (df=1, never paired)
+      (4L, "a b c q r")  // abc
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(df, col("doc_id"), col("text"), n = 3,
+        maxDf = 50)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 4L, 1L), (2L, 4L, 1L)))
+    // maxDf=2 drops "a b c" (df=3): only the bcd pair survives
+    val capped = Dedup.sharedSpanPairs(df, col("doc_id"), col("text"), n = 3,
+        maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 1L)))
+    intercept[IllegalArgumentException](
+      Dedup.sharedSpanPairs(df, col("doc_id"), col("text"), n = 1))
+    intercept[IllegalArgumentException](
+      Dedup.sharedSpanPairs(df, col("doc_id"), col("text"), maxDf = 1))
+  }
+
+  test("kl divergence: corpus-typical doc near 0, skewed doc higher") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextStats.klDivergence(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: a=2 b=2 (q=0.5 each); doc1 p=(2/3,1/3); doc2 p_b=1
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / 0.5) +
+      1.0 / 3 * math.log((1.0 / 3) / 0.5)
+    assert(math.abs(out(1L) - kl1) < 1e-12)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-12)
+    assert(out(2L) > out(1L))
+  }
 }

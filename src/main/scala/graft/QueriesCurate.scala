@@ -104,6 +104,50 @@ object QueriesCurate {
       .orderBy("doc_id")
   }
 
+  /** q_merge_upsert — [[Snapshot.applyChanges]] (MERGE): a change feed
+    * derived deterministically from `documents` (delete ids ≡ 0 mod 10,
+    * upsert-with-new-text ids ≡ 1, brand-new ids ≡ 2 shifted by 1e6) is
+    * applied to the base; output digests the merged payload.
+    */
+  val qMergeUpsert: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+    val deletes = base.where(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("op", lit("delete"))
+    val updates = base.where(pmod(col("doc_id"), lit(10)) === 1)
+      .withColumn("text", concat(lit("updated "), col("text")))
+      .withColumn("source", lit("merged"))
+      .withColumn("op", lit("upsert"))
+    val inserts = base.where(pmod(col("doc_id"), lit(10)) === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("insert"))
+      .withColumn("op", lit("upsert"))
+    val changes = deletes.unionByName(updates).unionByName(inserts)
+    Snapshot.applyChanges(base, changes, "doc_id", "op")
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH changes AS (
+      |  SELECT doc_id, 'delete' AS op, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert', 'updated ' || text, lang, 'merged', n_chars
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'upsert', text, lang, 'insert', n_chars
+      |  FROM documents WHERE doc_id % 10 = 2),
+      |merged AS (
+      |  SELECT d.* FROM documents d
+      |  LEFT JOIN (SELECT DISTINCT doc_id FROM changes) c USING (doc_id)
+      |  WHERE c.doc_id IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM changes
+      |  WHERE op = 'upsert')
+      |SELECT doc_id, source, md5(text) AS text_md5 FROM merged
+      |ORDER BY doc_id""".stripMargin
+
   val qSnapshotDiffSql: String =
     """WITH oldsnap AS (
       |  SELECT doc_id,
@@ -841,6 +885,7 @@ object QueriesCurate {
     "q_token_ids" -> qTokenIds,
     "q_normalize" -> qNormalize,
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_skew_join" -> qSkewJoin,
     "q_top_per_group" -> qTopPerGroup,
     "q_quality_filter" -> qQualityFilter)
@@ -872,6 +917,7 @@ object QueriesCurate {
     "q_token_ids" -> qTokenIdsSql,
     "q_normalize" -> qNormalizeSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_top_per_group" -> qTopPerGroupSql,
     "q_quality_filter" -> qQualityFilterSql)

@@ -81,6 +81,32 @@ object QueriesPipeline {
       |FROM documents d LEFT JOIN per p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_chunk_overlap — RAG chunking ([[ChunkDedup.ragChunks]]): one row
+    * per overlapping 32-token window at stride 24 (consecutive chunks
+    * share 8 tokens), emitting the chunk digest, not its text.
+    */
+  val qChunkOverlap: Q = (s, dir) =>
+    ChunkDedup.ragChunks(Tables.documents(s, dir), col("doc_id"), col("text"),
+        size = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_idx"),
+        col("n_tok").cast("long").as("n_tok"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val qChunkOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |starts AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, (s / 24)::BIGINT AS chunk_idx,
+      |    (least(s + 32, len(t)) - s)::BIGINT AS n_tok,
+      |    array_to_string(t[s+1 : least(s+32, len(t))], ' ') AS chunk
+      |  FROM starts)
+      |SELECT doc_id, chunk_idx, n_tok, md5(chunk) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** q_bigram_logprob — add-one-smoothed bigram LM quality score (mean
     * log P(w2|w1) per document; rounded to 4 dp like q_unigram_logprob —
     * avg summation order and ln differ at the ulp level across engines).
@@ -241,6 +267,7 @@ object QueriesPipeline {
     "q_cluster_sample" -> qClusterSample,
     "q_winnow" -> qWinnow,
     "q_chunk_dedup" -> qChunkDedup,
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_pack_bins" -> qPackBins,
     "q_profile" -> qProfile,
@@ -250,6 +277,7 @@ object QueriesPipeline {
     "q_cluster_sample" -> qClusterSampleSql,
     "q_winnow" -> qWinnowSql,
     "q_chunk_dedup" -> qChunkDedupSql,
+    "q_chunk_overlap" -> qChunkOverlapSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_pack_bins" -> qPackBinsSql,
     "q_profile" -> qProfileSql,

@@ -46,6 +46,58 @@ object ChunkDedup {
 
   private def chunksUdf(c: Int) = udf { (text: String) => chunks(text, c) }
 
+  /** Overlapping retrieval chunks of one document: windows of `size`
+    * tokens starting every `stride` tokens (stride < size ⇒ consecutive
+    * chunks share size − stride tokens of context — the standard RAG
+    * chunking rule that keeps boundary-straddling passages retrievable).
+    * The tail chunk may be shorter; a start past the last token emits
+    * nothing, so every token is covered and no chunk is empty.
+    */
+  private[graft] def overlapChunks(text: String, size: Int,
+      stride: Int): Array[String] = {
+    val words =
+      if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) Array.empty
+    else {
+      val n = (words.length + stride - 1) / stride
+      Array.tabulate(n) { j =>
+        val from = j * stride
+        val until = math.min(from + size, words.length)
+        val sb = new java.lang.StringBuilder(words(from))
+        var i = from + 1
+        while (i < until) { sb.append(' ').append(words(i)); i += 1 }
+        sb.toString
+      }
+    }
+  }
+
+  private def overlapChunksUdf(size: Int, stride: Int) =
+    udf { (text: String) => overlapChunks(text, size, stride) }
+
+  /** RAG chunking as a dataset: one row per overlapping chunk —
+    * (id, chunk_idx, n_tok, chunk_md5) with chunk_idx 0-based in document
+    * order. Emits the DIGEST of each chunk, not its text: the downstream
+    * consumers this feeds (chunk-level dedup, embedding queues keyed by
+    * digest) never need the string on the wire; callers that want text
+    * re-derive it narrowly from the source row. Chunking is a narrow
+    * kernel pass — no shuffle at all in this operator.
+    */
+  def ragChunks(df: DataFrame, id: Column, text: Column, size: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(size >= 1, s"ragChunks: size must be >= 1 (got $size)")
+    require(stride >= 1 && stride <= size,
+      s"ragChunks: stride must be in [1, size] (got $stride)")
+    df.select(id.as("id"),
+        posexplode(overlapChunksUdf(size, stride)(text)).as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size_(split(col("chunk"), " ")).as("n_tok"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
+
+  // functions.size clashes with the `size`/`stride` parameter names above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Per-document chunk duplication stats: (id, n_chunks, n_dup_chunks,
     * dup_chunk_frac) where a chunk is "duplicated" when its exact token
     * sequence occurs in ≥ 2 distinct documents. Empty documents score

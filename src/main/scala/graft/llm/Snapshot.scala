@@ -31,4 +31,25 @@ object Snapshot {
           .when(col("_old_h") =!= col("_new_h"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** MERGE / upsert — [[diff]]'s inverse: apply a change feed to a base
+    * snapshot to produce the next release. `changes` shares the base
+    * schema plus an `opCol` ∈ {"upsert", "delete"}: upsert replaces (or
+    * adds) the row with that id, delete removes it; base rows with no
+    * change pass through. A duplicate id within one change feed is a
+    * malformed feed — callers dedupe upstream; this operator asserts
+    * nothing and unions whatever survives the anti-join.
+    *
+    * Scale shape: the touched-id set is a slim distinct projection; the
+    * anti-join is one keyed shuffle of (id)-only rows against the base
+    * (broadcast when the feed is small — the common case: daily churn ≪
+    * corpus), and the union is shuffle-free. The payload never shuffles on
+    * the base side — the anti-join carries base rows untouched.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String): DataFrame = {
+    val touched = changes.select(col(idCol)).distinct()
+    base.join(touched, Seq(idCol), "left_anti")
+      .unionByName(changes.where(col(opCol) === "upsert").drop(opCol))
+  }
 }

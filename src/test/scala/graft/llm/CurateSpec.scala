@@ -354,4 +354,36 @@ class CurateSpec extends SparkSpec {
     // abc(cnt 2) -> ab,bc each 2; bc(cnt 1) -> bc 1; x has no pair
     assert(out.toSeq == Seq(("bc", 3L), ("ab", 2L)))
   }
+
+  test("applyChanges: upserts replace, deletes remove, untouched pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "delete", "ignored"),
+      (3L, "upsert", "c2"),
+      (6L, "upsert", "f")
+    ).toDF("id", "op", "v").select(col("id"), col("op"), col("v"))
+    val out = Snapshot.applyChanges(base, changes, "id", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (3L, "c2"), (4L, "d"), (6L, "f")))
+  }
+
+  test("ragChunks: overlapping windows, short tail, empty doc emits nothing") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "  "))
+      .toDF("id", "text")
+    val out = ChunkDedup.ragChunks(docs, col("id"), col("text"),
+        size = 4, stride = 3)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    // starts 0,3,6,9 -> lengths 4,4,4,1
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 0L, 4), (1L, 1L, 4), (1L, 2L, 4), (1L, 3L, 1)))
+    // overlap: chunk 1 starts at t3, shares t3 with chunk 0's tail
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == md5("t0 t1 t2 t3") && out(3)._4 == md5("t9"))
+    intercept[IllegalArgumentException](
+      ChunkDedup.ragChunks(docs, col("id"), col("text"), size = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      ChunkDedup.ragChunks(docs, col("id"), col("text"), size = 0))
+  }
 }

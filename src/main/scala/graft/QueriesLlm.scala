@@ -1157,6 +1157,39 @@ object QueriesLlm {
       .select(col("id").as("doc_id"), round(col("kl"), 4).as("kl"))
       .orderBy("doc_id")
 
+  /** q_source_overlap — pairwise corpus overlap ([[Dedup.sourceOverlap]]):
+    * for every source pair, the distinct 4-gram shingles shared and the
+    * Jaccard of the two shingle sets — the mixture-design signal ("how
+    * much of src_b is already in src_a?"). The distinct (source, shingle)
+    * projection bounds the join fan-out at the source count per shingle,
+    * so corpus volume cannot create a hot key.
+    */
+  val qSourceOverlap: Q = (s, dir) =>
+    Dedup.sourceOverlap(Tables.documents(s, dir), col("source"), col("text"),
+        n = 4)
+      .orderBy("src_a", "src_b")
+
+  val qSourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT DISTINCT source AS src, g FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(t) - 2),
+      |      i -> array_to_string(t[i:i+3], ' '))) AS g
+      |    FROM toks WHERE len(t) >= 4)),
+      |counts AS (SELECT src, count(*) AS n FROM grams GROUP BY src),
+      |pairs AS (
+      |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.src < b.src
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, shared,
+      |  round(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard
+      |FROM pairs JOIN counts ca ON ca.src = pairs.src_a
+      |           JOIN counts cb ON cb.src = pairs.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val qKlQualitySql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -1170,6 +1203,7 @@ object QueriesLlm {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def all: Map[String, Q] = Map(
+    "q_source_overlap" -> qSourceOverlap,
     "q_span_overlap" -> qSpanOverlap,
     "q_kl_quality" -> qKlQuality,
     "q_hybrid_rrf" -> qHybridRrf,
@@ -1224,6 +1258,7 @@ object QueriesLlm {
     s"SELECT * FROM read_parquet('$FixtureDir/$name.parquet') ORDER BY $order"
 
   def oracles: Map[String, String] = Map(
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_span_overlap" -> qSpanOverlapSql,
     "q_kl_quality" -> qKlQualitySql,
     "q_hybrid_rrf" -> qHybridRrfSql,

@@ -595,4 +595,59 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ---------------- corpus overlap ----------------
+
+  /** Pairwise corpus overlap between groups (sources, snapshots, domains):
+    * for every group pair, the number of distinct word `n`-gram shingles
+    * they share and the Jaccard of their shingle sets — the signal behind
+    * mixture design ("how much of src_b is already in src_a?") and
+    * provenance auditing (two crawls of the same site show near-1 overlap).
+    *
+    * Scale shape: shingles are hashed to 64 bits immediately (collision
+    * odds are negligible below ~10⁹ distinct grams per the birthday bound,
+    * same discipline as [[dupShingleFraction]]), so the one corpus-wide
+    * shuffle carries slim (long, partial set) rows, never gram strings.
+    * ONE pass groups by shingle hash into `collect_set(group)` — the
+    * aggregation state is bounded by the GROUP COUNT, not by how many
+    * documents repeat the gram, and partial aggregation collapses hot
+    * grams map-side, so corpus volume cannot create a hot key. Ordered
+    * pairs then explode from each sorted set (fan-out ≤ groups²/2 per
+    * gram — the output dimension the caller chose).
+    *
+    * Per-group totals are a groups-sized table, so they are computed once
+    * and COLLECTED (the centroids/percentile house pattern: S rows reach
+    * the driver, never corpus rows), then re-joined as a local relation.
+    * Deriving them lazily from a shared plan branch would recompute the
+    * whole shingle pass per branch: `collect_set` is non-deterministic to
+    * Catalyst, which blocks exchange reuse across branches.
+    */
+  def sourceOverlap(docs: DataFrame, group: Column, text: Column,
+      n: Int = 4): DataFrame = {
+    val grams = docs
+      .select(group.as("src"), explode(shinglesUdf(n)(text)).as("gram"))
+      .select(col("src"), xxhash64(col("gram")).as("h"))
+    val countsBig = grams.distinct()
+      .groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val counts = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(countsBig.collect(): _*), countsBig.schema)
+    val pairs = grams
+      .groupBy("h").agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "src_a")))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+          .as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.select(col("src").as("src_a"),
+        col("n_grams").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("src").as("src_b"),
+        col("n_grams").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+  }
 }

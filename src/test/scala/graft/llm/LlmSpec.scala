@@ -587,6 +587,35 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0.0)))
   }
 
+  test("source overlap: shared distinct grams and Jaccard per source pair") {
+    import spark.implicits._
+    val df = Seq(
+      ("sA", "a b c"),   // {a b, b c}
+      ("sA", "b c d"),   // {b c, c d} → sA = {a b, b c, c d}
+      ("sB", "a b c d"), // {a b, b c, c d}
+      ("sB", "x y"),     // {x y}      → sB = {a b, b c, c d, x y}
+      ("sC", "p q")      // {p q}      → no overlap with anyone
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, col("source"), col("text"), n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // zero-overlap pairs (sA,sC), (sB,sC) produce no row at all
+    assert(out.toSeq == Seq(("sA", "sB", 3L, 4L, 3L, 0.75)))
+  }
+
+  test("source overlap: duplicate docs collapse via distinct, no fan-out") {
+    import spark.implicits._
+    // 500 identical docs per source: the distinct (source, gram) projection
+    // must collapse them BEFORE the self-join — output is one exact row,
+    // not 500² join matches
+    val df = ((1 to 500).map(_ => ("s1", "w1 w2 w3"))
+      ++ (1 to 500).map(_ => ("s2", "w1 w2 w3"))).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, col("source"), col("text"), n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("s1", "s2", 2L, 2L, 2L, 1.0)))
+  }
+
   test("shared span pairs: counts verbatim runs, maxDf drops boilerplate") {
     import spark.implicits._
     val df = Seq(

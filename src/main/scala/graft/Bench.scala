@@ -44,6 +44,7 @@ object Bench {
     }
     val startedAtMs = System.currentTimeMillis()
     var failures = List.empty[String]
+    var errors = Map.empty[String, String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -55,12 +56,26 @@ object Bench {
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
+        catch { case scala.util.control.NonFatal(e) =>
+          // a failing query must name its exception in the artifacts —
+          // round 6's fixture drift surfaced only as bare names in
+          // `failures`, invisible to CORRECTNESS (construction-time throws
+          // never reach the dump)
+          if (!errors.contains(name))
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          -1.0
+        }
       }
       val ok = samples.forall(_ >= 0)
       if (!ok) failures ::= name
       (name, if (ok) samples.min else -1.0, samples, gcMillis() - gc0, at)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def fmtSec(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -71,9 +86,32 @@ object Bench {
       .mkString("{", ",", "}")
     val atStr = results.map { case (k, _, _, _, at) => s"\"" + k + "\":" + at }
       .mkString("{", ",", "}")
+    val errStr = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"started_at_ms":$startedAtMs,"reps":$reps,"sf":"$sfDir","failures":$failStr}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"started_at_ms":$startedAtMs,"reps":$reps,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
+    // full per-query detail (all samples, gc deltas, offsets, error texts):
+    // stderr + a repo file, NOT stdout — the driver stores and parses only
+    // a 2000-char stdout tail, so stdout must stay a single short line
+    System.err.println(detail)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/bench_detail.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
+    } catch { case scala.util.control.NonFatal(_) => }
+    // LAST line = the driver-parsed one. The driver stores only the final
+    // 2000 chars of stdout and json-parses them; every round 1-6 shipped a
+    // single >2000-char line, so BENCH_r*.json carried "parsed": null.
+    // Emit a compact line and degrade precision until it provably fits.
+    def compact(dp: Int): String = {
+      def f(d: Double) = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      val q = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + (if (v >= 0) f(v) else "-1") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$q,"reps":$reps,"sf":"$sfDir","failures":$failStr}"""
+    }
+    val line = Seq(compact(3), compact(2), compact(1)).find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":{},"reps":$reps,"sf":"$sfDir","failures":$failStr,"note":"per-query map exceeded the 2000-char stdout tail; see bench_detail.json"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -87,12 +87,18 @@ object Queries {
     * row-group stats, residual-free.
     */
   val qRangeFilter: Q = (s, dir) => {
-    def nanos(date: String): Long =
-      java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
-        .toInstant.getEpochSecond * 1000000000L
+    // filter on the native `ts` column with timestamp literals: on the
+    // TIMESTAMP(MICROS) fixture this is a raw parquet column, so the 2-D
+    // range predicate reaches row-group stats (PushedFilters), which a
+    // ts_ns comparison (derived column) never could. On a legacy nanos
+    // fixture `ts` is derived and the predicate is evaluated post-scan —
+    // correct either way.
+    def utc(date: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(
+        java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
     Tables.events(s, dir)
       .where(col("value") >= 100d && col("value") <= 200d &&
-        col("ts_ns") >= nanos("2024-01-02") && col("ts_ns") < nanos("2024-01-05"))
+        col("ts") >= lit(utc("2024-01-02")) && col("ts") < lit(utc("2024-01-05")))
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }

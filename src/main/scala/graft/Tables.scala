@@ -12,23 +12,47 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long instead.
-      // Callers filter on `ts_ns` (pushable INT64 comparisons) and get a
-      // microsecond-truncated `ts` timestamp for event-time logic.
+      // events.ts has shipped under two physical encodings across fixture
+      // generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+      // rejects — [PARQUET_TYPE_ILLEGAL] — unless read as a nanos long) and
+      // TIMESTAMP(MICROS). The conf makes nanos files readable; it is a
+      // no-op for micros files. normalizeEventTs dispatches on whichever
+      // type actually arrived.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Shared by the batch and streaming events readers: the raw `ts` nanos
-    * long becomes `ts_ns`, plus a μs-truncated `ts` timestamp (integral
-    * div — long `/` is double division and ns epochs exceed 2^53).
+  /** Shared by the batch and streaming events readers. Output contract,
+    * independent of the fixture's physical encoding: `ts` is a session-tz
+    * TimestampType instant (μs precision) in its original column slot, and
+    * `ts_ns` is the epoch-nanos long appended last. All downstream
+    * event-time arithmetic (`ts_ns div`, day math, as-of ordering) runs on
+    * `ts_ns` identically in both cases.
+    *
+    *  - LongType `ts` (legacy nanos fixture): rename to `ts_ns`, derive
+    *    `ts = timestamp_micros(ts_ns div 1000)` (integral div — long `/`
+    *    is double division and ns epochs exceed 2^53).
+    *  - Timestamp(,NTZ) `ts` (micros fixture): keep `ts` (NTZ wall-clock is
+    *    interpreted as UTC, matching the UTC session tz used everywhere),
+    *    derive `ts_ns = unix_micros(ts) * 1000`.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types._
+    val origCols = df.columns
+    val both = df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported fixture type $other (expected INT64 nanos or TIMESTAMP)")
+    }
+    both.select(origCols.map(col).toIndexedSeq :+ col("ts_ns"): _*)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

@@ -18,6 +18,7 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (scaling runs at big sf
     // target a handful of queries; the driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         // fatal JVM errors (OOM etc.) must abort the run, not masquerade
         // as a single failed query in a corrupted session
         System.err.println(s"[verify] $name failed: $e")
+        errors ::= name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query error table: a query that throws during DataFrame
+    // CONSTRUCTION is otherwise invisible in CORRECTNESS (its result dir
+    // simply never appears) — round 6 lost 9 queries to fixture drift with
+    // no named exception anywhere in the artifacts. Written to the verify
+    // out dir AND the repo so the failure is diagnosable from either.
+    val errJson = errors.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    try Files.writeString(Paths.get("/root/repo/verify_errors.json"), errJson + "\n")
+    catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }
 }

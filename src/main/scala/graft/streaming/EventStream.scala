@@ -16,24 +16,20 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as read from parquet (ts normalized to micros; parquet
-    * nanos arrive as long — see Tables.load).
+  /** File-source streams need an explicit schema; rather than hardcode one
+    * (the events fixture has shipped `ts` as both INT64 nanos and
+    * TIMESTAMP(MICROS) across generations), probe the directory's existing
+    * files with a batch read and stream with whatever physical schema is
+    * actually there. Tables.normalizeEventTs then gives the streaming plan
+    * the same (`ts` timestamp, `ts_ns` long) contract as the batch readers.
+    * Requires at least one file present at start — true for any parquet
+    * drop-directory deployment and for the specs.
     */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts_ns", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical: StructType = spark.read.parquet(dir).schema
     graft.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(StructType(schema.fields.map(f =>
-          if (f.name == "ts_ns") f.copy(name = "ts") else f)))
-        .parquet(dir))
+      spark.readStream.schema(physical).parquet(dir))
   }
 
   /** Tumbling-window aggregation with late-data watermark: the canonical

@@ -193,6 +193,64 @@ object Queries {
       |  AND (CASE WHEN bbox.xmin > 0 AND bbox.xmax < 0 THEN bbox.xmin - 360 ELSE bbox.xmin END) <= 36
       |ORDER BY name""".stripMargin
 
+  /** q_extract_partitioned — the grid-partitioned GeoParquet layout
+    * end-to-end (write-time spatial partitioning + directory pruning +
+    * bbox extract), driver-visible: synthesize one point per customer,
+    * write the cell_x/cell_y layout, extract with a bbox through the
+    * partition-pruned scan, and read coordinates back via the envelope
+    * accessors. The oracle replays the closed-form coordinate arithmetic —
+    * the layout roundtrip must be value-lossless for the hashes to match.
+    * PartitionedSpec separately asserts the pruning (PartitionFilters /
+    * numFiles); this query gates the answer.
+    */
+  val qExtractPartitioned: Q = (s, dir) => {
+    import graft.functions.GeoFunctions._
+    val tmp = java.nio.file.Files.createTempDirectory("qpart").toString + "/grid"
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
+      .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
+      .select(col("c_custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+    graft.sources.GeoParquet.writePartitioned(pts, tmp, cellDeg = 30.0)
+    val gf = graft.operators.Extract(s, tmp,
+      graft.operators.Extract.Options(bbox = Some(graft.geo.Bbox(-60, -30, 60, 30))))
+    gf.df.select(
+        col("c_custkey"),
+        st_xmin(col("geometry")).as("lon"),
+        st_ymin(col("geometry")).as("lat"))
+      .orderBy("c_custkey")
+  }
+
+  val qExtractPartitionedSql: String =
+    """SELECT c_custkey, lon, lat FROM (
+      |  SELECT c_custkey,
+      |    CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+      |    CAST((c_custkey * 13) % 180 - 90 AS DOUBLE) AS lat
+      |  FROM customer)
+      |WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q_remote_extract — the http(s) source (SURVEY §2.1 S4) driver-visible:
+    * the geo fixture is served by an in-process loopback server with Range
+    * support, and the extract reads it through the lazy ranged-GET
+    * HttpFileSystem (footer probe + row-group GETs, never a full download).
+    * Same Tanzania semantics as q_extract_bbox; the oracle reads the same
+    * file from its local path — transport must not change the answer.
+    */
+  val qRemoteExtract: Q = (s, _) => {
+    val url = graft.sources.FixtureServer.serve(fixturePath)
+    val gf = graft.operators.Extract(s, graft.sources.Remote.resolve(url, Some(s)),
+      graft.operators.Extract.Options(bbox = Some(graft.geo.Bbox(34, -7, 36, -6))))
+    gf.df.select(col("name"), col("iso_a3"), col("pop_est")).orderBy("name")
+  }
+
+  val qRemoteExtractSql: String =
+    s"""SELECT name, iso_a3, pop_est
+      |FROM read_parquet('$fixturePath')
+      |WHERE bbox.ymax >= -7 AND bbox.ymin <= -6
+      |  AND bbox.xmax >= 34
+      |  AND (CASE WHEN bbox.xmin > 0 AND bbox.xmax < 0 THEN bbox.xmin - 360 ELSE bbox.xmin END) <= 36
+      |ORDER BY name""".stripMargin
+
   /** q_geo_bbox_agg — the geometry codec + envelope-filter path at table
     * scale: synthesize one point per lineitem row (600k at sf0.1), WKB
     * encode, filter through the native EnvelopeIntersects predicate, and
@@ -224,6 +282,8 @@ object Queries {
   def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
+    "q_extract_partitioned" -> qExtractPartitioned,
+    "q_remote_extract" -> qRemoteExtract,
     "q1_agg" -> q1Agg,
     "q_project_keep" -> qProjectKeep,
     "q_project_drop" -> qProjectDrop,
@@ -236,6 +296,8 @@ object Queries {
   def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,
+    "q_extract_partitioned" -> qExtractPartitionedSql,
+    "q_remote_extract" -> qRemoteExtractSql,
     "q1_agg" -> q1AggSql,
     "q_project_keep" -> qProjectKeepSql,
     "q_project_drop" -> qProjectDropSql,

@@ -127,6 +127,25 @@ class CurateSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("oversized dim degrades to the plain join, same answer") {
+    // degenerate call: the "small" side is NOT small relative to the cap —
+    // replicating it would multiply executor memory, so the guard must
+    // skip salting (no _salt in the plan) and still produce identical rows
+    val facts = (0 until 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "row_id")
+    val dim = (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val guarded = SkewJoin.salted(facts, dim, "k",
+      xxhash64(col("row_id")), salt = 8, maxReplicatedRows = 16)
+    assert(!guarded.queryExecution.analyzed.toString.contains("_salt"),
+      "guard did not bypass salting for an oversized dim")
+    val expected = facts.join(dim, Seq("k"))
+      .select("k", "row_id", "v").collect().map(_.toSeq).toSet
+    assert(guarded.select("k", "row_id", "v").collect().map(_.toSeq).toSet == expected)
+    // under the cap the salted plan is used
+    val saltedPlan = SkewJoin.salted(facts, dim, "k",
+      xxhash64(col("row_id")), salt = 8, maxReplicatedRows = 1000)
+    assert(saltedPlan.queryExecution.analyzed.toString.contains("_salt"))
+  }
+
   // ---------------------------------------------------------------- bm25
 
   test("bm25 scores match a hand-computed reference") {

@@ -94,27 +94,61 @@ object Vocab {
   /** Map each document to its vocabulary-id sequence: (id, n_tok, n_oov,
     * ids_md5) where ids_md5 digests the comma-joined id sequence in token
     * order (OOV → 0) and is NULL for token-less documents.
+    *
+    * Single narrow pass: the vocabulary (driver-bounded by construction —
+    * [[build]]'s top-n) is collected to a map and broadcast; each document
+    * is tokenized, id-mapped, and digested in one kernel call. The
+    * previous form (posexplode → broadcast-join → collect_list regroup)
+    * was correct but shuffled O(corpus tokens) rows to regroup them; this
+    * shuffles nothing — the per-document cost is independent of corpus
+    * size and the output is one slim row per document.
+    *
+    * Tokenization parity with the column algebra is exact by using the
+    * same primitives Spark's `lower`/`trim`/`split` evaluate to
+    * (UTF8String case/space-trim semantics, regex split with limit -1);
+    * VocabSpec pins kernel ≡ column-algebra on the corpus plus edge cases.
     */
   def tokenIds(df: DataFrame, id: Column, text: Column,
       vocab: DataFrame): DataFrame = {
-    val pos = df
-      .select(id.as("id"),
-        posexplode_outer(TextStats.tokens(lower(text))).as(Seq("pos", "token")))
-    val joined = pos.join(
-      broadcast(vocab.select(col("token"), col("rank"))),
-      Seq("token"), "left")
-      .select(col("id"), col("pos"), col("token"),
-        when(col("token").isNotNull, coalesce(col("rank"), lit(0)))
-          .as("tid"))
-    joined.groupBy("id").agg(
-      count(col("token")).as("n_tok"),
-      sum(when(col("token").isNotNull && col("tid") === 0, 1L)
-        .otherwise(0L)).as("n_oov"),
-      when(count(col("token")) === 0, lit(null).cast("string"))
-        .otherwise(md5(concat_ws(",",
-          transform(array_sort(collect_list(
-            when(col("token").isNotNull, struct(col("pos"), col("tid"))))),
-            s => s.getField("tid").cast("string"))).cast("binary")))
-        .as("ids_md5"))
+    val sc = df.sparkSession.sparkContext
+    val vmap: Map[String, Int] = vocab.select(col("token"), col("rank"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bc = sc.broadcast(vmap)
+    val kernel = udf { (t: String) =>
+      if (t == null) (0L, 0L, null: String)
+      else {
+        // exactly trim(lower(text)) in Spark semantics: UTF8String
+        // lowercase + space-only (0x20) trim — NOT java.lang.String.trim,
+        // which also strips control chars and would change tokenization
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          .toLowerCase.trim.toString
+        if (s.isEmpty) (0L, 0L, null: String)
+        else {
+          // Spark's split(col, regex) is limit -1: trailing empty tokens
+          // (text ending in non-space whitespace) are kept, like the
+          // column form
+          val toks = s.split("\\s+", -1)
+          val m = bc.value
+          var oov = 0L
+          val sb = new java.lang.StringBuilder(toks.length * 3)
+          var i = 0
+          while (i < toks.length) {
+            val tid = m.getOrElse(toks(i), 0)
+            if (tid == 0) oov += 1
+            if (i > 0) sb.append(',')
+            sb.append(tid)
+            i += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new java.lang.StringBuilder(32)
+          digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          (toks.length.toLong, oov, hex.toString)
+        }
+      }
+    }
+    df.select(id.as("id"), kernel(text).as("k"))
+      .select(col("id"), col("k._1").as("n_tok"), col("k._2").as("n_oov"),
+        col("k._3").as("ids_md5"))
   }
 }

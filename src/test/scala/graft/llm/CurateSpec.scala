@@ -45,12 +45,51 @@ class CurateSpec extends SparkSpec {
     assert(got(2).getLong(1) == 2 && got(2).getLong(2) == 0)
   }
 
-  test("tokenIds join stays broadcast (map-side vocabulary)") {
+  test("tokenIds is a single narrow pass: no shuffle, no join") {
     val docs = graft.Tables.documents(spark, sf)
     val vocab = Vocab.build(docs, col("text"), 16)
     val plan = Vocab.tokenIds(docs, col("doc_id"), col("text"), vocab)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"token-id mapping should shuffle nothing (broadcast-map kernel):\n$plan")
+  }
+
+  test("tokenIds kernel matches the column-algebra form exactly") {
+    // the kernel must reproduce Spark's lower/trim/split semantics
+    // token-for-token; pin equality against the previous explode+regroup
+    // implementation on the corpus plus whitespace/unicode edge cases
+    def columnForm(docs: org.apache.spark.sql.DataFrame,
+        vocab: org.apache.spark.sql.DataFrame) = {
+      val pos = docs.select(col("id"),
+        posexplode_outer(TextStats.tokens(lower(col("text")))).as(Seq("pos", "token")))
+      pos.join(broadcast(vocab.select(col("token"), col("rank"))), Seq("token"), "left")
+        .select(col("id"), col("pos"), col("token"),
+          when(col("token").isNotNull, coalesce(col("rank"), lit(0))).as("tid"))
+        .groupBy("id").agg(
+          count(col("token")).as("n_tok"),
+          sum(when(col("token").isNotNull && col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+          when(count(col("token")) === 0, lit(null).cast("string"))
+            .otherwise(md5(concat_ws(",",
+              transform(array_sort(collect_list(
+                when(col("token").isNotNull, struct(col("pos"), col("tid"))))),
+                s => s.getField("tid").cast("string"))).cast("binary"))).as("ids_md5"))
+    }
+    val edge = Seq(
+      (9000001L, null.asInstanceOf[String]), (9000002L, ""), (9000003L, "   "),
+      (9000004L, "\tleading tab"), (9000005L, "trailing newline\n"),
+      (9000006L, "CafÉ  du jour İ"), (9000007L, "a  b\r\nc"))
+      .toDF("id", "text")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text")).unionByName(edge)
+    val vocab = Vocab.build(docs, col("text"), 32)
+    val kernel = Vocab.tokenIds(docs, col("id"), col("text"), vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    val algebra = columnForm(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(kernel == algebra,
+      s"kernel/algebra divergence: onlyKernel=${kernel.diff(algebra).take(3)} onlyAlgebra=${algebra.diff(kernel).take(3)}")
   }
 
   // ------------------------------------------------------------- normalize

@@ -103,14 +103,25 @@ object Bench {
     // 2000 chars of stdout and json-parses them; every round 1-6 shipped a
     // single >2000-char line, so BENCH_r*.json carried "parsed": null.
     // Emit a compact line and degrade precision until it provably fits.
-    def compact(dp: Int): String = {
+    def compact(dp: Int, topN: Int): String = {
       def f(d: Double) = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-      val q = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + (if (v >= 0) f(v) else "-1") }
+      // when the full per-query map can't fit, keep the SLOWEST topN
+      // entries (the ones a perf comparison needs) rather than none
+      val kept = results.sortBy { case (_, v, _, _, _) => -v }.take(topN)
+      val q = kept.map { case (k, v, _, _, _) => s"\"" + k + "\":" + (if (v >= 0) f(v) else "-1") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$q,"reps":$reps,"sf":"$sfDir","failures":$failStr}"""
+      val omitted = results.size - kept.size
+      val omittedStr = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$q$omittedStr,"reps":$reps,"sf":"$sfDir","failures":$failStr}"""
     }
-    val line = Seq(compact(3), compact(2), compact(1)).find(_.length <= 1900).getOrElse(
-      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":{},"reps":$reps,"sf":"$sfDir","failures":$failStr,"note":"per-query map exceeded the 2000-char stdout tail; see bench_detail.json"}""")
+    // full map at decreasing precision first; then shed the fastest
+    // queries (total + failures always survive; bench_detail.json keeps
+    // the full map regardless)
+    val candidates = Seq(compact(3, results.size), compact(2, results.size),
+      compact(1, results.size)) ++
+      Seq(80, 64, 48, 32, 16, 8).map(n => compact(2, n))
+    val line = candidates.find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":{},"reps":$reps,"sf":"$sfDir","failures":$failStr,"note":"see bench_detail.json"}""")
     println(line)
     spark.stop()
   }

@@ -279,7 +279,7 @@ object Queries {
       |WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ Map(
+  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ QueriesQuality.all ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
     "q_extract_partitioned" -> qExtractPartitioned,
@@ -293,7 +293,7 @@ object Queries {
     "q_bbox_cells" -> qBboxCells
   )
 
-  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ Map(
+  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ QueriesQuality.oracles ++ Map(
     "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,
     "q_extract_partitioned" -> qExtractPartitionedSql,

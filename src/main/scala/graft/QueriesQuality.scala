@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Gopher, LineDedup, TextStats, WeightedSample}
+
+/** Round-7 quality/curation operators as driver queries: Gopher rule
+  * filtering, character-entropy scoring, JSON property extraction,
+  * corpus-wide line dedup, and deterministic weighted sampling. Same
+  * determinism contract as [[Queries]]: orderBy on a unique key, doubles
+  * rounded on both sides, identical column aliases.
+  */
+object QueriesQuality {
+
+  import Queries.Q
+
+  /** q_gopher_quality — the Gopher rule vector + keep flag per document
+    * (word-count bounds, mean-word-length window, alphabetic-word
+    * fraction, symbol ratio, stopword containment). One codegen'd
+    * projection over the corpus; the oracle replays each rule in SQL
+    * with the identical thresholds.
+    */
+  val qGopherQuality: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: Gopher.ruleColumns(col("text")): _*)
+      .orderBy("doc_id")
+
+  val qGopherQualitySql: String = {
+    val stops = s"len(regexp_extract_all(lower(text), '${TextStats.markerPattern(TextStats.StopwordsEn)}'))"
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+      |    length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS clen,
+      |    $stops AS stops,
+      |    len(regexp_extract_all(text, '#')) +
+      |      len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE (clen - (len(toks) - 1))::DOUBLE / len(toks) END AS mwl,
+      |    CASE WHEN len(toks) = 0 THEN 0
+      |         ELSE list_max(list_transform(toks, x -> length(x))) END AS max_wlen,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+      |              / len(toks) END AS af,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE sym::DOUBLE / len(toks) END AS sr,
+      |    stops
+      |  FROM t)
+      |SELECT doc_id, n_words, round(mwl, 4) AS mean_wlen, max_wlen,
+      |  round(af, 4) AS alpha_frac, round(sr, 4) AS symbol_ratio,
+      |  stops AS stop_hits,
+      |  (n_words BETWEEN ${Gopher.MinWords} AND ${Gopher.MaxWords}
+      |   AND mwl BETWEEN ${Gopher.MinMeanWordLen} AND ${Gopher.MaxMeanWordLen}
+      |   AND af > ${Gopher.MinAlphaFrac} AND sr < ${Gopher.MaxSymbolRatio}
+      |   AND stops >= ${Gopher.MinStopHits})::INT AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_char_entropy — Shannon entropy (bits) of each document's
+    * character distribution plus its distinct-character count: the
+    * gibberish/low-diversity signal of a quality pipeline. Single JVM
+    * kernel pass per row (no explode, no shuffle); the oracle unnests
+    * characters and folds -Σ p·log2 p with the same formula, 6-dp
+    * rounding absorbing unordered-sum noise.
+    */
+  val qCharEntropy: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("e", Gopher.charEntropyCol(col("text")))
+      .select(col("doc_id"), length(col("text")).as("n_chars2"),
+        col("e._2").as("n_distinct"), round(col("e._1"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  val qCharEntropySql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, c, count(*)::DOUBLE AS k
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      |  GROUP BY doc_id, c),
+      |n AS (SELECT doc_id, sum(k) AS n, count(*)::INT AS n_distinct
+      |      FROM cc GROUP BY doc_id)
+      |SELECT d.doc_id, length(d.text) AS n_chars2, n.n_distinct,
+      |  coalesce((SELECT round(-sum((k / n.n) * log2(k / n.n)), 6)
+      |            FROM cc WHERE cc.doc_id = d.doc_id), 0.0) AS entropy
+      |FROM documents d JOIN n ON n.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q_json_extract — typed property extraction from the events table's
+    * JSON `props` column (`$.k`), aggregated per event type: the
+    * semi-structured-ingest shape (SURVEY §2.8 json functions). Spark
+    * runs `get_json_object` (codegen'd Jackson path eval) inside the
+    * pre-shuffle projection; the oracle parses the same property with a
+    * regex so it needs no JSON extension.
+    */
+  val qJsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+      |  round(avg(regexp_extract(props, '"k": (\d+)', 1)::BIGINT), 4) AS avg_k,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q_line_dedup — corpus-wide duplicated-line removal (RefinedWeb
+    * boilerplate scrub) over 3-word windows of the fixture's token
+    * stream: lines occurring more than twice anywhere in the corpus are
+    * stripped from every document, and the result row carries the kept
+    * count and an md5 of the reassembled text, so the hashes only match
+    * if both engines keep exactly the same windows in the same order.
+    * See [[graft.llm.LineDedup]] for the digest-only shuffle design.
+    */
+  val LineW = 3
+  val LineMaxOccur = 2
+
+  val qLineDedup: Q = (s, dir) =>
+    LineDedup.dedupLines(Tables.documents(s, dir), col("doc_id"),
+        LineDedup.wordWindows(col("text"), LineW), maxOccur = LineMaxOccur)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("kept_md5"))
+      .orderBy("doc_id")
+
+  val qLineDedupSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, CAST(ceil(len(t) / $LineW.0) AS BIGINT))) AS pos
+      |  FROM toks),
+      |lines AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(t[(pos * $LineW + 1):(pos * $LineW + $LineW)], ' ') AS line
+      |  FROM pos),
+      |dup AS (SELECT line FROM lines GROUP BY line
+      |        HAVING count(*) > $LineMaxOccur),
+      |kept AS (SELECT doc_id, pos, line FROM lines ANTI JOIN dup USING (line)),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |          md5(string_agg(line, ' ' ORDER BY pos)) AS kept_md5
+      |        FROM kept GROUP BY doc_id),
+      |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(nl.n_lines, 0)::INT AS n_lines,
+      |  coalesce(agg.n_kept, 0)::INT AS n_kept,
+      |  coalesce(agg.kept_md5, md5('')) AS kept_md5
+      |FROM documents d
+      |LEFT JOIN nl ON nl.doc_id = d.doc_id
+      |LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q_weighted_sample — reproducible weighted sampling without
+    * replacement (Efraimidis-Spirakis, md5-keyed): top 50 documents by
+    * ln(u)/w with w = n_chars. Selection is a TakeOrderedAndProject
+    * (per-partition top-n, no global sort); the oracle derives the same
+    * 32-bit uniform from the md5 hex prefix.
+    */
+  val SampleN = 50
+
+  val qWeightedSample: Q = (s, dir) =>
+    WeightedSample.sample(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), n = SampleN)
+      .select(col("id").as("doc_id"), col("w"), col("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+
+  val qWeightedSampleSql: String =
+    s"""SELECT doc_id, n_chars::DOUBLE AS w,
+      |  round(ln((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT) + 1)
+      |          / 4294967296.0) / n_chars, 9) AS skey
+      |FROM documents ORDER BY skey DESC, doc_id LIMIT $SampleN""".stripMargin
+
+  /** q_wordpiece — greedy longest-prefix subword segmentation (the
+    * tokenizer-apply step) over a fixed piece vocabulary: corpus-wide
+    * piece frequencies, top 30. The oracle replays the greedy walk as 10
+    * unrolled steps (max fixture word length is 8), each picking the
+    * longest vocab piece prefixing the remaining suffix via a correlated
+    * ORDER BY length DESC LIMIT 1, with the same single-char fallback.
+    */
+  val WordpieceVocab: Seq[String] =
+    (('a' to 'z').map(_.toString) ++ Seq(
+      "sp", "ar", "ba", "ch", "wi", "nd", "ow", "st", "re", "am", "er",
+      "or", "ta", "bl", "le", "qu", "ue", "ry", "jo", "in", "gr", "ou",
+      "up", "ha", "sh", "sc", "an", "me", "rg", "so", "rt", "ke", "ey",
+      "va", "lu", "fi", "lt", "da", "li", "ne", "co", "um", "cu", "to",
+      "pa", "ag", "gg", "de", "du", "ro", "sm", "al", "sl", "fa", "bi",
+      "the", "row", "key", "big", "dup", "park", "atch", "ream", "tabl",
+      "uery", "roup", "hash", "merg", "sort", "wind", "indo", "valu",
+      "vect", "ecto", "colu", "umn", "cust", "omer", "filt", "scan",
+      "agg", "mall", "lin", "ord")).distinct
+
+  val WordpieceSteps = 10
+  val WordpieceTopN = 30
+
+  val qWordpiece: Q = (s, dir) =>
+    graft.llm.Subword.pieceCounts(Tables.documents(s, dir), col("text"),
+        WordpieceVocab, topN = WordpieceTopN)
+      .orderBy(col("cnt").desc, col("piece"))
+
+  val qWordpieceSql: String = {
+    val vocabValues = WordpieceVocab.map(p => s"('$p')").mkString(", ")
+    val steps = (1 to WordpieceSteps).map { t =>
+      val p = s"s${t - 1}"
+      s"""s$t AS (
+         |  SELECT word,
+         |    CASE WHEN pos > length(word) THEN pos
+         |         ELSE pos + length(best) END AS pos,
+         |    CASE WHEN pos > length(word) THEN pieces
+         |         ELSE list_append(pieces, best) END AS pieces
+         |  FROM (
+         |    SELECT word, pos, pieces,
+         |      coalesce((SELECT v.p FROM vocab v
+         |                WHERE v.p = substr(word, pos, length(v.p))
+         |                  AND length(v.p) > 1
+         |                ORDER BY length(v.p) DESC LIMIT 1),
+         |               substr(word, pos, 1)) AS best
+         |    FROM $p))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT u AS word, count(*) AS wcnt FROM (
+       |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS u
+       |    FROM documents) WHERE u <> '' GROUP BY u),
+       |vocab(p) AS (VALUES $vocabValues),
+       |s0 AS (SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words),
+       |$steps,
+       |pc AS (SELECT unnest(pieces) AS piece, wcnt
+       |       FROM s$WordpieceSteps JOIN words USING (word))
+       |SELECT piece, sum(wcnt)::BIGINT AS cnt FROM pc GROUP BY piece
+       |ORDER BY cnt DESC, piece LIMIT $WordpieceTopN""".stripMargin
+  }
+
+  /** q_pq_topk — product quantization ANN: per-subspace codebooks
+    * (m=4 × k=16, 2 Lloyd iterations, [[graft.llm.Cluster]]'s
+    * determinism contract), every vector encoded to its 4 code bytes,
+    * and the corpus ADC-scored against the anchor vector (vec_id 0)
+    * from the precomputed distance table — top 20 ascending. The oracle
+    * unrolls Lloyd's per subspace (the q_kmeans SQL shape over list
+    * slices), derives the same codes, and sums the same four rounded
+    * table entries in subspace order.
+    */
+  val PqM = 4
+  val PqK = 16
+  val PqIters = 2
+  val PqTopK = 20
+  val PqAnchor = 0L
+
+  val qPqTopk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
+      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    val query = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    graft.llm.ProductQuant.adcTopK(emb, col("vec_id"), col("embedding"),
+        cents, query, topK = PqTopK)
+      .select(col("id").as("vec_id"), col("codes"), col("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+  }
+
+  val qPqTopkSql: String = {
+    val dim = 64
+    val sub = dim / PqM
+    def dist(sCol: String, cTab: String): String =
+      s"round(list_sum(list_transform(range(1, $sub + 1), " +
+        s"i -> ($sCol[i] - $cTab.c[i]) * ($sCol[i] - $cTab.c[i]))), 6)"
+    val perSub = (0 until PqM).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      val iterBlocks = (1 to PqIters).map { t =>
+        val p = s"c${j}_${t - 1}"
+        s"""a${j}_$t AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${dist("s", p)}, cid) AS rn
+           |  FROM e$j CROSS JOIN $p),
+           |m${j}_$t AS (SELECT vec_id, cid FROM a${j}_$t WHERE rn = 1),
+           |u${j}_$t AS (SELECT cid, unnest(range(1, $sub + 1)) AS i, s
+           |        FROM m${j}_$t JOIN e$j USING (vec_id)),
+           |n${j}_$t AS (
+           |  SELECT cid, list(mm ORDER BY i) AS c
+           |  FROM (SELECT cid, i, round(avg(s[i]), 6) AS mm
+           |        FROM u${j}_$t GROUP BY cid, i)
+           |  GROUP BY cid),
+           |c${j}_$t AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+           |        FROM c${j}_${t - 1} p LEFT JOIN n${j}_$t n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""e$j AS (SELECT vec_id, list_transform(e[$lo:$hi], x -> x) AS s FROM emb),
+         |c${j}_0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, s AS c
+         |  FROM (SELECT vec_id, s FROM e$j ORDER BY vec_id LIMIT $PqK)),
+         |$iterBlocks,
+         |f$j AS (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM (SELECT vec_id, cid, ${dist("s", s"c${j}_$PqIters")} AS d
+         |        FROM e$j CROSS JOIN c${j}_$PqIters)),
+         |code$j AS (SELECT vec_id, cid FROM f$j WHERE rn = 1),
+         |qd$j AS (
+         |  SELECT cid, ${dist("qs", s"c${j}_$PqIters")} AS d
+         |  FROM c${j}_$PqIters CROSS JOIN
+         |    (SELECT s AS qs FROM e$j WHERE vec_id = $PqAnchor))""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd$j ON qd$j.cid = code$j.cid").mkString(" ")
+    val codesExpr = (0 until PqM)
+      .map(j => s"code$j.cid::VARCHAR").mkString(" || '-' || ")
+    val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |$perSub
+       |SELECT code0.vec_id, $codesExpr AS codes,
+       |  round($adcExpr, 6) AS adc
+       |FROM code0 $codeJoins $qdJoins
+       |ORDER BY adc, code0.vec_id LIMIT $PqTopK""".stripMargin
+  }
+
+  def all: Map[String, Q] = Map(
+    "q_gopher_quality" -> qGopherQuality,
+    "q_char_entropy" -> qCharEntropy,
+    "q_json_extract" -> qJsonExtract,
+    "q_line_dedup" -> qLineDedup,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_wordpiece" -> qWordpiece,
+    "q_pq_topk" -> qPqTopk)
+
+  def oracles: Map[String, String] = Map(
+    "q_gopher_quality" -> qGopherQualitySql,
+    "q_char_entropy" -> qCharEntropySql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_line_dedup" -> qLineDedupSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_wordpiece" -> qWordpieceSql,
+    "q_pq_topk" -> qPqTopkSql)
+}

@@ -321,7 +321,46 @@ object QueriesQuality {
        |ORDER BY adc, code0.vec_id LIMIT $PqTopK""".stripMargin
   }
 
+  /** q_pq_recall — the ANN quality metric for q_pq_topk: how many of the
+    * exact squared-L2 top-20 for the anchor survive in the PQ ADC
+    * top-20. Both sides share the 6-dp rounding + id tie-break, so the
+    * overlap count is deterministic; the oracle nests the full PQ SQL as
+    * a CTE next to an exact-distance CTE and joins them.
+    */
+  val qPqRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
+      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    val query = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val adc = graft.llm.ProductQuant.adcTopK(emb, col("vec_id"),
+      col("embedding"), cents, query, topK = PqTopK).select(col("id"))
+    val exact = graft.llm.ProductQuant.exactTopK(emb, col("vec_id"),
+      col("embedding"), query, topK = PqTopK)
+      .select(col("id").as("eid"))
+    adc.join(exact, adc("id") === exact("eid"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(PqTopK).as("k"), col("n_overlap"),
+        round(col("n_overlap") / PqTopK.toDouble, 4).as("recall"))
+  }
+
+  val qPqRecallSql: String =
+    s"""WITH pq AS ($qPqTopkSql),
+       |embx AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |qv AS (SELECT e FROM embx WHERE vec_id = $PqAnchor),
+       |ex AS (SELECT vec_id FROM (
+       |    SELECT embx.vec_id,
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> (embx.e[i] - qv.e[i]) * (embx.e[i] - qv.e[i]))), 6) AS d
+       |    FROM embx CROSS JOIN qv)
+       |  ORDER BY d, vec_id LIMIT $PqTopK)
+       |SELECT $PqTopK AS k, count(*)::BIGINT AS n_overlap,
+       |  round(count(*) / $PqTopK.0, 4) AS recall
+       |FROM pq JOIN ex ON pq.vec_id = ex.vec_id""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_pq_recall" -> qPqRecall,
     "q_gopher_quality" -> qGopherQuality,
     "q_char_entropy" -> qCharEntropy,
     "q_json_extract" -> qJsonExtract,
@@ -331,6 +370,7 @@ object QueriesQuality {
     "q_pq_topk" -> qPqTopk)
 
   def oracles: Map[String, String] = Map(
+    "q_pq_recall" -> qPqRecallSql,
     "q_gopher_quality" -> qGopherQualitySql,
     "q_char_entropy" -> qCharEntropySql,
     "q_json_extract" -> qJsonExtractSql,

@@ -85,6 +85,25 @@ object ProductQuant {
       math.floor(d * 1e6 + 0.5) / 1e6
     }
 
+  /** Exact squared-L2 top-k against `query` — the recall baseline for
+    * [[adcTopK]]: same 6-dp distance rounding, same id tie-break, one
+    * narrow kernel pass + TakeOrderedAndProject.
+    */
+  def exactTopK(df: DataFrame, id: Column, vec: Column,
+      query: Array[Double], topK: Int): DataFrame = {
+    val bcQ = df.sparkSession.sparkContext.broadcast(query)
+    val kernel = udf { (v: Seq[Float]) =>
+      val q = bcQ.value
+      var d = 0.0
+      var i = 0
+      while (i < q.length) { val t = v(i).toDouble - q(i); d += t * t; i += 1 }
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    df.select(id.as("id"), kernel(vec).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(topK)
+  }
+
   /** Encode every vector and ADC-score it against `query`: (id, codes
     * joined as "c0-c1-…", adc) — adc is the subspace-ordered sum of the
     * rounded table entries, rounded to 6 dp. Top `topK` ascending, id

@@ -73,6 +73,20 @@ object DocStream {
       .where(col("quality") >= minQuality)
   }
 
+  /** Stateless streaming Gopher gate: the full rule vector
+    * ([[graft.llm.Gopher.ruleColumns]], oracle-pinned in batch by
+    * q_gopher_quality) evaluated on each arriving document, keeping rows
+    * whose `keep` conjunction holds. Like [[qualityGate]]: no state, no
+    * watermark, no shuffle — a narrow kernel map + filter, so ingest
+    * parallelism is the only throughput bound.
+    */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = docs.columns.map(col).toIndexedSeq ++
+      graft.llm.Gopher.ruleColumns(col("text"))
+    docs.select(cols: _*).where(col("keep") === 1)
+  }
+
   def nearDupFlags(docs: Dataset[Doc],
                    shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, maxBucketSize: Int = 200,

@@ -46,6 +46,33 @@ class DocStreamSpec extends SparkSpec {
       s"stream/batch mismatch: missing=${batchKept.diff(streamed).take(3)} extra=${streamed.diff(batchKept).take(3)}")
   }
 
+  test("streaming gopher gate matches the batch filter") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(100)
+      .collect().map(r => DocStream.Doc(r.getLong(0), r.getString(1))).toSeq
+
+    val batchKept = DocStream.gopherGate(docs.toDF())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.size,
+      "gopher rules must bind for the test to mean anything")
+
+    val mem = MemoryStream[DocStream.Doc]
+    mem.addData(docs)
+    val q = DocStream.gopherGate(mem.toDF())
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_gate_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("gopher_gate_out").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKept,
+      s"stream/batch mismatch: missing=${batchKept.diff(streamed).take(3)} extra=${streamed.diff(batchKept).take(3)}")
+  }
+
   test("streaming near-dup flags match the batch run of the same operator") {
     implicit val s = spark
     import s.implicits._

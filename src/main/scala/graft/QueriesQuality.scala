@@ -202,7 +202,11 @@ object QueriesQuality {
         WordpieceVocab, topN = WordpieceTopN)
       .orderBy(col("cnt").desc, col("piece"))
 
-  val qWordpieceSql: String = {
+  /** vocab VALUES + 10 unrolled greedy steps over a `words(word, …)`
+    * CTE the caller supplies — shared by the wordpiece and fertility
+    * oracles.
+    */
+  private def greedyStepCtesSql: String = {
     val vocabValues = WordpieceVocab.map(p => s"('$p')").mkString(", ")
     val steps = (1 to WordpieceSteps).map { t =>
       val p = s"s${t - 1}"
@@ -221,19 +225,50 @@ object QueriesQuality {
          |               substr(word, pos, 1)) AS best
          |    FROM $p))""".stripMargin
     }.mkString(",\n")
+    s"""vocab(p) AS (VALUES $vocabValues),
+       |s0 AS (SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words),
+       |$steps""".stripMargin
+  }
+
+  val qWordpieceSql: String =
     s"""WITH words AS (
        |  SELECT u AS word, count(*) AS wcnt FROM (
        |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS u
        |    FROM documents) WHERE u <> '' GROUP BY u),
-       |vocab(p) AS (VALUES $vocabValues),
-       |s0 AS (SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words),
-       |$steps,
+       |$greedyStepCtesSql,
        |pc AS (SELECT unnest(pieces) AS piece, wcnt
        |       FROM s$WordpieceSteps JOIN words USING (word))
        |SELECT piece, sum(wcnt)::BIGINT AS cnt FROM pc GROUP BY piece
        |ORDER BY cnt DESC, piece LIMIT $WordpieceTopN""".stripMargin
-  }
+
+  /** q_fertility — tokenizer fertility (pieces per word) by language:
+    * the standard tokenizer-eval number, closing the tokenizer family
+    * (vocab trains it, q_wordpiece applies it, this measures it). The
+    * corpus pass emits one (lang, words, pieces) pair per document from
+    * the same greedy kernel; the oracle segments the DISTINCT words once
+    * and weights piece counts by per-language word frequencies.
+    */
+  val qFertility: Q = (s, dir) =>
+    graft.llm.Subword.fertilityByGroup(Tables.documents(s, dir),
+        col("lang"), col("text"), WordpieceVocab)
+      .orderBy("lang")
+
+  val qFertilitySql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS u
+       |  FROM documents),
+       |wl AS (SELECT lang, u AS word, count(*) AS cnt
+       |       FROM toks WHERE u <> '' GROUP BY lang, u),
+       |words AS (SELECT DISTINCT word FROM wl),
+       |$greedyStepCtesSql,
+       |np AS (SELECT word, len(pieces) AS np FROM s$WordpieceSteps)
+       |SELECT lang, sum(cnt)::BIGINT AS n_words,
+       |  sum(cnt * np)::BIGINT AS n_pieces,
+       |  round(sum(cnt * np)::DOUBLE / sum(cnt), 4) AS fertility
+       |FROM wl JOIN np USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q_pq_topk — product quantization ANN: per-subspace codebooks
     * (m=4 × k=16, 2 Lloyd iterations, [[graft.llm.Cluster]]'s
@@ -262,7 +297,12 @@ object QueriesQuality {
       .orderBy(col("adc"), col("vec_id"))
   }
 
-  val qPqTopkSql: String = {
+  /** The shared PQ CTE chain: emb, per-subspace Lloyd blocks, final
+    * codes (code$j) + anchor distance tables (qd$j) — embedded by the
+    * q_pq_topk / q_pq_distortion oracles (q_pq_recall nests the full
+    * topk SQL instead).
+    */
+  private val pqCtesSql: String = {
     val dim = 64
     val sub = dim / PqM
     def dist(sCol: String, cTab: String): String =
@@ -305,6 +345,12 @@ object QueriesQuality {
          |  FROM c${j}_$PqIters CROSS JOIN
          |    (SELECT s AS qs FROM e$j WHERE vec_id = $PqAnchor))""".stripMargin
     }.mkString(",\n")
+    s"""emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |$perSub""".stripMargin
+  }
+
+  val qPqTopkSql: String = {
     val codeJoins = (1 until PqM)
       .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
     val qdJoins = (0 until PqM)
@@ -312,13 +358,45 @@ object QueriesQuality {
     val codesExpr = (0 until PqM)
       .map(j => s"code$j.cid::VARCHAR").mkString(" || '-' || ")
     val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
-    s"""WITH emb AS (SELECT vec_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-       |$perSub
+    s"""WITH $pqCtesSql
        |SELECT code0.vec_id, $codesExpr AS codes,
        |  round($adcExpr, 6) AS adc
        |FROM code0 $codeJoins $qdJoins
        |ORDER BY adc, code0.vec_id LIMIT $PqTopK""".stripMargin
+  }
+
+  /** q_pq_distortion — per-label mean quantization error: the
+    * compression-quality number of the PQ index (how much squared-L2 a
+    * vector loses when replaced by its codebook reconstruction). The
+    * kernel sums each subspace's 6-dp assign distance in subspace order;
+    * the oracle sums the same f$j best distances per vector, so the
+    * doubles are identical before the 6-dp avg round.
+    */
+  val qPqDistortion: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
+      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    graft.llm.ProductQuant.distortionByGroup(emb, col("label"),
+        col("embedding"), cents)
+      .orderBy("label")
+  }
+
+  val qPqDistortionSql: String = {
+    val qerrJoins = (1 until PqM)
+      .map(j => s"JOIN d$j USING (vec_id)").mkString(" ")
+    val qerrExpr = (0 until PqM).map(j => s"d$j.d").mkString(" + ")
+    val dCtes = (0 until PqM)
+      .map(j => s"d$j AS (SELECT vec_id, d FROM f$j WHERE rn = 1)")
+      .mkString(",\n")
+    s"""WITH $pqCtesSql,
+       |$dCtes,
+       |qerr AS (
+       |  SELECT d0.vec_id, $qerrExpr AS qe
+       |  FROM d0 $qerrJoins)
+       |SELECT e2.label, count(*)::BIGINT AS n,
+       |  round(avg(qe), 6) AS avg_qerr
+       |FROM qerr JOIN embeddings e2 ON e2.vec_id = qerr.vec_id
+       |GROUP BY e2.label ORDER BY e2.label""".stripMargin
   }
 
   /** q_pq_recall — the ANN quality metric for q_pq_topk: how many of the
@@ -367,7 +445,9 @@ object QueriesQuality {
     "q_line_dedup" -> qLineDedup,
     "q_weighted_sample" -> qWeightedSample,
     "q_wordpiece" -> qWordpiece,
-    "q_pq_topk" -> qPqTopk)
+    "q_fertility" -> qFertility,
+    "q_pq_topk" -> qPqTopk,
+    "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
     "q_pq_recall" -> qPqRecallSql,
@@ -377,5 +457,7 @@ object QueriesQuality {
     "q_line_dedup" -> qLineDedupSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_wordpiece" -> qWordpieceSql,
-    "q_pq_topk" -> qPqTopkSql)
+    "q_fertility" -> qFertilitySql,
+    "q_pq_topk" -> qPqTopkSql,
+    "q_pq_distortion" -> qPqDistortionSql)
 }

@@ -104,6 +104,33 @@ object ProductQuant {
       .limit(topK)
   }
 
+  /** Per-group mean quantization error: (group as `label`, n, avg_qerr)
+    * — the squared-L2 a vector loses when replaced by its codebook
+    * reconstruction, the PQ compression-quality metric. Each vector's
+    * qerr is the subspace-ordered sum of its 6-dp assign distances (one
+    * narrow kernel pass); the aggregation shuffles one scalar per row,
+    * partial-aggregated to |groups| rows. avg rounds to 6 dp on both
+    * engines ([[Cluster]]'s summation-noise discipline).
+    */
+  def distortionByGroup(df: DataFrame, group: Column, vec: Column,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val bcC = df.sparkSession.sparkContext.broadcast(cents)
+    val kernel = udf { (v: Seq[Float]) =>
+      var qe = 0.0
+      var j = 0
+      while (j < m) {
+        qe += Cluster.assign(v.slice(j * sub, (j + 1) * sub), bcC.value(j))._2
+        j += 1
+      }
+      qe
+    }
+    df.select(group.as("label"), kernel(vec).as("qe"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("qe")), 6).as("avg_qerr"))
+  }
+
   /** Encode every vector and ADC-score it against `query`: (id, codes
     * joined as "c0-c1-…", adc) — adc is the subspace-ordered sum of the
     * rounded table entries, rounded to 6 dp. Top `topK` ascending, id

@@ -77,4 +77,39 @@ object Subword {
       .orderBy(col("cnt").desc, col("piece"))
       .limit(topN)
   }
+
+  /** Tokenizer fertility (pieces per word) by group (e.g. language):
+    * (group, n_words, n_pieces, fertility). One kernel pass emits a
+    * (words, pieces) pair per document; the aggregation shuffles one
+    * 2-long row per document, partial-aggregated to |groups| rows.
+    */
+  def fertilityByGroup(df: DataFrame, group: Column, text: Column,
+      vocab: Seq[String]): DataFrame = {
+    val maxPiece = vocab.map(_.length).max
+    val bc = df.sparkSession.sparkContext.broadcast(vocab.toSet)
+    val kernel = udf { (t: String) =>
+      if (t == null) (0L, 0L)
+      else {
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          .toLowerCase.trim.toString
+        if (s.isEmpty) (0L, 0L)
+        else {
+          var words = 0L
+          var pieces = 0L
+          s.split("\\s+", -1).foreach { w =>
+            if (w.nonEmpty) {
+              words += 1
+              pieces += tokenizeWord(w, bc.value, maxPiece).length
+            }
+          }
+          (words, pieces)
+        }
+      }
+    }
+    df.select(group.as("lang"), kernel(text).as("wp"))
+      .groupBy("lang")
+      .agg(sum(col("wp._1")).as("n_words"), sum(col("wp._2")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 4).as("fertility"))
+  }
 }

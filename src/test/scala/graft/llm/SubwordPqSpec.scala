@@ -63,6 +63,33 @@ class SubwordPqSpec extends SparkSpec {
     assert(top.head.getAs[String]("codes").matches("\\d+-\\d+"))
   }
 
+  test("fertility by group: closed-form pieces-per-word") {
+    val docs = Seq((1L, "spark spark", "en"), (2L, "batch", "de"))
+      .toDF("id", "text", "lang")
+    val out = Subword.fertilityByGroup(docs, col("lang"), col("text"), vocab)
+      .orderBy("lang").collect()
+    // "spark" → sp|ar|k (3 pieces) twice; "batch" → ba|tch (2 pieces)
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ===
+      Seq(("de", 1L, 2L, 2.0), ("en", 2L, 6L, 3.0)))
+  }
+
+  test("pq distortion: zero for vectors that ARE the codebook entries") {
+    // 3 distinct vectors, k=3 codebooks per subspace, 0 iterations →
+    // seeds are the raw vectors themselves → qerr must be exactly 0
+    val rows = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(5f, 6f, 7f, 8f)),
+      (2L, Seq(9f, 10f, 11f, 12f))).map { case (i, v) => (i, v, (i % 2).toInt) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = ProductQuant.fit(df, col("vec_id"), col("embedding"),
+      m = 2, k = 3, iters = 0)
+    val out = ProductQuant.distortionByGroup(df, col("label"),
+      col("embedding"), cents).orderBy("label").collect()
+    assert(out.map(_.getAs[Double]("avg_qerr")).forall(_ === 0.0), out.toSeq.toString)
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
+  }
+
   test("pq fit is deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf)
     val c1 = ProductQuant.fit(emb, col("vec_id"), col("embedding"), 4, 16, 2)

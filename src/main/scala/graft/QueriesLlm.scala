@@ -253,7 +253,7 @@ object QueriesLlm {
   /** Deterministic similarity-graph edges shared by q_dedup_components and
     * q_canonical_pick: consecutive docs with unigram Jaccard ≥ 0.7.
     */
-  private def componentEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def componentEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.wordShingles(col("text"), 1).as("sh"))
       .where(size(col("sh")) > 0)

@@ -437,7 +437,69 @@ object QueriesQuality {
        |  round(count(*) / $PqTopK.0, 4) AS recall
        |FROM pq JOIN ex ON pq.vec_id = ex.vec_id""".stripMargin
 
+  /** q_ppl_buckets — model-based curation report: documents bucketed
+    * into quartiles of their bigram-LM log-probability (the
+    * perplexity-filtering shape of CCNet/DSIR pipelines), with per-bucket
+    * counts and mean score. Thresholds are the exact interpolated
+    * quartiles ([[graft.operators.Profile.percentileThreshold]], the
+    * q_quality_filter discipline — 6-dp grid, DuckDB quantile_cont
+    * parity); scores are 4-dp on both sides before any comparison.
+    */
+  val qPplBuckets: Q = (s, dir) => {
+    val lp = graft.llm.LangModel
+      .bigramLogProb(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), round(col("logprob"), 4).as("lp"))
+      .persist()
+    val Seq(t1, t2, t3) = Seq(0.25, 0.5, 0.75).map(p =>
+      graft.operators.Profile.percentileThreshold(lp, col("lp"), p, exact = true))
+    lp.select(col("lp"),
+        when(col("lp") < t1, 0).when(col("lp") < t2, 1)
+          .when(col("lp") < t3, 2).otherwise(3).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(avg("lp"), 4).as("mean_lp"))
+      .orderBy("bucket")
+  }
+
+  val qPplBucketsSql: String = {
+    val bigram = QueriesPipeline.qBigramLogprobSql
+      .stripSuffix("\nGROUP BY bg.doc_id ORDER BY bg.doc_id") +
+      "\nGROUP BY bg.doc_id"
+    s"""WITH lp AS (
+       |  SELECT doc_id, round(logprob, 4) AS lp FROM ($bigram)),
+       |q AS (SELECT round(quantile_cont(lp, 0.25), 6) AS t1,
+       |             round(quantile_cont(lp, 0.50), 6) AS t2,
+       |             round(quantile_cont(lp, 0.75), 6) AS t3 FROM lp)
+       |SELECT bucket, count(*) AS n, round(avg(lp), 4) AS mean_lp
+       |FROM (SELECT CASE WHEN lp < q.t1 THEN 0 WHEN lp < q.t2 THEN 1
+       |                  WHEN lp < q.t3 THEN 2 ELSE 3 END AS bucket, lp
+       |      FROM lp, q)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** q_dup_cluster_sizes — dedup observability: the size distribution of
+    * near-dup components (how big do duplicate clusters get?), reusing
+    * q_dedup_components' graph. Two bounded aggregations after the
+    * pointer-jumping components; the oracle wraps the recursive-CTE
+    * components in a double GROUP BY.
+    */
+  val qDupClusterSizes: Q = (s, dir) =>
+    graft.llm.Dedup.connectedComponents(QueriesLlm.componentEdges(s, dir))
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+
+  val qDupClusterSizesSql: String = {
+    val comps = QueriesLlm.qDedupComponentsSql
+      .stripSuffix(" ORDER BY doc_id")
+    s"""WITH comps AS ($comps)
+       |SELECT csize, count(*)::BIGINT AS n_components
+       |FROM (SELECT component, count(*) AS csize FROM comps GROUP BY component)
+       |GROUP BY csize ORDER BY csize""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q_ppl_buckets" -> qPplBuckets,
+    "q_dup_cluster_sizes" -> qDupClusterSizes,
     "q_pq_recall" -> qPqRecall,
     "q_gopher_quality" -> qGopherQuality,
     "q_char_entropy" -> qCharEntropy,
@@ -450,6 +512,8 @@ object QueriesQuality {
     "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
+    "q_ppl_buckets" -> qPplBucketsSql,
+    "q_dup_cluster_sizes" -> qDupClusterSizesSql,
     "q_pq_recall" -> qPqRecallSql,
     "q_gopher_quality" -> qGopherQualitySql,
     "q_char_entropy" -> qCharEntropySql,

@@ -212,7 +212,17 @@ object GeoParquet {
     val finalMeta =
       if (geomCols.nonEmpty) base.withStats(geometryStats(df, geomCols)) else base
     val partCols = if (zOrder) Seq("cell_z") else Seq("cell_x", "cell_y")
-    partitioned.write.mode("overwrite")
+    // co-locate each cell into one task before the partitioned write:
+    // without this every upstream task opens a writer in every cell
+    // directory it touches — tasks × cells part files (the classic
+    // small-files explosion at cluster scale, and footer stamping below
+    // walks every one of them). One hash shuffle on the cell key buys one
+    // file per cell; a pathologically hot cell (e.g. the 9999 escape
+    // cell) serializes into its single writer, which is a throughput
+    // trade, not a correctness one — callers with known-hot grids can
+    // pre-split with a finer cellDeg.
+    partitioned.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
       .option("compression", compression)
       .partitionBy(partCols: _*)
       .parquet(path)

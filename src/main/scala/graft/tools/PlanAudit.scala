@@ -29,8 +29,37 @@ object PlanAudit {
     "q_zipf"        // rank + cumsum over ≤50 post-limit vocab rows
   )
 
+  /** Pinned per-query shuffle counts (tools/plan_baseline.json). A
+    * refactor or dependency bump that silently adds an exchange to an
+    * existing query fails the audit; intentional plan changes re-pin
+    * with `--write-baseline`. Queries not yet in the baseline are
+    * reported but don't fail (they get pinned on the next write).
+    * Counts are plan-shape (exchanges), pinned at the default sf0.001
+    * audit input — compare at the same sf, since join-strategy choices
+    * (broadcast vs shuffle) are size-dependent.
+    */
+  private val BaselinePath =
+    java.nio.file.Paths.get("tools/plan_baseline.json")
+
+  private def readBaseline(): Map[String, Int] =
+    if (!java.nio.file.Files.exists(BaselinePath)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(BaselinePath), "UTF-8")
+      """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }
+
+  private def writeBaseline(counts: Seq[(String, Int)]): Unit = {
+    val json = counts.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": $v""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(BaselinePath, json.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val writeBase = args.contains("--write-baseline")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -42,6 +71,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val baseline = if (writeBase) Map.empty[String, Int] else readBaseline()
+    var measured = List.empty[(String, Int)]
     var failures = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -59,9 +90,22 @@ object PlanAudit {
           if (bnl > 0 && !allowedCartesian(name)) Some(s"NESTEDLOOP×$bnl") else None,
           if (globalWindows > 0 && !allowedGlobalWindow(name)) Some(s"GLOBALWINDOW×$globalWindows") else None
         ).flatten
-        val status = if (flags.isEmpty) "ok" else flags.mkString(",")
+        measured ::= name -> shuffles
+        val drift = baseline.get(name) match {
+          case Some(base) if shuffles > base =>
+            Some(s"SHUFFLE-REGRESSION $base→$shuffles")
+          case Some(base) if shuffles < base =>
+            println(f"$name%-28s shuffles=$shuffles%-3d improved from $base (re-pin with --write-baseline)")
+            None
+          case None if baseline.nonEmpty =>
+            println(f"$name%-28s shuffles=$shuffles%-3d unpinned (new query; --write-baseline to pin)")
+            None
+          case _ => None
+        }
+        val allFlags = flags ++ drift
+        val status = if (allFlags.isEmpty) "ok" else allFlags.mkString(",")
         println(f"$name%-28s shuffles=$shuffles%-3d $status")
-        if (flags.nonEmpty) failures ::= s"$name: ${flags.mkString(",")}"
+        if (allFlags.nonEmpty) failures ::= s"$name: ${allFlags.mkString(",")}"
       } catch {
         case scala.util.control.NonFatal(e) =>
           println(f"$name%-28s ERROR ${e.getMessage.take(100)}")
@@ -69,6 +113,10 @@ object PlanAudit {
       }
     }
     spark.stop()
+    if (writeBase && failures.isEmpty) {
+      writeBaseline(measured)
+      println(s"baseline pinned: ${measured.size} queries → $BaselinePath")
+    }
     if (failures.nonEmpty) {
       System.err.println(s"plan audit failures:\n${failures.sorted.mkString("\n")}")
       sys.exit(1)

@@ -497,7 +497,139 @@ object QueriesQuality {
        |GROUP BY csize ORDER BY csize""".stripMargin
   }
 
+  /** q_zorder_layout — the write-time Z-order clustering metric: lineitem
+    * keyed by the Morton interleave of 8-bit-quantized (l_extendedprice,
+    * l_quantity), grouped into the 64 leading-bit z-ranges a clustered
+    * writer would emit as files ([[graft.operators.ZOrder.cluster]]'s
+    * range partitions). Each row is one would-be file's footer stats:
+    * row count + min/max cell in BOTH dimensions — bounded rectangles,
+    * i.e. the multi-dim pruning a z-ordered 100-TB layout buys. The
+    * quantization bounds come from one bounded stats pass (4 scalars);
+    * everything else is codegen'd long arithmetic + one partial-agged
+    * groupBy. The oracle replays the identical IEEE quantize + unrolled
+    * bit interleave in SQL.
+    */
+  val ZBits = 8
+  val ZBucketShift = 10 // 16-bit key >> 10 = 64 buckets
+
+  val qZorderLayout: Q = (s, dir) => {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(s, dir)
+    val b = li.agg(min("l_extendedprice"), max("l_extendedprice"),
+      min("l_quantity"), max("l_quantity")).head()
+    val (plo, phi, qlo, qhi) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val qx = ZOrder.quantize(col("l_extendedprice"), lit(plo), lit(phi), ZBits)
+    val qy = ZOrder.quantize(col("l_quantity"), lit(qlo), lit(qhi), ZBits)
+    li.select(qx.as("qx"), qy.as("qy"))
+      .withColumn("zkey", ZOrder.interleave(Seq(col("qx"), col("qy")), ZBits))
+      .groupBy(shiftright(col("zkey"), ZBucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("qx").as("min_qx"), max("qx").as("max_qx"),
+        min("qy").as("min_qy"), max("qy").as("max_qy"))
+      .orderBy("bucket")
+  }
+
+  val qZorderLayoutSql: String = {
+    val cells = 1L << ZBits
+    def quant(v: String, lo: String, hi: String) =
+      s"least(${cells - 1}, greatest(0, floor((($v - $lo) / ($hi - $lo)) * $cells)::BIGINT))"
+    val terms = (for {
+      i <- 0 until ZBits
+      (c, ci) <- Seq("qx", "qy").zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * 2 + ci})").mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
+       |         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT ${quant("l_extendedprice", "b.plo", "b.phi")} AS qx,
+       |         ${quant("l_quantity", "b.qlo", "b.qhi")} AS qy
+       |  FROM lineitem, b),
+       |z AS (SELECT qx, qy, ($terms) AS zkey FROM q)
+       |SELECT zkey >> $ZBucketShift AS bucket, count(*) AS n,
+       |  min(qx) AS min_qx, max(qx) AS max_qx,
+       |  min(qy) AS min_qy, max(qy) AS max_qy
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** q_jl_project — Johnson–Lindenstrauss sketching quality: the corpus
+    * projected 64→16 dims through [[graft.llm.RandomProjection]]'s
+    * deterministic Rademacher matrix, then (a) recall@20 of the
+    * projected-space L2 top-20 around the anchor against the exact
+    * top-20, and (b) the mean norm-preservation ratio the JL lemma
+    * promises ≈ 1. One narrow kernel pass (persisted), two TakeOrdered
+    * top-ks (map-side partial top-k, driver merge — no global sort), one
+    * scalar agg. The oracle regenerates the sign matrix with the same
+    * polynomial via nested list lambdas.
+    */
+  val JlK = 16
+  val JlTopK = 20
+  val JlAnchor = 0L
+
+  val qJlProject: Q = (s, dir) => {
+    import graft.llm.{ProductQuant, RandomProjection}
+    val emb = Tables.embeddings(s, dir)
+    val proj = emb.select(col("vec_id"), col("embedding"),
+        RandomProjection.project(col("embedding"), d = 64, k = JlK).as("p"))
+      .withColumn("ratio", RandomProjection.normRatio(col("embedding"), col("p"), JlK))
+      .persist()
+    val anchorP = proj.where(col("vec_id") === JlAnchor)
+      .select("p").head().getSeq[Double](0).toArray
+    val anchorV = proj.where(col("vec_id") === JlAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val topProj = proj
+      .select(col("vec_id").as("pid"),
+        RandomProjection.dist2(col("p"), anchorP).as("pd2"))
+      .orderBy(col("pd2"), col("pid")).limit(JlTopK)
+    val topExact = ProductQuant.exactTopK(emb, col("vec_id"),
+      col("embedding"), anchorV, topK = JlTopK).select(col("id").as("eid"))
+    val overlap = topProj.join(topExact, topProj("pid") === topExact("eid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val ratio = proj.agg(round(avg("ratio"), 4).as("mean_norm_ratio"))
+    overlap.crossJoin(ratio)
+      .select(lit(JlTopK).as("k"), col("n_overlap"),
+        round(col("n_overlap") / JlTopK.toDouble, 4).as("recall"),
+        col("mean_norm_ratio"))
+  }
+
+  val qJlProjectSql: String = {
+    val sign = "CASE WHEN (((i*37 + j*61) * 127) % 101) % 2 = 0 THEN 1 ELSE -1 END"
+    s"""WITH embx AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, e, list_transform(range(0, $JlK), j ->
+       |    round(list_sum(list_transform(range(0, 64),
+       |      i -> e[i+1] * ($sign))), 6)) AS p
+       |  FROM embx),
+       |qp AS (SELECT p FROM proj WHERE vec_id = $JlAnchor),
+       |qv AS (SELECT e FROM embx WHERE vec_id = $JlAnchor),
+       |px AS (SELECT vec_id FROM (
+       |    SELECT proj.vec_id,
+       |      round(list_sum(list_transform(range(1, ${JlK + 1}),
+       |        i -> (proj.p[i] - qp.p[i]) * (proj.p[i] - qp.p[i]))), 6) AS d
+       |    FROM proj CROSS JOIN qp)
+       |  ORDER BY d, vec_id LIMIT $JlTopK),
+       |ex AS (SELECT vec_id FROM (
+       |    SELECT embx.vec_id,
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> (embx.e[i] - qv.e[i]) * (embx.e[i] - qv.e[i]))), 6) AS d
+       |    FROM embx CROSS JOIN qv)
+       |  ORDER BY d, vec_id LIMIT $JlTopK),
+       |r AS (SELECT round(avg(CASE WHEN nx = 0 THEN 0.0
+       |                            ELSE (np / $JlK) / nx END), 4) AS mean_norm_ratio
+       |      FROM (SELECT list_sum(list_transform(e, x -> x*x)) AS nx,
+       |                   list_sum(list_transform(p, x -> x*x)) AS np
+       |            FROM proj))
+       |SELECT $JlTopK AS k, count(*)::BIGINT AS n_overlap,
+       |  round(count(*) / $JlTopK.0, 4) AS recall, r.mean_norm_ratio
+       |FROM px JOIN ex ON px.vec_id = ex.vec_id, r
+       |GROUP BY r.mean_norm_ratio""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q_zorder_layout" -> qZorderLayout,
+    "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
     "q_dup_cluster_sizes" -> qDupClusterSizes,
     "q_pq_recall" -> qPqRecall,
@@ -512,6 +644,8 @@ object QueriesQuality {
     "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
+    "q_zorder_layout" -> qZorderLayoutSql,
+    "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_dup_cluster_sizes" -> qDupClusterSizesSql,
     "q_pq_recall" -> qPqRecallSql,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: interleave correctness on known bit patterns,
+  * quantize clamping/degenerate range, and the layout property the whole
+  * operator exists for — range-clustered output partitions cover
+  * non-overlapping z-ranges, i.e. bounded rectangles in both dimensions.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave matches hand-computed Morton codes") {
+    // (x, y) -> z for 2-bit cells: z = x0 | y0<<1 | x1<<2 | y1<<3
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (1L, 1L, 3L), (2L, 0L, 4L), (0L, 2L, 8L), (3L, 3L, 15L), (2L, 3L, 14L))
+    val df = cases.toDF("x", "y", "want")
+      .withColumn("z", ZOrder.interleave(Seq(col("x"), col("y")), bits = 2))
+    assert(df.where(col("z") =!= col("want")).count() === 0)
+  }
+
+  test("interleave is monotone-compatible with locality: adjacent cells share high bits") {
+    // cells in the same 2x2 block of an 8-bit grid agree on all but the
+    // lowest 2 interleaved bits
+    val df = Seq((10L, 20L), (11L, 20L), (10L, 21L), (11L, 21L)).toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(Seq(col("x"), col("y")), bits = 8))
+    val hi = df.select(shiftright(col("z"), 2)).distinct().count()
+    assert(hi === 1)
+  }
+
+  test("quantize clamps to the cell range and handles a degenerate range") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 105.0).toDF("v")
+      .select(ZOrder.quantize(col("v"), lit(0.0), lit(100.0), bits = 2).as("c"))
+    assert(df.as[Long].collect().toSeq === Seq(0L, 0L, 2L, 3L, 3L))
+    val degen = Seq(1.0, 2.0).toDF("v")
+      .select(ZOrder.quantize(col("v"), lit(7.0), lit(7.0), bits = 4).as("c"))
+    assert(degen.as[Long].collect().toSeq === Seq(0L, 0L))
+  }
+
+  test("cluster() yields non-overlapping z-ranges across output partitions") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val b = li.agg(min("l_extendedprice"), max("l_extendedprice"),
+      min("l_quantity"), max("l_quantity")).head()
+    val z = li.select(
+      ZOrder.interleave(Seq(
+        ZOrder.quantize(col("l_extendedprice"), lit(b.getDouble(0)), lit(b.getDouble(1)), 8),
+        ZOrder.quantize(col("l_quantity"), lit(b.getDouble(2)), lit(b.getDouble(3)), 8)), 8).as("zkey"))
+    val parts = ZOrder.cluster(z, col("zkey"), numFiles = 8)
+      .select(col("zkey"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("zkey").as("lo"), max("zkey").as("hi"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    assert(parts.map(_.getAs[Long]("n")).sum === li.count())
+    parts.sliding(2).foreach {
+      case Array(a, bb) => assert(a.getAs[Long]("hi") <= bb.getAs[Long]("lo"),
+        s"overlapping z-ranges: $a vs $bb")
+      case _ =>
+    }
+    // the point of the layout: each range-partition covers a bounded
+    // rectangle, so per-file footer stats prune BOTH dimensions. With 8
+    // files over a 256x256 grid, every file's rectangle must be far
+    // smaller than the full grid in at least one dimension.
+    val rects = ZOrder.cluster(z, col("zkey"), numFiles = 8)
+      .select(col("zkey"), spark_partition_id().as("pid"))
+      .withColumn("qx", ZOrderSpec.deinterleaveX(col("zkey")))
+      .withColumn("qy", ZOrderSpec.deinterleaveY(col("zkey")))
+      .groupBy("pid")
+      .agg((max("qx") - min("qx")).as("wx"), (max("qy") - min("qy")).as("wy"))
+      .collect()
+    // a contiguous z-range tiles the grid: the summed rectangle area stays
+    // O(grid), where an unclustered 8-way split would cover the full
+    // 256x256 grid per file (sum = 8 * 65536). 2x grid = generous slack
+    // for range-boundary blocks.
+    val sumArea = rects.map(r =>
+      (r.getAs[Long]("wx") + 1) * (r.getAs[Long]("wy") + 1)).sum
+    assert(sumArea <= 2L * 256 * 256, s"z-ranges not localized: sumArea=$sumArea")
+  }
+}
+
+object ZOrderSpec {
+  import org.apache.spark.sql.Column
+  /** Even (x) / odd (y) bit extraction — the inverse of a 2-column
+    * 8-bit interleave, for asserting rectangle bounds.
+    */
+  def deinterleaveX(z: Column): Column =
+    (0 until 8).map(i => shiftleft(shiftright(z, 2 * i).bitwiseAND(lit(1L)), i))
+      .reduce(_.bitwiseOR(_))
+  def deinterleaveY(z: Column): Column =
+    (0 until 8).map(i => shiftleft(shiftright(z, 2 * i + 1).bitwiseAND(lit(1L)), i))
+      .reduce(_.bitwiseOR(_))
+}

@@ -19,7 +19,8 @@ object PlanAudit {
   // deliberate exceptions, with the reason they are safe
   private val allowedCartesian = Set(
     "q_embed_neardup", // id-bounded (maxId) theta-join: candidate set fixed-size by construction
-    "q_tfidf"          // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
+    "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
+    "q_jl_project"     // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input

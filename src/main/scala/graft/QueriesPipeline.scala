@@ -198,7 +198,11 @@ object QueriesPipeline {
       .select(col("id").as("vec_id"), col("cluster"), col("dist"))
       .orderBy("vec_id")
 
-  val qKmeansSql: String = {
+  /** The unrolled-Lloyd CTE chain alone (emb, c0..c$iters, af) — shared
+    * by q_kmeans, and by q_ivf_recall which also needs the FINAL centroid
+    * table c$KmeansIters for probe ordering, not just the af assignments.
+    */
+  private[graft] val kmeansCtes: String = {
     def dist(cTab: String): String =
       s"round(list_sum(list_transform(range(1, len(e) + 1), " +
         s"i -> (e[i]::DOUBLE - $cTab.c[i]) * (e[i]::DOUBLE - $cTab.c[i]))), 6)"
@@ -220,7 +224,7 @@ object QueriesPipeline {
          |c$t AS (SELECT p.cid, coalesce(n.c, p.c) AS c
          |        FROM $p p LEFT JOIN n$t n USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+    s"""emb AS (SELECT vec_id, embedding AS e FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |         list_transform(e, x -> x::DOUBLE) AS c
@@ -230,10 +234,13 @@ object QueriesPipeline {
        |  SELECT vec_id, cid, d,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        |  FROM (SELECT vec_id, cid, ${dist(s"c$KmeansIters")} AS d
-       |        FROM emb CROSS JOIN c$KmeansIters))
+       |        FROM emb CROSS JOIN c$KmeansIters))""".stripMargin
+  }
+
+  val qKmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, cid AS cluster, d AS dist FROM af WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
-  }
 
   /** q_cluster_sample — cluster-balanced exemplar selection: the 10 most
     * central vectors (smallest distance, vec_id tie-break) of each

@@ -627,7 +627,116 @@ object QueriesQuality {
        |GROUP BY r.mean_norm_ratio""".stripMargin
   }
 
+  /** q_bucketed_join — the persisted co-located join layout: lineitem and
+    * orders each written as an 8-bucket catalog table hash-bucketed and
+    * sorted on the join key ([[graft.operators.Bucketing.writeBucketed]]),
+    * then sort-merge-joined bucket-to-bucket with ZERO join-side exchange
+    * (BucketingSpec pins the exchange-free plan) — the write-once,
+    * join-many layout for 100-TB fact-to-fact joins. Output sticks to
+    * integral aggregates (counts + integral-double quantity sums), so the
+    * hash compare is float-noise-free; the oracle runs the same join on
+    * the raw parquet.
+    */
+  val qBucketedJoin: Q = (s, dir) => {
+    import graft.operators.Bucketing
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    val li = Bucketing.writeBucketed(s, Tables.lineitem(s, dir),
+      "graft_li_bucketed", s"$base/lineitem", "l_orderkey", buckets = 8)
+    val ord = Bucketing.writeBucketed(s, Tables.orders(s, dir),
+      "graft_ord_bucketed", s"$base/orders", "o_orderkey", buckets = 8)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q_ivf_recall — the ANN quality/cost tradeoff of the IVF scale path
+    * in one row: a deterministic-Lloyd coarse quantizer
+    * ([[graft.llm.Cluster.kmeansWithCentroids]], q_kmeans's exact
+    * machinery), the anchor probing its nProbe=2 nearest centroids, exact
+    * L2 top-20 within the probed cells only — reported with the probed
+    * candidate count (the fraction of the corpus an IVF query READS) and
+    * recall against the full-corpus exact top-20. The oracle extends
+    * q_kmeans's shared unrolled-Lloyd CTEs with probe ordering over the
+    * final centroid table.
+    */
+  val IvfNProbe = 2
+
+  val qIvfRecall: Q = (s, dir) => {
+    import graft.llm.{Cluster, ProductQuant}
+    val emb = Tables.embeddings(s, dir)
+    val (assigned, cents) = Cluster.kmeansWithCentroids(emb, col("vec_id"),
+      col("embedding"), k = QueriesPipeline.KmeansK,
+      iters = QueriesPipeline.KmeansIters)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    // probe order: 6-dp-rounded squared L2 anchor→centroid, ties to the
+    // lower cid — k scalars on the driver, same discipline as the cells
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var t = 0
+      while (t < c.length) { val x = anchorV(t) - c(t); d += x * x; t += 1 }
+      (math.floor(d * 1e6 + 0.5) / 1e6, i)
+    }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2)
+    val cand = assigned.where(col("cluster").isin(probes.toIndexedSeq: _*))
+      .select(col("id"))
+    val candVec = Tables.embeddings(s, dir)
+      .join(cand, col("vec_id") === cand("id")).select("vec_id", "embedding")
+    val ivfTop = ProductQuant.exactTopK(candVec, col("vec_id"),
+      col("embedding"), anchorV, topK = PqTopK).select(col("id").as("iid"))
+    val exact = ProductQuant.exactTopK(emb, col("vec_id"), col("embedding"),
+      anchorV, topK = PqTopK).select(col("id").as("eid"))
+    val overlap = ivfTop.join(exact, col("iid") === col("eid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    overlap.crossJoin(nCand)
+      .select(lit(PqTopK).as("k"), lit(IvfNProbe).as("n_probe"),
+        col("n_candidates"), col("n_overlap"),
+        round(col("n_overlap") / PqTopK.toDouble, 4).as("recall"))
+  }
+
+  val qIvfRecallSql: String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |qv AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $PqAnchor),
+       |cd AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv),
+       |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid),
+       |ivf AS (SELECT vec_id FROM (
+       |    SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
+       |    FROM emb JOIN cand USING (vec_id) CROSS JOIN qv)
+       |  ORDER BY d, vec_id LIMIT $PqTopK),
+       |ex AS (SELECT vec_id FROM (
+       |    SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
+       |    FROM emb CROSS JOIN qv)
+       |  ORDER BY d, vec_id LIMIT $PqTopK),
+       |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
+       |SELECT $PqTopK AS k, $IvfNProbe AS n_probe, nc.n_candidates,
+       |  count(*)::BIGINT AS n_overlap,
+       |  round(count(*) / $PqTopK.0, 4) AS recall
+       |FROM ivf JOIN ex USING (vec_id), nc
+       |GROUP BY nc.n_candidates""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q_bucketed_join" -> qBucketedJoin,
+    "q_ivf_recall" -> qIvfRecall,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
@@ -644,6 +753,8 @@ object QueriesQuality {
     "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_ivf_recall" -> qIvfRecallSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,

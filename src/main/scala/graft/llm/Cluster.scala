@@ -65,6 +65,19 @@ object Cluster {
   def kmeans(df: DataFrame, id: Column, vec: Column, k: Int = 8,
       iters: Int = 2): DataFrame = {
     val base = df.select(id.as("id"), vec.as("v"))
+    val fin = fitCentroids(base, k, iters)
+    val finalU = udf { (v: Seq[Float]) => assign(v, fin) }
+    base.select(col("id"), finalU(col("v")).as("a"))
+      .select(col("id"), col("a._1").as("cluster"), col("a._2").as("dist"))
+  }
+
+  /** The Lloyd loop alone: final centroids for callers that need them as
+    * driver-side state (IVF probe ordering, label naming). `base` must be
+    * (id, v) as produced inside [[kmeans]]; identical math/rounding, so
+    * kmeans(df,…) ≡ assign-against-fitCentroids(df,…).
+    */
+  private[graft] def fitCentroids(base: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = base.orderBy("id").limit(k).collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
     require(cents.length == k, s"need >= $k rows to seed $k clusters")
@@ -85,10 +98,21 @@ object Cluster {
       means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
       cents = next
     }
+    cents
+  }
 
-    val fin = cents
+  /** k-means assignments AND the fitted centroids in one call (one Lloyd
+    * fit shared by both) — the IVF shape: the centroid array is the
+    * driver-side coarse quantizer, the assignment column the
+    * partition/bucket key.
+    */
+  def kmeansWithCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val base = df.select(id.as("id"), vec.as("v"))
+    val fin = fitCentroids(base, k, iters)
     val finalU = udf { (v: Seq[Float]) => assign(v, fin) }
-    base.select(col("id"), finalU(col("v")).as("a"))
+    val assigned = base.select(col("id"), finalU(col("v")).as("a"))
       .select(col("id"), col("a._1").as("cluster"), col("a._2").as("dist"))
+    (assigned, fin)
   }
 }

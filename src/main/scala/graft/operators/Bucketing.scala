@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for shuffle-free co-located joins.
+  *
+  * The 100-TB fact-to-fact join problem: two data-sized tables joined on a
+  * shared key shuffle BOTH sides every query. Writing each side bucketed
+  * (hash-partitioned into the same bucket count, sorted within buckets) on
+  * the join key moves that shuffle to write time, once: every later
+  * sort-merge join between them matches buckets pairwise with ZERO
+  * exchange — and the per-bucket sort makes it merge-only, no sort either.
+  * This is the persisted-layout counterpart of
+  * [[graft.operators.SkewJoin]]'s runtime salting and
+  * [[ZOrder.cluster]]'s scan-pruning layout.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted parquet table under `path` and
+    * return it re-read through the catalog (bucket metadata only lives on
+    * catalog tables — a plain parquet read of the same files would not
+    * know the layout and would shuffle anyway).
+    */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+      path: String, key: String, buckets: Int): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}

@@ -20,7 +20,8 @@ object PlanAudit {
   private val allowedCartesian = Set(
     "q_embed_neardup", // id-bounded (maxId) theta-join: candidate set fixed-size by construction
     "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
-    "q_jl_project"     // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
+    "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
+    "q_ivf_recall"     // same shape: ONE-row overlap count × ONE-row candidate count
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input

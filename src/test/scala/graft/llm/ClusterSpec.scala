@@ -101,4 +101,24 @@ class ClusterSpec extends SparkSpec {
       col("dist") < 0).count()
     assert(bad == 0)
   }
+
+  /** kmeansWithCentroids must be the same fit as kmeans (shared Lloyd
+    * loop), and its probed IVF cells must cover only a fraction of the
+    * corpus — the read-reduction the coarse quantizer exists for.
+    */
+  test("kmeansWithCentroids matches kmeans and bounds the probed fraction") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (assigned, cents) = Cluster.kmeansWithCentroids(emb, col("vec_id"),
+      col("embedding"), k = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    val viaKmeans = Cluster.kmeans(emb, col("vec_id"), col("embedding"), 8, 2)
+    assert(assigned.exceptAll(viaKmeans).isEmpty &&
+      viaKmeans.exceptAll(assigned).isEmpty)
+    // any 2-cluster probe set reads well under the whole corpus
+    val n = emb.count()
+    val biggestTwo = assigned.groupBy("cluster").count()
+      .orderBy(col("count").desc).limit(2)
+      .agg(sum("count")).head().getLong(0)
+    assert(biggestTwo < n, s"2 of 8 cells cover the entire corpus ($n rows)")
+  }
 }

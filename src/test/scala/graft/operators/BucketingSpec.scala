@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Bucketed co-located join: the written layout must (a) survive a
+  * catalog round-trip, (b) sort-merge join with ZERO exchanges — the
+  * whole point of paying the bucket shuffle at write time — and (c)
+  * produce exactly the plain join's rows.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed sort-merge join plans zero exchanges and matches the plain join") {
+    val dir = java.nio.file.Files.createTempDirectory("bucketing_spec").toString
+    val li = Bucketing.writeBucketed(spark, graft.Tables.lineitem(spark, sf),
+      "spec_li_bucketed", s"$dir/li", "l_orderkey", buckets = 4)
+    val ord = Bucketing.writeBucketed(spark, graft.Tables.orders(spark, sf),
+      "spec_ord_bucketed", s"$dir/ord", "o_orderkey", buckets = 4)
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the sort-merge path (broadcast would also be exchange-free
+      // but only because the fixture is small; SMJ is the 100-TB plan)
+      // and freeze the static plan for inspection
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle, found ${exchanges.size} exchange(s)")
+
+      val plain = graft.Tables.lineitem(spark, sf)
+        .join(graft.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      assert(joined.count() === plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.sql("DROP TABLE IF EXISTS spec_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS spec_ord_bucketed")
+    }
+  }
+}

@@ -20,11 +20,20 @@ object Bucketing {
     * return it re-read through the catalog (bucket metadata only lives on
     * catalog tables — a plain parquet read of the same files would not
     * know the layout and would shuffle anyway).
+    *
+    * The pre-write `repartition(buckets, key)` uses the SAME Murmur3 hash
+    * partitioning as the bucket spec, so each write task holds exactly one
+    * bucket → ONE file per bucket instead of tasks×buckets small files.
+    * That shuffle is the layout's entire point (paid once at write time),
+    * and single-file buckets are what lets the reader trust the per-bucket
+    * sort (`sortBy`) and plan merge-only joins with no SortExec either.
     */
   def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
       path: String, key: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .format("parquet")

@@ -32,6 +32,26 @@ class BucketingSpec extends SparkSpec {
       }
       assert(exchanges.isEmpty,
         s"bucketed join must not shuffle, found ${exchanges.size} exchange(s)")
+      // single-file buckets + sortBy can additionally drop the SortExec —
+      // Spark trusts the written per-bucket order only behind the legacy
+      // outputOrdering flag (one file per bucket is a prerequisite, which
+      // is why writeBucketed repartitions before writing). Default plan
+      // keeps a cheap in-memory re-sort; with the flag the join is pure
+      // merge. Pin both.
+      val sortsDefault = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortsDefault.nonEmpty) // documents the default; change = re-pin
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val merged = spark.table("spec_li_bucketed")
+        .join(spark.table("spec_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      val sortsOrdered = merged.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortsOrdered.isEmpty,
+        s"single-file sorted buckets must merge without SortExec, found ${sortsOrdered.size}")
 
       val plain = graft.Tables.lineitem(spark, sf)
         .join(graft.Tables.orders(spark, sf),
@@ -42,6 +62,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS spec_li_bucketed")
       spark.sql("DROP TABLE IF EXISTS spec_ord_bucketed")
     }

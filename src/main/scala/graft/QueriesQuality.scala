@@ -553,6 +553,64 @@ object QueriesQuality {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** q_zorder_extract — the read side of the z-order layout end-to-end:
+    * write lineitem z-clustered ([[graft.operators.ZOrder.cluster]], 8
+    * range-partitioned sorted files), then answer a two-dimensional cell
+    * rectangle with [[graft.operators.ZOrder.zRanges]]' quadtree
+    * z-interval decomposition pushed onto the sorted zkey column (footer
+    * stats skip whole files/row groups) plus the exact per-dimension
+    * residual predicate. The oracle ignores the layout entirely and
+    * counts the same rectangle straight off the raw table — the layout
+    * must change the COST, never the answer. ZOrderSpec pins the actual
+    * file skipping.
+    */
+  val ZRect = (64L, 191L, 64L, 191L) // middle half in both dims
+
+  val qZorderExtract: Q = (s, dir) => {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(s, dir)
+    val b = li.agg(min("l_extendedprice"), max("l_extendedprice"),
+      min("l_quantity"), max("l_quantity")).head()
+    val qx = ZOrder.quantize(col("l_extendedprice"),
+      lit(b.getDouble(0)), lit(b.getDouble(1)), ZBits)
+    val qy = ZOrder.quantize(col("l_quantity"),
+      lit(b.getDouble(2)), lit(b.getDouble(3)), ZBits)
+    val keyed = li.select(col("l_orderkey"), col("l_quantity"),
+        qx.as("qx"), qy.as("qy"))
+      .withColumn("zkey", ZOrder.interleave(Seq(col("qx"), col("qy")), ZBits))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.cluster(keyed, col("zkey"), numFiles = 8)
+      .write.mode("overwrite").parquet(out)
+    val (lx, hx, ly, hy) = ZRect
+    val ranges = ZOrder.zRanges(lx, hx, ly, hy, ZBits)
+    s.read.parquet(out)
+      .where(ZOrder.zRangeFilter(col("zkey"), ranges) &&
+        col("qx").between(lx, hx) && col("qy").between(ly, hy))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  val qZorderExtractSql: String = {
+    val cells = 1L << ZBits
+    def quant(v: String, lo: String, hi: String) =
+      s"least(${cells - 1}, greatest(0, floor((($v - $lo) / ($hi - $lo)) * $cells)::BIGINT))"
+    val (lx, hx, ly, hy) = ZRect
+    s"""WITH b AS (
+       |  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
+       |         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_quantity,
+       |    ${quant("l_extendedprice", "b.plo", "b.phi")} AS qx,
+       |    ${quant("l_quantity", "b.qlo", "b.qhi")} AS qy
+       |  FROM lineitem, b)
+       |SELECT count(*) AS n_rows, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       |  count(DISTINCT l_orderkey) AS n_orders
+       |FROM q
+       |WHERE qx BETWEEN $lx AND $hx AND qy BETWEEN $ly AND $hy""".stripMargin
+  }
+
   /** q_jl_project — Johnson–Lindenstrauss sketching quality: the corpus
     * projected 64→16 dims through [[graft.llm.RandomProjection]]'s
     * deterministic Rademacher matrix, then (a) recall@20 of the
@@ -735,6 +793,7 @@ object QueriesQuality {
   }
 
   def all: Map[String, Q] = Map(
+    "q_zorder_extract" -> qZorderExtract,
     "q_bucketed_join" -> qBucketedJoin,
     "q_ivf_recall" -> qIvfRecall,
     "q_zorder_layout" -> qZorderLayout,
@@ -753,6 +812,7 @@ object QueriesQuality {
     "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
+    "q_zorder_extract" -> qZorderExtractSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_ivf_recall" -> qIvfRecallSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -58,4 +58,59 @@ object ZOrder {
     */
   def cluster(df: DataFrame, zkey: Column, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey)
+
+  /** The query-side half of the layout: decompose the cell rectangle
+    * [loX..hiX]×[loY..hiY] into contiguous z-key intervals via a quadtree
+    * walk (a quadrant fully inside the rectangle emits its whole z-block;
+    * a straddling quadrant recurses), then greedily re-merge the
+    * smallest inter-interval gaps until at most `maxRanges` remain.
+    * Coarsened intervals are a SUPERSET of the rectangle's z-codes, so
+    * callers keep the exact per-dimension predicate for correctness and
+    * use these only to prune ([[zRangeFilter]]) — the standard z-order
+    * read pattern: sorted-file footer stats skip everything outside the
+    * intervals, the residual predicate trims the rest.
+    *
+    * Driver-side arithmetic only (≤ 4^bits worst case bounded by the
+    * merge cap); nothing here touches data.
+    */
+  def zRanges(loX: Long, hiX: Long, loY: Long, hiY: Long, bits: Int,
+      maxRanges: Int = 32): Seq[(Long, Long)] = {
+    require(maxRanges >= 1)
+    def walk(x0: Long, y0: Long, size: Long, zbase: Long): Vector[(Long, Long)] =
+      if (x0 > hiX || x0 + size - 1 < loX || y0 > hiY || y0 + size - 1 < loY)
+        Vector.empty
+      else if (x0 >= loX && x0 + size - 1 <= hiX &&
+               y0 >= loY && y0 + size - 1 <= hiY)
+        Vector((zbase, zbase + size * size - 1))
+      else {
+        val h = size / 2
+        // quadrant z-offsets follow interleave()'s lane order: x owns bit 0
+        walk(x0, y0, h, zbase) ++
+          walk(x0 + h, y0, h, zbase + h * h) ++
+          walk(x0, y0 + h, h, zbase + 2 * h * h) ++
+          walk(x0 + h, y0 + h, h, zbase + 3 * h * h)
+      }
+    val exact = walk(0L, 0L, 1L << bits, 0L).sortBy(_._1)
+      .foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (lo, hi)) if acc.nonEmpty && acc.last._2 + 1 == lo =>
+          acc.init :+ (acc.last._1 -> hi)
+        case (acc, r) => acc :+ r
+      }
+    var ranges = exact
+    while (ranges.size > maxRanges) {
+      // merge across the smallest gap: grows the superset least
+      val i = (1 until ranges.size)
+        .minBy(j => ranges(j)._1 - ranges(j - 1)._2)
+      ranges = (ranges.take(i - 1) :+ (ranges(i - 1)._1 -> ranges(i)._2)) ++
+        ranges.drop(i + 1)
+    }
+    ranges
+  }
+
+  /** OR-of-BETWEENs over the decomposed intervals — a pushable predicate
+    * on the sorted z-key column, so parquet footer stats skip files/row
+    * groups outside every interval.
+    */
+  def zRangeFilter(zkey: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => zkey.between(lo, hi) }.reduce(_ || _)
 }

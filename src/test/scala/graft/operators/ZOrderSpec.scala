@@ -75,10 +75,72 @@ class ZOrderSpec extends SparkSpec {
       (r.getAs[Long]("wx") + 1) * (r.getAs[Long]("wy") + 1)).sum
     assert(sumArea <= 2L * 256 * 256, s"z-ranges not localized: sumArea=$sumArea")
   }
+
+  test("zRanges covers exactly the rectangle's codes when uncapped") {
+    // brute-force ground truth on a 16x16 grid
+    val (lx, hx, ly, hy) = (3L, 11L, 5L, 13L)
+    val want = (for {
+      x <- lx to hx
+      y <- ly to hy
+    } yield ZOrderSpec.mortonRef(x, y, 4)).toSet
+    val got = ZOrder.zRanges(lx, hx, ly, hy, bits = 4, maxRanges = Int.MaxValue)
+      .flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(got === want)
+  }
+
+  test("capped zRanges are a superset, merged to the cap") {
+    val exact = ZOrder.zRanges(3, 11, 5, 13, 4, maxRanges = Int.MaxValue)
+    val capped = ZOrder.zRanges(3, 11, 5, 13, 4, maxRanges = 4)
+    assert(capped.size <= 4 && capped.size < exact.size)
+    val exactSet = exact.flatMap { case (lo, hi) => lo to hi }.toSet
+    val cappedSet = capped.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(exactSet.subsetOf(cappedSet))
+  }
+
+  test("z-range filter on the clustered layout skips files") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val b = li.agg(min("l_extendedprice"), max("l_extendedprice"),
+      min("l_quantity"), max("l_quantity")).head()
+    val keyed = li.select(
+      ZOrder.quantize(col("l_extendedprice"), lit(b.getDouble(0)), lit(b.getDouble(1)), 8).as("qx"),
+      ZOrder.quantize(col("l_quantity"), lit(b.getDouble(2)), lit(b.getDouble(3)), 8).as("qy"))
+      .withColumn("zkey", ZOrder.interleave(Seq(col("qx"), col("qy")), 8))
+    val out = java.nio.file.Files.createTempDirectory("zorder_prune").toString
+    ZOrder.cluster(keyed, col("zkey"), numFiles = 8)
+      .write.mode("overwrite").parquet(out)
+    // a small rectangle: its z-intervals intersect few of the 8 files'
+    // [min,max] zkey spans — that intersection count IS what parquet
+    // footer pruning skips by
+    val ranges = ZOrder.zRanges(0, 63, 0, 63, 8)
+    val spans = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .collect()
+    assert(spans.length === 8)
+    val touched = spans.count(r => ranges.exists { case (rlo, rhi) =>
+      rlo <= r.getAs[Long]("hi") && rhi >= r.getAs[Long]("lo")
+    })
+    assert(touched < spans.length,
+      s"rectangle touching all $touched/${spans.length} files: no pruning")
+    // and the filtered read returns exactly the rectangle's rows
+    val viaRanges = spark.read.parquet(out)
+      .where(ZOrder.zRangeFilter(col("zkey"), ranges) &&
+        col("qx").between(0, 63) && col("qy").between(0, 63)).count()
+    val direct = keyed
+      .where(col("qx").between(0, 63) && col("qy").between(0, 63)).count()
+    assert(viaRanges === direct)
+  }
 }
 
 object ZOrderSpec {
   import org.apache.spark.sql.Column
+
+  /** Scalar reference interleave for ground-truth sets in the zRanges
+    * tests (independent of the Column implementation under test).
+    */
+  def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L)((z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
   /** Even (x) / odd (y) bit extraction — the inverse of a 2-column
     * 8-bit interleave, for asserting rectangle bounds.
     */

@@ -279,7 +279,41 @@ object Queries {
       |WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q_geojson_roundtrip — the GeoJSON sink AND source driver-visible in
+    * one query (SURVEY §2.1 S1/S9, previously spec-only): synthesized
+    * customer points → distributed NDJSON write → streaming-parser read
+    * with schema inference → coordinate/type extraction. The oracle
+    * computes the same values straight off the parquet table, so the
+    * hash only matches if the JSON round-trip preserved every id,
+    * coordinate (integral doubles — exact through JSON text), and
+    * geometry type.
+    */
+  val qGeojsonRoundtrip: Q = (s, dir) => {
+    import graft.functions.GeoFunctions._
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
+      .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
+      .select(col("c_custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+    val out = java.nio.file.Files.createTempDirectory("graft_geojson")
+      .toString + "/pts.ndgeojson"
+    graft.sources.GeoJson.writeNdjson(pts, out)
+    graft.sources.GeoJson.read(s, out)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        st_xmin(col("geometry")).as("lon2"),
+        st_ymax(col("geometry")).as("lat2"),
+        st_geometry_type(col("geometry")).as("gtype"))
+      .orderBy("c_custkey")
+  }
+
+  val qGeojsonRoundtripSql: String =
+    """SELECT c_custkey,
+      |  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon2,
+      |  CAST((c_custkey * 13) % 180 - 90 AS DOUBLE) AS lat2,
+      |  'Point' AS gtype
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ QueriesQuality.all ++ Map(
+    "q_geojson_roundtrip" -> qGeojsonRoundtrip,
     "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
     "q_extract_partitioned" -> qExtractPartitioned,
@@ -294,6 +328,7 @@ object Queries {
   )
 
   def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ QueriesQuality.oracles ++ Map(
+    "q_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,
     "q_extract_partitioned" -> qExtractPartitionedSql,

@@ -792,7 +792,55 @@ object QueriesQuality {
        |GROUP BY nc.n_candidates""".stripMargin
   }
 
+  /** q_event_anomaly — per-group normalization over event time (the
+    * monitoring/feature-engineering shape): hourly counts per event type,
+    * then each hour's z-score against its type's mean/stddev, flagging
+    * |z| > 2. Two shuffles total — the keyed hourly aggregation
+    * (map-side partial) and the per-type stats over the already-tiny
+    * hourly relation — and the stats join BACK is an explicit broadcast
+    * (|event types| rows), so nothing data-sized moves twice. All
+    * comparisons run on unrounded doubles identically in both engines;
+    * display columns round to 4 dp.
+    */
+  val qEventAnomaly: Q = (s, dir) => {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mean_n"), stddev_pop(col("n")).as("sd_n"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour"), col("event_type"), col("n").cast("long").as("n"),
+        round(col("mean_n"), 4).as("mean_n"),
+        round(col("sd_n"), 4).as("sd_n"),
+        when(col("sd_n") > 0,
+          round((col("n") - col("mean_n")) / col("sd_n"), 4))
+          .otherwise(lit(0.0)).as("z"),
+        when(col("sd_n") > 0 &&
+          abs((col("n") - col("mean_n")) / col("sd_n")) > 2, 1)
+          .otherwise(0).as("anomaly"))
+      .orderBy("hour", "event_type")
+  }
+
+  val qEventAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |    event_type, count(*)::DOUBLE AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, avg(n) AS mean_n, stddev_pop(n) AS sd_n
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.hour, h.event_type, h.n::BIGINT AS n,
+      |  round(s.mean_n, 4) AS mean_n, round(s.sd_n, 4) AS sd_n,
+      |  CASE WHEN s.sd_n > 0 THEN round((h.n - s.mean_n) / s.sd_n, 4)
+      |       ELSE 0.0 END AS z,
+      |  CASE WHEN s.sd_n > 0 AND abs((h.n - s.mean_n) / s.sd_n) > 2
+      |       THEN 1 ELSE 0 END AS anomaly
+      |FROM hourly h JOIN stats s USING (event_type)
+      |ORDER BY hour, event_type""".stripMargin
+
   def all: Map[String, Q] = Map(
+    "q_event_anomaly" -> qEventAnomaly,
     "q_zorder_extract" -> qZorderExtract,
     "q_bucketed_join" -> qBucketedJoin,
     "q_ivf_recall" -> qIvfRecall,
@@ -812,6 +860,7 @@ object QueriesQuality {
     "q_pq_distortion" -> qPqDistortion)
 
   def oracles: Map[String, String] = Map(
+    "q_event_anomaly" -> qEventAnomalySql,
     "q_zorder_extract" -> qZorderExtractSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_ivf_recall" -> qIvfRecallSql,

@@ -90,7 +90,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"started_at_ms":$startedAtMs,"reps":$reps,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
+    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"started_at_ms":$startedAtMs,"reps":$reps,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
     // full per-query detail (all samples, gc deltas, offsets, error texts):
     // stderr + a repo file, NOT stdout — the driver stores and parses only
     // a 2000-char stdout tail, so stdout must stay a single short line

@@ -205,7 +205,7 @@ object Queries {
     */
   val qExtractPartitioned: Q = (s, dir) => {
     import graft.functions.GeoFunctions._
-    val tmp = java.nio.file.Files.createTempDirectory("qpart").toString + "/grid"
+    val tmp = TempDirs.create("qpart") + "/grid"
     val pts = Tables.customer(s, dir)
       .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
       .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
@@ -294,8 +294,7 @@ object Queries {
       .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
       .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
       .select(col("c_custkey"), st_point(col("lon"), col("lat")).as("geometry"))
-    val out = java.nio.file.Files.createTempDirectory("graft_geojson")
-      .toString + "/pts.ndgeojson"
+    val out = TempDirs.create("graft_geojson") + "/pts.ndgeojson"
     graft.sources.GeoJson.writeNdjson(pts, out)
     graft.sources.GeoJson.read(s, out)
       .select(col("c_custkey").cast("long").as("c_custkey"),

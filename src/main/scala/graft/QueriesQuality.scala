@@ -553,39 +553,46 @@ object QueriesQuality {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
-  /** q_zorder_extract — the read side of the z-order layout end-to-end:
-    * write lineitem z-clustered ([[graft.operators.ZOrder.cluster]], 8
-    * range-partitioned sorted files), then answer a two-dimensional cell
-    * rectangle with [[graft.operators.ZOrder.zRanges]]' quadtree
-    * z-interval decomposition pushed onto the sorted zkey column (footer
-    * stats skip whole files/row groups) plus the exact per-dimension
-    * residual predicate. The oracle ignores the layout entirely and
-    * counts the same rectangle straight off the raw table — the layout
-    * must change the COST, never the answer. ZOrderSpec pins the actual
-    * file skipping.
+  /** q_zorder_extract — the read side of the z-order layout end-to-end,
+    * now in THREE dimensions (a 100-TB table clusters on 3-4 columns, not
+    * 2): write lineitem z-clustered on 8-bit-quantized (l_extendedprice,
+    * l_quantity, l_partkey) ([[graft.operators.ZOrder.cluster]], 8
+    * range-partitioned sorted files over the 24-bit key), then answer a
+    * three-dimensional cell box with [[graft.operators.ZOrder.zRangesN]]'
+    * octree z-interval decomposition pushed onto the sorted zkey column
+    * (footer stats skip whole files/row groups) plus the exact
+    * per-dimension residual predicate. The oracle ignores the layout
+    * entirely and counts the same box straight off the raw table — the
+    * layout must change the COST, never the answer. ZOrderSpec pins the
+    * actual file skipping.
     */
-  val ZRect = (64L, 191L, 64L, 191L) // middle half in both dims
+  val ZRect3 = Seq((64L, 191L), (64L, 191L), (0L, 127L)) // middle half ×2, lower half
 
   val qZorderExtract: Q = (s, dir) => {
     import graft.operators.ZOrder
     val li = Tables.lineitem(s, dir)
     val b = li.agg(min("l_extendedprice"), max("l_extendedprice"),
-      min("l_quantity"), max("l_quantity")).head()
+      min("l_quantity"), max("l_quantity"),
+      min(col("l_partkey").cast("double")), max(col("l_partkey").cast("double"))).head()
     val qx = ZOrder.quantize(col("l_extendedprice"),
       lit(b.getDouble(0)), lit(b.getDouble(1)), ZBits)
     val qy = ZOrder.quantize(col("l_quantity"),
       lit(b.getDouble(2)), lit(b.getDouble(3)), ZBits)
+    val qz = ZOrder.quantize(col("l_partkey"),
+      lit(b.getDouble(4)), lit(b.getDouble(5)), ZBits)
     val keyed = li.select(col("l_orderkey"), col("l_quantity"),
-        qx.as("qx"), qy.as("qy"))
-      .withColumn("zkey", ZOrder.interleave(Seq(col("qx"), col("qy")), ZBits))
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+        qx.as("qx"), qy.as("qy"), qz.as("qz"))
+      .withColumn("zkey",
+        ZOrder.interleave(Seq(col("qx"), col("qy"), col("qz")), ZBits))
+    val out = TempDirs.create("graft_zorder")
     ZOrder.cluster(keyed, col("zkey"), numFiles = 8)
       .write.mode("overwrite").parquet(out)
-    val (lx, hx, ly, hy) = ZRect
-    val ranges = ZOrder.zRanges(lx, hx, ly, hy, ZBits)
+    val ranges = ZOrder.zRangesN(ZRect3.map(_._1), ZRect3.map(_._2), ZBits)
+    val Seq((lx, hx), (ly, hy), (lz, hz)) = ZRect3
     s.read.parquet(out)
       .where(ZOrder.zRangeFilter(col("zkey"), ranges) &&
-        col("qx").between(lx, hx) && col("qy").between(ly, hy))
+        col("qx").between(lx, hx) && col("qy").between(ly, hy) &&
+        col("qz").between(lz, hz))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),
         countDistinct(col("l_orderkey")).as("n_orders"))
@@ -595,20 +602,23 @@ object QueriesQuality {
     val cells = 1L << ZBits
     def quant(v: String, lo: String, hi: String) =
       s"least(${cells - 1}, greatest(0, floor((($v - $lo) / ($hi - $lo)) * $cells)::BIGINT))"
-    val (lx, hx, ly, hy) = ZRect
+    val Seq((lx, hx), (ly, hy), (lz, hz)) = ZRect3
     s"""WITH b AS (
        |  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
-       |         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+       |         min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+       |         min(l_partkey::DOUBLE) AS klo, max(l_partkey::DOUBLE) AS khi
        |  FROM lineitem),
        |q AS (
        |  SELECT l_orderkey, l_quantity,
        |    ${quant("l_extendedprice", "b.plo", "b.phi")} AS qx,
-       |    ${quant("l_quantity", "b.qlo", "b.qhi")} AS qy
+       |    ${quant("l_quantity", "b.qlo", "b.qhi")} AS qy,
+       |    ${quant("l_partkey::DOUBLE", "b.klo", "b.khi")} AS qz
        |  FROM lineitem, b)
        |SELECT count(*) AS n_rows, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
        |  count(DISTINCT l_orderkey) AS n_orders
        |FROM q
-       |WHERE qx BETWEEN $lx AND $hx AND qy BETWEEN $ly AND $hy""".stripMargin
+       |WHERE qx BETWEEN $lx AND $hx AND qy BETWEEN $ly AND $hy
+       |  AND qz BETWEEN $lz AND $hz""".stripMargin
   }
 
   /** q_jl_project — Johnson–Lindenstrauss sketching quality: the corpus
@@ -616,10 +626,15 @@ object QueriesQuality {
     * deterministic Rademacher matrix, then (a) recall@20 of the
     * projected-space L2 top-20 around the anchor against the exact
     * top-20, and (b) the mean norm-preservation ratio the JL lemma
-    * promises ≈ 1. One narrow kernel pass (persisted), two TakeOrdered
+    * promises ≈ 1. One narrow kernel pass (persisted for the anchor
+    * lookups + two consumers, unpersisted before return), two TakeOrdered
     * top-ks (map-side partial top-k, driver merge — no global sort), one
-    * scalar agg. The oracle regenerates the sign matrix with the same
-    * polynomial via nested list lambdas.
+    * scalar agg. The three output scalars are computed eagerly so the
+    * persist can be released; the returned relation is the assembled
+    * one-row result. The oracle regenerates the sign matrix with the same
+    * polynomial via nested list lambdas, shaped to always yield exactly
+    * one row even at zero overlap (scalar-subquery aggregates, no
+    * GROUP BY over the joined rows — ADVICE r7).
     */
   val JlK = 16
   val JlTopK = 20
@@ -642,13 +657,13 @@ object QueriesQuality {
       .orderBy(col("pd2"), col("pid")).limit(JlTopK)
     val topExact = ProductQuant.exactTopK(emb, col("vec_id"),
       col("embedding"), anchorV, topK = JlTopK).select(col("id").as("eid"))
-    val overlap = topProj.join(topExact, topProj("pid") === topExact("eid"))
-      .agg(count(lit(1)).as("n_overlap"))
-    val ratio = proj.agg(round(avg("ratio"), 4).as("mean_norm_ratio"))
-    overlap.crossJoin(ratio)
-      .select(lit(JlTopK).as("k"), col("n_overlap"),
-        round(col("n_overlap") / JlTopK.toDouble, 4).as("recall"),
-        col("mean_norm_ratio"))
+    val nOverlap = topProj.join(topExact, topProj("pid") === topExact("eid"))
+      .count()
+    val meanRatio = proj.agg(round(avg("ratio"), 4)).head().getDouble(0)
+    proj.unpersist()
+    s.range(1).select(lit(JlTopK).as("k"), lit(nOverlap).as("n_overlap"),
+      round(lit(nOverlap / JlTopK.toDouble), 4).as("recall"),
+      lit(meanRatio).as("mean_norm_ratio"))
   }
 
   val qJlProjectSql: String = {
@@ -678,11 +693,12 @@ object QueriesQuality {
        |                            ELSE (np / $JlK) / nx END), 4) AS mean_norm_ratio
        |      FROM (SELECT list_sum(list_transform(e, x -> x*x)) AS nx,
        |                   list_sum(list_transform(p, x -> x*x)) AS np
-       |            FROM proj))
-       |SELECT $JlTopK AS k, count(*)::BIGINT AS n_overlap,
-       |  round(count(*) / $JlTopK.0, 4) AS recall, r.mean_norm_ratio
-       |FROM px JOIN ex ON px.vec_id = ex.vec_id, r
-       |GROUP BY r.mean_norm_ratio""".stripMargin
+       |            FROM proj)),
+       |ov AS (SELECT count(*)::BIGINT AS n_overlap
+       |       FROM px JOIN ex ON px.vec_id = ex.vec_id)
+       |SELECT $JlTopK AS k, ov.n_overlap,
+       |  round(ov.n_overlap / $JlTopK.0, 4) AS recall, r.mean_norm_ratio
+       |FROM ov, r""".stripMargin
   }
 
   /** q_bucketed_join — the persisted co-located join layout: lineitem and
@@ -697,11 +713,12 @@ object QueriesQuality {
     */
   val qBucketedJoin: Q = (s, dir) => {
     import graft.operators.Bucketing
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_bucketed").toString
-    val li = Bucketing.writeBucketed(s, Tables.lineitem(s, dir),
+    val base = TempDirs.create("graft_bucketed")
+    // path-derived table names: unique per invocation, so concurrent
+    // sessions sharing a metastore (or bench reps) never race on a name
+    val li = Bucketing.writeBucketedAuto(s, Tables.lineitem(s, dir),
       "graft_li_bucketed", s"$base/lineitem", "l_orderkey", buckets = 8)
-    val ord = Bucketing.writeBucketed(s, Tables.orders(s, dir),
+    val ord = Bucketing.writeBucketedAuto(s, Tables.orders(s, dir),
       "graft_ord_bucketed", s"$base/orders", "o_orderkey", buckets = 8)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
@@ -784,12 +801,12 @@ object QueriesQuality {
        |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
        |    FROM emb CROSS JOIN qv)
        |  ORDER BY d, vec_id LIMIT $PqTopK),
-       |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
+       |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+       |ov AS (SELECT count(*)::BIGINT AS n_overlap
+       |       FROM ivf JOIN ex USING (vec_id))
        |SELECT $PqTopK AS k, $IvfNProbe AS n_probe, nc.n_candidates,
-       |  count(*)::BIGINT AS n_overlap,
-       |  round(count(*) / $PqTopK.0, 4) AS recall
-       |FROM ivf JOIN ex USING (vec_id), nc
-       |GROUP BY nc.n_candidates""".stripMargin
+       |  ov.n_overlap, round(ov.n_overlap / $PqTopK.0, 4) AS recall
+       |FROM nc, ov""".stripMargin
   }
 
   /** q_event_anomaly — per-group normalization over event time (the
@@ -798,9 +815,12 @@ object QueriesQuality {
     * |z| > 2. Two shuffles total — the keyed hourly aggregation
     * (map-side partial) and the per-type stats over the already-tiny
     * hourly relation — and the stats join BACK is an explicit broadcast
-    * (|event types| rows), so nothing data-sized moves twice. All
-    * comparisons run on unrounded doubles identically in both engines;
-    * display columns round to 4 dp.
+    * (|event types| rows), so nothing data-sized moves twice. The
+    * anomaly threshold compares the 4-dp-ROUNDED z (the repo's rounding
+    * grid): Spark and DuckDB accumulate avg/stddev_pop in different
+    * orders, so an unrounded borderline hour within one ulp of z = 2
+    * could flag in one engine only; rounding first makes the flag a
+    * pure function of the displayed z.
     */
   val qEventAnomaly: Q = (s, dir) => {
     val hourly = Tables.events(s, dir)
@@ -809,16 +829,14 @@ object QueriesQuality {
       .agg(count(lit(1)).cast("double").as("n"))
     val stats = hourly.groupBy("event_type")
       .agg(avg("n").as("mean_n"), stddev_pop(col("n")).as("sd_n"))
+    val zr = when(col("sd_n") > 0,
+      round((col("n") - col("mean_n")) / col("sd_n"), 4)).otherwise(lit(0.0))
     hourly.join(broadcast(stats), "event_type")
       .select(col("hour"), col("event_type"), col("n").cast("long").as("n"),
         round(col("mean_n"), 4).as("mean_n"),
         round(col("sd_n"), 4).as("sd_n"),
-        when(col("sd_n") > 0,
-          round((col("n") - col("mean_n")) / col("sd_n"), 4))
-          .otherwise(lit(0.0)).as("z"),
-        when(col("sd_n") > 0 &&
-          abs((col("n") - col("mean_n")) / col("sd_n")) > 2, 1)
-          .otherwise(0).as("anomaly"))
+        zr.as("z"),
+        when(abs(zr) > 2, 1).otherwise(0).as("anomaly"))
       .orderBy("hour", "event_type")
   }
 
@@ -830,13 +848,14 @@ object QueriesQuality {
       |stats AS (
       |  SELECT event_type, avg(n) AS mean_n, stddev_pop(n) AS sd_n
       |  FROM hourly GROUP BY 1)
-      |SELECT h.hour, h.event_type, h.n::BIGINT AS n,
-      |  round(s.mean_n, 4) AS mean_n, round(s.sd_n, 4) AS sd_n,
-      |  CASE WHEN s.sd_n > 0 THEN round((h.n - s.mean_n) / s.sd_n, 4)
-      |       ELSE 0.0 END AS z,
-      |  CASE WHEN s.sd_n > 0 AND abs((h.n - s.mean_n) / s.sd_n) > 2
-      |       THEN 1 ELSE 0 END AS anomaly
-      |FROM hourly h JOIN stats s USING (event_type)
+      |SELECT hour, event_type, n, mean_n, sd_n, z,
+      |  CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS anomaly
+      |FROM (
+      |  SELECT h.hour, h.event_type, h.n::BIGINT AS n,
+      |    round(s.mean_n, 4) AS mean_n, round(s.sd_n, 4) AS sd_n,
+      |    CASE WHEN s.sd_n > 0 THEN round((h.n - s.mean_n) / s.sd_n, 4)
+      |         ELSE 0.0 END AS z
+      |  FROM hourly h JOIN stats s USING (event_type))
       |ORDER BY hour, event_type""".stripMargin
 
   def all: Map[String, Q] = Map(

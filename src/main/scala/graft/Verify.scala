@@ -54,7 +54,13 @@ object Verify {
     val errJson = errors.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    try Files.writeString(Paths.get("/root/repo/verify_errors.json"), errJson + "\n")
+    // the repo copy carries provenance (commit + UTC time, "_"-prefixed
+    // metadata keys) so a stale artifact from an earlier round is
+    // distinguishable from a fresh empty one
+    val errJsonStamped =
+      if (errors.isEmpty) s"{${graft.tools.Provenance.jsonFields}}"
+      else s"{${graft.tools.Provenance.jsonFields}, " + errJson.drop(1)
+    try Files.writeString(Paths.get("/root/repo/verify_errors.json"), errJsonStamped + "\n")
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }

@@ -31,7 +31,9 @@ object Bucketing {
   def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
       path: String, key: String, buckets: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // backtick-quoted identifier: the caller-supplied name can't smuggle
+    // SQL, and names with metacharacters fail loudly instead of weirdly
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
     df.repartition(buckets, col(key))
       .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
@@ -40,4 +42,22 @@ object Bucketing {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** As [[writeBucketed]], but with a collision-free table name derived
+    * from the (unique) output path, so concurrent sessions sharing a
+    * metastore — or repeated runs in one session — can't race on the
+    * DROP/CREATE of a fixed name.
+    */
+  def writeBucketedAuto(spark: SparkSession, df: DataFrame, prefix: String,
+      path: String, key: String, buckets: Int): DataFrame = {
+    val token = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+    writeBucketed(spark, df, s"${prefix}_$token", path, key, buckets)
+  }
+
+  /** Backtick-quoted identifier (embedded backticks doubled, per Spark's
+    * identifier escaping).
+    */
+  private[graft] def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 }

@@ -59,41 +59,52 @@ object ZOrder {
   def cluster(df: DataFrame, zkey: Column, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey)
 
-  /** The query-side half of the layout: decompose the cell rectangle
-    * [loX..hiX]×[loY..hiY] into contiguous z-key intervals via a quadtree
-    * walk (a quadrant fully inside the rectangle emits its whole z-block;
-    * a straddling quadrant recurses), then greedily re-merge the
-    * smallest inter-interval gaps until at most `maxRanges` remain.
-    * Coarsened intervals are a SUPERSET of the rectangle's z-codes, so
-    * callers keep the exact per-dimension predicate for correctness and
-    * use these only to prune ([[zRangeFilter]]) — the standard z-order
-    * read pattern: sorted-file footer stats skip everything outside the
-    * intervals, the residual predicate trims the rest.
+  /** The query-side half of the layout, for any dimension count n:
+    * decompose the cell hyper-rectangle ∏[lo(d)..hi(d)] into contiguous
+    * z-key intervals via a 2ⁿ-tree walk (a subcube fully inside the
+    * rectangle emits its whole z-block; a straddling subcube recurses),
+    * then greedily re-merge the smallest inter-interval gaps until at
+    * most `maxRanges` remain. Coarsened intervals are a SUPERSET of the
+    * rectangle's z-codes, so callers keep the exact per-dimension
+    * predicate for correctness and use these only to prune
+    * ([[zRangeFilter]]) — the standard z-order read pattern: sorted-file
+    * footer stats skip everything outside the intervals, the residual
+    * predicate trims the rest.
     *
-    * Driver-side arithmetic only (≤ 4^bits worst case bounded by the
-    * merge cap); nothing here touches data.
+    * A cube of side 2h splits into 2ⁿ subcubes of hⁿ consecutive z-codes
+    * each, ordered by the interleave of the subcubes' top bits — i.e.
+    * child m (bit d of m = upper half in dimension d, dimension 0 owning
+    * the least significant lane, matching [[interleave]]) starts at
+    * zbase + m·hⁿ. Driver-side arithmetic only; nothing here touches
+    * data. An empty or inverted rectangle yields an empty Seq.
     */
-  def zRanges(loX: Long, hiX: Long, loY: Long, hiY: Long, bits: Int,
+  def zRangesN(lo: Seq[Long], hi: Seq[Long], bits: Int,
       maxRanges: Int = 32): Seq[(Long, Long)] = {
     require(maxRanges >= 1)
-    def walk(x0: Long, y0: Long, size: Long, zbase: Long): Vector[(Long, Long)] =
-      if (x0 > hiX || x0 + size - 1 < loX || y0 > hiY || y0 + size - 1 < loY)
+    val n = lo.size
+    require(hi.size == n && n >= 1 && bits * n <= 63,
+      s"zRangesN: ${hi.size} his for $n los, key width ${bits * n}")
+    def pow(h: Long): Long = { var v = 1L; var d = 0; while (d < n) { v *= h; d += 1 }; v }
+    def walk(origin: Seq[Long], size: Long, zbase: Long): Vector[(Long, Long)] =
+      if (origin.indices.exists(d =>
+            origin(d) > hi(d) || origin(d) + size - 1 < lo(d)))
         Vector.empty
-      else if (x0 >= loX && x0 + size - 1 <= hiX &&
-               y0 >= loY && y0 + size - 1 <= hiY)
-        Vector((zbase, zbase + size * size - 1))
+      else if (origin.indices.forall(d =>
+            origin(d) >= lo(d) && origin(d) + size - 1 <= hi(d)))
+        Vector((zbase, zbase + pow(size) - 1))
       else {
         val h = size / 2
-        // quadrant z-offsets follow interleave()'s lane order: x owns bit 0
-        walk(x0, y0, h, zbase) ++
-          walk(x0 + h, y0, h, zbase + h * h) ++
-          walk(x0, y0 + h, h, zbase + 2 * h * h) ++
-          walk(x0 + h, y0 + h, h, zbase + 3 * h * h)
+        val block = pow(h)
+        (0 until (1 << n)).toVector.flatMap { m =>
+          val childOrigin = origin.indices.map(d =>
+            origin(d) + (if (((m >> d) & 1) == 1) h else 0L))
+          walk(childOrigin, h, zbase + m.toLong * block)
+        }
       }
-    val exact = walk(0L, 0L, 1L << bits, 0L).sortBy(_._1)
+    val exact = walk(Seq.fill(n)(0L), 1L << bits, 0L).sortBy(_._1)
       .foldLeft(Vector.empty[(Long, Long)]) {
-        case (acc, (lo, hi)) if acc.nonEmpty && acc.last._2 + 1 == lo =>
-          acc.init :+ (acc.last._1 -> hi)
+        case (acc, (rlo, rhi)) if acc.nonEmpty && acc.last._2 + 1 == rlo =>
+          acc.init :+ (acc.last._1 -> rhi)
         case (acc, r) => acc :+ r
       }
     var ranges = exact
@@ -107,10 +118,17 @@ object ZOrder {
     ranges
   }
 
+  /** 2-D convenience wrapper over [[zRangesN]] (x = dimension 0). */
+  def zRanges(loX: Long, hiX: Long, loY: Long, hiY: Long, bits: Int,
+      maxRanges: Int = 32): Seq[(Long, Long)] =
+    zRangesN(Seq(loX, loY), Seq(hiX, hiY), bits, maxRanges)
+
   /** OR-of-BETWEENs over the decomposed intervals — a pushable predicate
     * on the sorted z-key column, so parquet footer stats skip files/row
-    * groups outside every interval.
+    * groups outside every interval. No intervals (rectangle misses the
+    * grid entirely) → a constant-false predicate, not a throw.
     */
   def zRangeFilter(zkey: Column, ranges: Seq[(Long, Long)]): Column =
-    ranges.map { case (lo, hi) => zkey.between(lo, hi) }.reduce(_ || _)
+    ranges.map { case (lo, hi) => zkey.between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
 }

@@ -20,8 +20,7 @@ object PlanAudit {
   private val allowedCartesian = Set(
     "q_embed_neardup", // id-bounded (maxId) theta-join: candidate set fixed-size by construction
     "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
-    "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
-    "q_ivf_recall"     // same shape: ONE-row overlap count × ONE-row candidate count
+    "q_ivf_recall"     // crossJoin of two ONE-row aggregates (overlap count × candidate count)
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input
@@ -52,9 +51,12 @@ object PlanAudit {
     }
 
   private def writeBaseline(counts: Seq[(String, Int)]): Unit = {
+    // provenance first ("_"-prefixed metadata; readBaseline's numeric-value
+    // regex skips string-valued keys, so these never parse as pins)
+    val prov = Provenance.jsonFields.replace("\",\"", "\",\n  \"")
     val json = counts.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }
-      .mkString("{\n", ",\n", "\n}\n")
+      .mkString(s"{\n  $prov,\n", ",\n", "\n}\n")
     java.nio.file.Files.write(BaselinePath, json.getBytes("UTF-8"))
   }
 

@@ -67,4 +67,36 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS spec_ord_bucketed")
     }
   }
+
+  test("writeBucketedAuto derives collision-free names: two concurrent writes of the same prefix coexist") {
+    val dir = java.nio.file.Files.createTempDirectory("bucketing_auto").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // same prefix, different paths — the path-derived token must keep the
+    // two catalog entries (and their files) fully independent even when
+    // the writes overlap in time
+    val fa = Future(Bucketing.writeBucketedAuto(spark,
+      graft.Tables.region(spark, sf), "spec_auto", s"$dir/a", "r_regionkey", 2))
+    val fb = Future(Bucketing.writeBucketedAuto(spark,
+      graft.Tables.nation(spark, sf), "spec_auto", s"$dir/b", "n_nationkey", 2))
+    val (a, b) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(a.count() === graft.Tables.region(spark, sf).count())
+    assert(b.count() === graft.Tables.nation(spark, sf).count())
+    val autoTables = spark.catalog.listTables()
+      .filter(col("name").startsWith("spec_auto")).collect()
+    assert(autoTables.length === 2, s"expected 2 distinct auto tables, got ${autoTables.mkString(",")}")
+    autoTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${Bucketing.quoteIdent(t.name)}"))
+  }
+
+  test("quoteIdent escapes metacharacters so hostile names fail loudly, not weirdly") {
+    assert(Bucketing.quoteIdent("a`b; DROP TABLE x") === "`a``b; DROP TABLE x`")
+    // a name with SQL metacharacters is treated as one identifier: the
+    // DROP parses, and the write rejects the invalid name rather than
+    // executing anything embedded in it
+    intercept[Exception] {
+      Bucketing.writeBucketed(spark, graft.Tables.region(spark, sf),
+        "bad; DROP TABLE spec_li_bucketed", "/tmp/bucketing_bad", "r_regionkey", 2)
+    }
+  }
 }

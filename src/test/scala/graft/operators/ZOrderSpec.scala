@@ -88,6 +88,47 @@ class ZOrderSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("zRangesN covers exactly a 3-D box's codes when uncapped") {
+    // brute-force ground truth on an 8x8x8 grid (bits=3, n=3)
+    val (lo, hi) = (Seq(1L, 2L, 0L), Seq(5L, 7L, 4L))
+    val want = (for {
+      x <- lo(0) to hi(0)
+      y <- lo(1) to hi(1)
+      z <- lo(2) to hi(2)
+    } yield ZOrderSpec.mortonRefN(Seq(x, y, z), 3)).toSet
+    val got = ZOrder.zRangesN(lo, hi, bits = 3, maxRanges = Int.MaxValue)
+      .flatMap { case (rlo, rhi) => rlo to rhi }.toSet
+    assert(got === want)
+  }
+
+  test("zRangesN 3-D capped intervals are a superset merged to the cap") {
+    val exact = ZOrder.zRangesN(Seq(1L, 2L, 0L), Seq(5L, 7L, 4L), 3, Int.MaxValue)
+    val capped = ZOrder.zRangesN(Seq(1L, 2L, 0L), Seq(5L, 7L, 4L), 3, maxRanges = 4)
+    assert(capped.size <= 4 && capped.size < exact.size)
+    val exactSet = exact.flatMap { case (l, h) => l to h }.toSet
+    val cappedSet = capped.flatMap { case (l, h) => l to h }.toSet
+    assert(exactSet.subsetOf(cappedSet))
+  }
+
+  test("interleave codes agree with the n-dim scalar reference in 3-D") {
+    val cases = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 1L, 0L),
+      Seq(0L, 0L, 1L), Seq(3L, 5L, 6L), Seq(7L, 7L, 7L))
+    val df = cases.map(c => (c(0), c(1), c(2),
+        ZOrderSpec.mortonRefN(c, 3))).toDF("x", "y", "z", "want")
+      .withColumn("got",
+        ZOrder.interleave(Seq(col("x"), col("y"), col("z")), bits = 3))
+    assert(df.where(col("got") =!= col("want")).count() === 0)
+  }
+
+  test("empty or inverted rectangles yield no intervals and a false filter") {
+    assert(ZOrder.zRanges(10, 5, 0, 3, bits = 4).isEmpty)
+    // a rectangle past the grid edge intersects nothing
+    assert(ZOrder.zRangesN(Seq(20L, 0L), Seq(30L, 3L), bits = 4).isEmpty)
+    val df = Seq(1L, 2L).toDF("zkey")
+      .where(ZOrder.zRangeFilter(col("zkey"), Seq.empty))
+    assert(df.count() === 0)
+  }
+
   test("capped zRanges are a superset, merged to the cap") {
     val exact = ZOrder.zRanges(3, 11, 5, 13, 4, maxRanges = Int.MaxValue)
     val capped = ZOrder.zRanges(3, 11, 5, 13, 4, maxRanges = 4)
@@ -141,6 +182,12 @@ object ZOrderSpec {
   def mortonRef(x: Long, y: Long, bits: Int): Long =
     (0 until bits).foldLeft(0L)((z, i) =>
       z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+  /** n-dim scalar reference: bit i of dim d lands at i*n + d. */
+  def mortonRefN(cells: Seq[Long], bits: Int): Long = {
+    val n = cells.size
+    (for { i <- 0 until bits; d <- 0 until n }
+      yield ((cells(d) >> i) & 1L) << (i * n + d)).foldLeft(0L)(_ | _)
+  }
   /** Even (x) / odd (y) bit extraction — the inverse of a 2-column
     * 8-bit interleave, for asserting rectangle bounds.
     */

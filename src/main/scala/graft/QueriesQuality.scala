@@ -302,7 +302,17 @@ object QueriesQuality {
     * q_pq_topk / q_pq_distortion oracles (q_pq_recall nests the full
     * topk SQL instead).
     */
-  private val pqCtesSql: String = {
+  private val pqCtesSql: String =
+    s"""emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |${pqCtesBody("emb")}""".stripMargin
+
+  /** The per-subspace Lloyd/code/table CTEs reading vectors from
+    * `embTable` (vec_id, e) — parametrized so q_ivfpq_recall can compose
+    * them next to the coarse-quantizer CTEs (whose own `emb` has float
+    * semantics) without a CTE-name collision.
+    */
+  private def pqCtesBody(embTable: String): String = {
     val dim = 64
     val sub = dim / PqM
     def dist(sCol: String, cTab: String): String =
@@ -329,7 +339,7 @@ object QueriesQuality {
            |c${j}_$t AS (SELECT p.cid, coalesce(n.c, p.c) AS c
            |        FROM c${j}_${t - 1} p LEFT JOIN n${j}_$t n USING (cid))""".stripMargin
       }.mkString(",\n")
-      s"""e$j AS (SELECT vec_id, list_transform(e[$lo:$hi], x -> x) AS s FROM emb),
+      s"""e$j AS (SELECT vec_id, list_transform(e[$lo:$hi], x -> x) AS s FROM $embTable),
          |c${j}_0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, s AS c
          |  FROM (SELECT vec_id, s FROM e$j ORDER BY vec_id LIMIT $PqK)),
@@ -345,9 +355,7 @@ object QueriesQuality {
          |  FROM c${j}_$PqIters CROSS JOIN
          |    (SELECT s AS qs FROM e$j WHERE vec_id = $PqAnchor))""".stripMargin
     }.mkString(",\n")
-    s"""emb AS (SELECT vec_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-       |$perSub""".stripMargin
+    perSub
   }
 
   val qPqTopkSql: String = {
@@ -809,6 +817,103 @@ object QueriesQuality {
        |FROM nc, ov""".stripMargin
   }
 
+  /** q_ivfpq_recall — the composed big-ANN index (IVF-PQ, the standard
+    * 100-TB serving shape): the coarse quantizer partitions the corpus
+    * into centroid directories ([[graft.llm.Cluster.kmeansWithCentroids]],
+    * q_ivf_recall's machinery), every vector is PQ-encoded to its m=4
+    * code bytes ([[graft.llm.ProductQuant.encode]]) and PERSISTED
+    * partitioned by cluster — the on-disk index holds code bytes only.
+    * Serving reads just the anchor's nProbe probed directories
+    * (`cluster IN (…)` → PartitionFilters; unprobed partitions are never
+    * listed) and ADC-scores the stored codes against the broadcast m × k
+    * distance table ([[ProductQuant.adcFromCodes]]) — no raw vector is
+    * touched after the write. Reported: candidate count (corpus fraction
+    * READ), recall@20 vs the exact full-corpus top-20, and the
+    * code-bytes-read fraction vs raw float32 scan
+    * (n_candidates·m / (n·dim·4)). The oracle composes the shared
+    * unrolled coarse-Lloyd CTEs with the per-subspace PQ CTEs (reading
+    * from a double-cast `pqemb` so the two `emb` semantics can't
+    * collide) and replays probe selection, candidate restriction, and
+    * candidate-only ADC ranking in SQL.
+    */
+  val qIvfPqRecall: Q = (s, dir) => {
+    import graft.llm.{Cluster, ProductQuant}
+    val emb = Tables.embeddings(s, dir)
+    val (assigned, cents) = Cluster.kmeansWithCentroids(emb, col("vec_id"),
+      col("embedding"), k = QueriesPipeline.KmeansK,
+      iters = QueriesPipeline.KmeansIters)
+    val pqCents = ProductQuant.fit(emb, col("vec_id"), col("embedding"),
+      m = PqM, k = PqK, iters = PqIters)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    // the persisted index: (vec_id, m code bytes) partitioned by coarse
+    // cluster — cluster dirs + codes are ALL the serving path reads
+    val out = TempDirs.create("graft_ivfpq")
+    ProductQuant.encode(emb, col("vec_id"), col("embedding"), pqCents)
+      .join(assigned.select(col("id"), col("cluster")), "id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    // probe order: 6-dp-rounded squared L2 anchor→centroid, ties to the
+    // lower cid — k driver-side scalars (q_ivf_recall's discipline)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var t = 0
+      while (t < c.length) { val x = anchorV(t) - c(t); d += x * x; t += 1 }
+      (math.floor(d * 1e6 + 0.5) / 1e6, i)
+    }.sortBy(p => (p._1, p._2)).take(IvfNProbe).map(_._2)
+    val candCodes = s.read.parquet(out)
+      .where(col("cluster").isin(probes.toIndexedSeq: _*))
+    val top = ProductQuant.adcFromCodes(candCodes, col("id"), col("codes"),
+      pqCents, anchorV, topK = PqTopK).select(col("id").as("iid"))
+    val exact = ProductQuant.exactTopK(emb, col("vec_id"), col("embedding"),
+      anchorV, topK = PqTopK).select(col("id").as("eid"))
+    val nTotal = emb.count()
+    val nCand = candCodes.count()
+    val nOverlap = top.join(exact, col("iid") === col("eid")).count()
+    s.range(1).select(lit(PqTopK).as("k"), lit(IvfNProbe).as("n_probe"),
+      lit(nCand).as("n_candidates"), lit(nOverlap).as("n_overlap"),
+      round(lit(nOverlap / PqTopK.toDouble), 4).as("recall"),
+      round(lit(nCand.toDouble * PqM / (nTotal * 256.0)), 6).as("code_bytes_frac"))
+  }
+
+  val qIvfPqRecallSql: String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd$j ON qd$j.cid = code$j.cid").mkString(" ")
+    val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |pqemb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |${pqCtesBody("pqemb")},
+       |qv AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $PqAnchor),
+       |cd AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv),
+       |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid),
+       |adcc AS (
+       |  SELECT code0.vec_id, round($adcExpr, 6) AS adc
+       |  FROM code0 $codeJoins $qdJoins
+       |  JOIN cand ON cand.vec_id = code0.vec_id),
+       |ivfpq AS (SELECT vec_id FROM adcc ORDER BY adc, vec_id LIMIT $PqTopK),
+       |ex AS (SELECT vec_id FROM (
+       |    SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
+       |    FROM emb CROSS JOIN qv)
+       |  ORDER BY d, vec_id LIMIT $PqTopK),
+       |ntot AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+       |ov AS (SELECT count(*)::BIGINT AS n_overlap
+       |       FROM ivfpq JOIN ex USING (vec_id))
+       |SELECT $PqTopK AS k, $IvfNProbe AS n_probe, nc.n_candidates,
+       |  ov.n_overlap, round(ov.n_overlap / $PqTopK.0, 4) AS recall,
+       |  round(nc.n_candidates * $PqM / (ntot.n * 256.0), 6) AS code_bytes_frac
+       |FROM nc, ov, ntot""".stripMargin
+  }
+
   /** q_event_anomaly — per-group normalization over event time (the
     * monitoring/feature-engineering shape): hourly counts per event type,
     * then each hour's z-score against its type's mean/stddev, flagging
@@ -863,6 +968,7 @@ object QueriesQuality {
     "q_zorder_extract" -> qZorderExtract,
     "q_bucketed_join" -> qBucketedJoin,
     "q_ivf_recall" -> qIvfRecall,
+    "q_ivfpq_recall" -> qIvfPqRecall,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
@@ -883,6 +989,7 @@ object QueriesQuality {
     "q_zorder_extract" -> qZorderExtractSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_ivf_recall" -> qIvfRecallSql,
+    "q_ivfpq_recall" -> qIvfPqRecallSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,

@@ -131,6 +131,50 @@ object ProductQuant {
       .agg(count(lit(1)).as("n"), round(avg(col("qe")), 6).as("avg_qerr"))
   }
 
+  /** Encode every vector to its m code bytes: (id, codes array<int>) —
+    * the persisted column of an IVF-PQ layout, where the serving read
+    * touches code bytes only (m bytes/vector vs 4·dim raw). One narrow
+    * kernel pass with the codebooks broadcast; no shuffle.
+    */
+  def encode(df: DataFrame, id: Column, vec: Column,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val bcC = df.sparkSession.sparkContext.broadcast(cents)
+    val kernel = udf { (v: Seq[Float]) =>
+      Array.tabulate(m)(j =>
+        Cluster.assign(v.slice(j * sub, (j + 1) * sub), bcC.value(j))._1)
+    }
+    df.select(id.as("id"), kernel(vec).as("codes"))
+  }
+
+  /** ADC top-k over STORED code bytes (the [[encode]] output read back
+    * from an index layout) — the query never touches a raw vector: the
+    * m × k distance table is broadcast scalars, the kernel sums the m
+    * rounded entries in subspace order (identical doubles to
+    * [[adcTopK]]'s on-the-fly path), TakeOrdered merges per-partition
+    * top-ks on the driver.
+    */
+  def adcFromCodes(df: DataFrame, id: Column, codes: Column,
+      cents: Array[Array[Array[Double]]], query: Array[Double],
+      topK: Int): DataFrame = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    require(query.length == m * sub, "query dim mismatch")
+    val table: Array[Array[Double]] = Array.tabulate(m)(j =>
+      distTable(query.slice(j * sub, (j + 1) * sub), cents(j)))
+    val bcT = df.sparkSession.sparkContext.broadcast(table)
+    val kernel = udf { (cs: Seq[Int]) =>
+      var adc = 0.0
+      var j = 0
+      while (j < m) { adc += bcT.value(j)(cs(j)); j += 1 }
+      math.floor(adc * 1e6 + 0.5) / 1e6
+    }
+    df.select(id.as("id"), kernel(codes).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(topK)
+  }
+
   /** Encode every vector and ADC-score it against `query`: (id, codes
     * joined as "c0-c1-…", adc) — adc is the subspace-ordered sum of the
     * rounded table entries, rounded to 6 dp. Top `topK` ascending, id

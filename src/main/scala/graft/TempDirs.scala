@@ -21,8 +21,15 @@ object TempDirs {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    // NOFOLLOW: a symlink inside a temp root must be unlinked, never
+    // descended (its target is not ours to delete); close each listing
+    // stream eagerly — GC rarely runs during shutdown, so relying on
+    // finalization would leak one fd per directory walked
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val listing = Files.list(p)
+      try listing.forEach(deleteRecursively)
+      finally listing.close()
+    }
     Files.deleteIfExists(p)
   }
 

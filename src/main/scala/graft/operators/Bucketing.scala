@@ -46,14 +46,35 @@ object Bucketing {
   /** As [[writeBucketed]], but with a collision-free table name derived
     * from the (unique) output path, so concurrent sessions sharing a
     * metastore — or repeated runs in one session — can't race on the
-    * DROP/CREATE of a fixed name.
+    * DROP/CREATE of a fixed name. The token is the first 16 hex chars
+    * (64 bits) of the path's MD5 — negligible collision odds, unlike a
+    * 32-bit hash. Catalog accumulation across repeated invocations is
+    * bounded: each call best-effort drops this JVM's older generations
+    * of the same prefix beyond the two most recent (current + previous
+    * stay live, so a just-registered concurrent writer with the same
+    * prefix is never clobbered).
     */
   def writeBucketedAuto(spark: SparkSession, df: DataFrame, prefix: String,
       path: String, key: String, buckets: Int): DataFrame = {
-    val token = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
-    writeBucketed(spark, df, s"${prefix}_$token", path, key, buckets)
+    val token = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val table = s"${prefix}_$token"
+    val gen = generations.computeIfAbsent(prefix,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    while (gen.size > 2) {
+      val old = gen.poll()
+      if (old != null && old != table)
+        try spark.sql(s"DROP TABLE IF EXISTS ${quoteIdent(old)}")
+        catch { case scala.util.control.NonFatal(_) => }
+    }
+    val out = writeBucketed(spark, df, table, path, key, buckets)
+    gen.add(table)
+    out
   }
+
+  private val generations =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
   /** Backtick-quoted identifier (embedded backticks doubled, per Spark's
     * identifier escaping).

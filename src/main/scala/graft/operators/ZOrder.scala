@@ -82,7 +82,10 @@ object ZOrder {
       maxRanges: Int = 32): Seq[(Long, Long)] = {
     require(maxRanges >= 1)
     val n = lo.size
-    require(hi.size == n && n >= 1 && bits * n <= 63,
+    // n <= 30 keeps the 2^n child fan-out inside Int (1 << 31 would go
+    // negative and silently emit zero intervals); real layouts cluster
+    // on a handful of dimensions anyway
+    require(hi.size == n && n >= 1 && n <= 30 && bits * n <= 63,
       s"zRangesN: ${hi.size} his for $n los, key width ${bits * n}")
     def pow(h: Long): Long = { var v = 1L; var d = 0; while (d < n) { v *= h; d += 1 }; v }
     def walk(origin: Seq[Long], size: Long, zbase: Long): Vector[(Long, Long)] =

@@ -20,7 +20,9 @@ object PlanAudit {
   private val allowedCartesian = Set(
     "q_embed_neardup", // id-bounded (maxId) theta-join: candidate set fixed-size by construction
     "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
-    "q_ivf_recall"     // crossJoin of two ONE-row aggregates (overlap count × candidate count)
+    "q_ivf_recall",    // crossJoin of two ONE-row aggregates (overlap count × candidate count)
+    "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
+    "q_ivfpq_recall"   // crossJoins of three ONE-row aggregates (overlap × candidates × total)
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input

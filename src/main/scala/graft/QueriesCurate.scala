@@ -287,8 +287,15 @@ object QueriesCurate {
       .select(col("id").as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
 
-  val qBm25Sql: String = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  val qBm25Sql: String = bm25OracleSql(Bm25Terms, 20)
+
+  /** The BM25 oracle parametrized by query terms/k — shared verbatim by
+    * q_bm25 (direct scoring) and q_postings_topk (the persisted
+    * inverted-index serving path), because the layout must never change
+    * the answer.
+    */
+  private[graft] def bm25OracleSql(termSeq: Seq[String], topK: Int): String = {
+    val terms = termSeq.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -308,7 +315,7 @@ object QueriesCurate {
       |    * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
       |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
       |GROUP BY tf.doc_id
-      |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+      |ORDER BY score DESC, tf.doc_id LIMIT $topK""".stripMargin
   }
 
   /** q_split — deterministic train/val/test routing (80/10/10) by md5

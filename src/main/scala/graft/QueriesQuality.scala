@@ -922,6 +922,34 @@ object QueriesQuality {
        |FROM nc, ov, ntot""".stripMargin
   }
 
+  /** q_postings_topk — the persisted inverted-index serving path
+    * ([[graft.llm.InvertedIndex]], the text-retrieval counterpart of
+    * q_ivfpq_recall's vector layout): postings written `bucket=…`
+    * partitioned by `pmod(xxhash64(term), 16)`, then a 3-term BM25
+    * top-20 served reading ONLY those terms' buckets (`bucket IN (…)` →
+    * PartitionFilters; the bucket ids come from a |terms|-row Spark job
+    * through the writer's own hash column, so reader and writer cannot
+    * drift). The oracle is the SAME parametrized BM25 SQL q_bm25 uses —
+    * the layout must change the cost of a query, never its answer.
+    * InvertedIndexSpec pins serve ≡ direct [[graft.llm.Bm25.topDocs]]
+    * and the bucket-pruned file footprint.
+    */
+  val PostingsTerms = Seq("scan", "filter", "vector")
+  val PostingsBuckets = 16
+
+  val qPostingsTopk: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val out = TempDirs.create("graft_postings")
+    InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
+      col("text"), out, nBuckets = PostingsBuckets)
+    InvertedIndex.bm25TopK(s, out, PostingsTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qPostingsTopkSql: String =
+    QueriesCurate.bm25OracleSql(PostingsTerms, 20)
+
   /** q_event_anomaly — per-group normalization over event time (the
     * monitoring/feature-engineering shape): hourly counts per event type,
     * then each hour's z-score against its type's mean/stddev, flagging
@@ -977,6 +1005,7 @@ object QueriesQuality {
     "q_bucketed_join" -> qBucketedJoin,
     "q_ivf_recall" -> qIvfRecall,
     "q_ivfpq_recall" -> qIvfPqRecall,
+    "q_postings_topk" -> qPostingsTopk,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
@@ -998,6 +1027,7 @@ object QueriesQuality {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_ivf_recall" -> qIvfRecallSql,
     "q_ivfpq_recall" -> qIvfPqRecallSql,
+    "q_postings_topk" -> qPostingsTopkSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,

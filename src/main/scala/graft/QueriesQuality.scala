@@ -950,6 +950,48 @@ object QueriesQuality {
   val qPostingsTopkSql: String =
     QueriesCurate.bm25OracleSql(PostingsTerms, 20)
 
+  /** q_hash_classifier — the learned-quality-gate apply step
+    * ([[graft.llm.HashClassifier]]): every document scored by a hashed
+    * linear model over its tokens (hashing-trick buckets from the
+    * md5-parity derivation, deterministic placeholder weight table) and
+    * gated at prob ≥ 0.5 ON THE 6-DP-ROUNDED value in both engines.
+    * The whole score is one narrow higher-order-aggregate projection —
+    * no explode, no shuffle, whole-stage codegen — the shape a 100-TB
+    * classifier sweep must have. The oracle replays bucket, weight mix,
+    * array-order fold, and sigmoid with the identical arithmetic.
+    */
+  val qHashClassifier: Q = (s, dir) => {
+    import graft.llm.HashClassifier
+    val toks = TextStats.tokens(lower(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        round(HashClassifier.featMean(toks), 6).as("feat_mean"),
+        round(HashClassifier.prob(toks), 6).as("prob"))
+      .withColumn("keep", (col("prob") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val qHashClassifierSql: String = {
+    import graft.llm.HashClassifier._
+    val w = s"(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % $Buckets" +
+      s" * $Mix % $WeightMod) / $WeightMod.0 * 2 - 1"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(t, t -> $w)) / len(t)
+       |    END AS fm
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, round(fm, 6) AS feat_mean,
+       |  round(1.0 / (1.0 + exp(fm * -3)), 6) AS prob,
+       |  (round(1.0 / (1.0 + exp(fm * -3)), 6) >= 0.5)::INT AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** q_event_anomaly — per-group normalization over event time (the
     * monitoring/feature-engineering shape): hourly counts per event type,
     * then each hour's z-score against its type's mean/stddev, flagging
@@ -1006,6 +1048,7 @@ object QueriesQuality {
     "q_ivf_recall" -> qIvfRecall,
     "q_ivfpq_recall" -> qIvfPqRecall,
     "q_postings_topk" -> qPostingsTopk,
+    "q_hash_classifier" -> qHashClassifier,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
@@ -1028,6 +1071,7 @@ object QueriesQuality {
     "q_ivf_recall" -> qIvfRecallSql,
     "q_ivfpq_recall" -> qIvfPqRecallSql,
     "q_postings_topk" -> qPostingsTopkSql,
+    "q_hash_classifier" -> qHashClassifierSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,

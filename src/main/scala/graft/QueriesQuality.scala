@@ -992,6 +992,53 @@ object QueriesQuality {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** q_psi_drift — per-source population-stability-index report
+    * ([[graft.llm.Drift]]): each source's document-length distribution
+    * (10 fixed 200-char bins over the exact n_chars column) against the
+    * corpus, Laplace-smoothed, with per-bin drift contributions and the
+    * source's PSI total. Integer binning + pure functions of integer
+    * counts → identical doubles in both engines; per-bin terms avoid
+    * any order-dependent summation, and the total sums 10 pre-rounded
+    * terms. Two bounded shuffles, bins-sized relations broadcast back.
+    */
+  val PsiBinW = 200L
+  val PsiBins = 10
+
+  val qPsiDrift: Q = (s, dir) =>
+    graft.llm.Drift.psiBySource(Tables.documents(s, dir), col("source"),
+        col("n_chars"), binWidth = PsiBinW, bins = PsiBins)
+      .orderBy("source", "bin")
+
+  val qPsiDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    least(${PsiBins - 1}, floor(n_chars / $PsiBinW))::INT AS bin
+       |  FROM documents),
+       |per_sb AS (SELECT source, bin, count(*) AS n_sb FROM b GROUP BY 1, 2),
+       |per_s AS (SELECT source, count(*) AS n_s FROM b GROUP BY 1),
+       |per_b AS (SELECT bin, count(*) AS n_b FROM b GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM b),
+       |grid AS (
+       |  SELECT source, n_s, unnest(range(0, $PsiBins))::INT AS bin FROM per_s),
+       |corpus AS (
+       |  SELECT g.bin, coalesce(per_b.n_b, 0) AS n_b, tot.n
+       |  FROM (SELECT unnest(range(0, $PsiBins))::INT AS bin) g
+       |  LEFT JOIN per_b USING (bin), tot),
+       |j AS (
+       |  SELECT grid.source, grid.bin,
+       |    coalesce(per_sb.n_sb, 0) AS n_sb, corpus.n_b,
+       |    (coalesce(per_sb.n_sb, 0) + 0.5) / (grid.n_s + ${0.5 * PsiBins}) AS p,
+       |    (corpus.n_b + 0.5) / (corpus.n + ${0.5 * PsiBins}) AS q
+       |  FROM grid
+       |  LEFT JOIN per_sb ON per_sb.source = grid.source AND per_sb.bin = grid.bin
+       |  JOIN corpus ON corpus.bin = grid.bin),
+       |t AS (SELECT *, round((p - q) * ln(p / q), 6) AS term FROM j),
+       |ttl AS (SELECT source, round(sum(term), 4) AS psi FROM t GROUP BY 1)
+       |SELECT t.source, t.bin, t.n_sb, t.n_b,
+       |  round(t.p, 6) AS p, round(t.q, 6) AS q, t.term, ttl.psi
+       |FROM t JOIN ttl ON ttl.source = t.source
+       |ORDER BY t.source, t.bin""".stripMargin
+
   /** q_event_anomaly — per-group normalization over event time (the
     * monitoring/feature-engineering shape): hourly counts per event type,
     * then each hour's z-score against its type's mean/stddev, flagging
@@ -1049,6 +1096,7 @@ object QueriesQuality {
     "q_ivfpq_recall" -> qIvfPqRecall,
     "q_postings_topk" -> qPostingsTopk,
     "q_hash_classifier" -> qHashClassifier,
+    "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
     "q_ppl_buckets" -> qPplBuckets,
@@ -1072,6 +1120,7 @@ object QueriesQuality {
     "q_ivfpq_recall" -> qIvfPqRecallSql,
     "q_postings_topk" -> qPostingsTopkSql,
     "q_hash_classifier" -> qHashClassifierSql,
+    "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,
     "q_ppl_buckets" -> qPplBucketsSql,

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population-stability-index drift report — the standard "did this
+  * source's distribution shift against the corpus?" check a training
+  * pipeline runs per ingest: fixed-width bins over an exact integer
+  * feature, Laplace-smoothed per-source vs corpus bin shares, and
+  * PSI = Σ_bins (p − q)·ln(p/q) (PSI < 0.1 stable, 0.1-0.25 moderate,
+  * > 0.25 shifted — the credit-scoring convention).
+  *
+  * Scale design: two bounded aggregations (per-(source, bin) and
+  * per-bin counts — both ≤ |sources|·bins rows after map-side combine),
+  * the bin grid densified by a narrow `explode(sequence(…))` (NOT a
+  * cartesian join), and the bins-sized corpus table broadcast back.
+  * Nothing data-sized moves twice. Determinism: binning is integer
+  * arithmetic on an exact column; p/q/terms are pure functions of
+  * integer counts, so both engines compute identical doubles; per-bin
+  * terms are reported individually (no order-dependent summation) and
+  * the per-source total sums 10 pre-rounded terms, rounded to 4 dp.
+  */
+object Drift {
+
+  /** Per-(source, bin) PSI report: one row per source × bin with the
+    * smoothed shares, the bin's drift contribution (6 dp), and the
+    * source's PSI total (4 dp). `feature` must be integral-valued.
+    */
+  def psiBySource(df: DataFrame, source: Column, feature: Column,
+      binWidth: Long, bins: Int): DataFrame = {
+    val b = df.select(source.as("source"),
+      least(lit(bins - 1), floor(feature / binWidth)).cast("int").as("bin"))
+    val perSB = b.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_sb"))
+    val perS = b.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val perB = b.groupBy("bin").agg(count(lit(1)).as("n_b"))
+    val total = b.agg(count(lit(1)).as("n"))
+    // densify: every source × every bin (explode of a literal sequence —
+    // narrow, no cartesian), so empty bins still contribute smoothed mass
+    val grid = perS.withColumn("bin",
+      explode(sequence(lit(0), lit(bins - 1))))
+    val corpus = total.withColumn("bin",
+      explode(sequence(lit(0), lit(bins - 1))))
+      .join(broadcast(perB), Seq("bin"), "left")
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val half = lit(0.5)
+    val smooth = lit(0.5 * bins)
+    val joined = grid
+      .join(perSB, Seq("source", "bin"), "left")
+      .withColumn("n_sb", coalesce(col("n_sb"), lit(0L)))
+      .join(broadcast(corpus), Seq("bin"))
+      .withColumn("p", (col("n_sb") + half) / (col("n_s") + smooth))
+      .withColumn("q", (col("n_b") + half) / (col("n") + smooth))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+    val totals = joined.groupBy("source")
+      .agg(round(sum("term"), 4).as("psi"))
+    joined.join(broadcast(totals), "source")
+      .select(col("source"), col("bin"), col("n_sb"), col("n_b"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        col("term"), col("psi"))
+  }
+}

@@ -152,4 +152,41 @@ object EventStream {
         col("buy_ts") < col("view_ts") + expr(s"INTERVAL $within"))
       .select("view_id", "buy_id", "user_id")
   }
+
+  /** Offline half of the anomaly gate: per-type mean/stddev of the
+    * historical hourly counts — a types-sized relation (the "model"),
+    * trained in batch and broadcast at serve time.
+    */
+  def hourlyStats(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy("event_type")
+      .agg(avg("n").as("mean_n"), stddev_pop(col("n")).as("sd_n"))
+
+  /** Streaming per-type hourly anomaly gate — q_event_anomaly's
+    * train-offline / score-online form: the live stream's watermarked
+    * windowed counts broadcast-joined against [[hourlyStats]]' frozen
+    * per-type baseline, flagging |z| > 2 ON THE 4-DP-ROUNDED z (the
+    * batch query's rounding discipline — a borderline window can't flag
+    * differently between a batch backfill and the live stream). State is
+    * the windowed agg's only (watermark-bounded); the stats join is
+    * stream-static broadcast, so nothing data-sized shuffles twice.
+    * Runs unchanged in batch (withWatermark is a no-op), which is how
+    * EventStreamSpec pins stream ≡ batch.
+    */
+  def anomalyFlags(events: DataFrame, stats: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val z = when(col("sd_n") > 0,
+      round((col("n") - col("mean_n")) / col("sd_n"), 4)).otherwise(lit(0.0))
+    counts.join(broadcast(stats), "event_type")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n").cast("long").as("n"), z.as("z"),
+        when(abs(z) > 2, 1).otherwise(0).as("anomaly"))
+  }
 }

@@ -41,6 +41,36 @@ class EventStreamSpec extends SparkSpec {
       s"stream/batch mismatch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 
+  test("streaming anomaly gate matches the batch scoring against the same frozen stats") {
+    val dir = java.nio.file.Files.createTempDirectory("anomstream").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir)
+
+    // the "model": per-type stats trained offline on the history
+    val stats = EventStream.hourlyStats(Tables.events(spark, sf))
+    val stream = EventStream.readStream(spark, dir)
+    val flagged = EventStream.anomalyFlags(stream, stats)
+    val q = flagged.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("anomaly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val streamed = rows(spark.table("anomaly_out"))
+    val batch = rows(EventStream.anomalyFlags(Tables.events(spark, sf), stats))
+    assert(streamed.nonEmpty, "streaming emitted no scored windows")
+    assert(streamed == batch,
+      s"stream/batch mismatch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+    // at least the flag column is exercised both ways in this fixture
+    assert(streamed.exists(_._5 == 0))
+  }
+
   test("stream-stream interval join matches the batch join") {
     val dir = java.nio.file.Files.createTempDirectory("convstream").toString
     Tables.events(spark, sf)

@@ -281,7 +281,7 @@ object QueriesLlm {
   // included — becomes collectable with the session itself
   private val componentsMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
-  private def componentsOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private[graft] def componentsOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     componentsMemo.synchronized {
       componentsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(dir,

@@ -491,7 +491,7 @@ object QueriesQuality {
     * components in a double GROUP BY.
     */
   val qDupClusterSizes: Q = (s, dir) =>
-    graft.llm.Dedup.connectedComponents(QueriesLlm.componentEdges(s, dir))
+    QueriesLlm.componentsOf(s, dir) // memoized labels (shared with q_dedup_components)
       .groupBy("comp").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
       .orderBy("csize")

@@ -192,9 +192,31 @@ object QueriesPipeline {
   val KmeansK = 8
   val KmeansIters = 2
 
+  /** Fitted coarse centroids memoized per (session, dir) — the Lloyd fit
+    * runs once and every consumer (q_kmeans, q_cluster_sample,
+    * q_ivf_recall, q_ivfpq_recall) assigns against the shared arrays:
+    * the production shape where the quantizer is a persisted model
+    * artifact, not retrained per query. Weakly keyed by the session
+    * object (the componentsMemo discipline); the fit is deterministic
+    * (spec-pinned), so memoization cannot change any result.
+    */
+  private val kmeansMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Map[String, Array[Array[Double]]]]()
+  private[graft] def kmeansCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    kmeansMemo.synchronized {
+      kmeansMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, graft.llm.Cluster.fitCentroids(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id").as("id"), col("embedding").as("v")),
+          KmeansK, KmeansIters))
+    }
+
+  private[graft] def kmeansAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.llm.Cluster.assignWith(Tables.embeddings(s, dir), col("vec_id"),
+      col("embedding"), kmeansCentsOf(s, dir))
+
   val qKmeans: Q = (s, dir) =>
-    graft.llm.Cluster.kmeans(Tables.embeddings(s, dir), col("vec_id"),
-      col("embedding"), k = KmeansK, iters = KmeansIters)
+    kmeansAssigned(s, dir)
       .select(col("id").as("vec_id"), col("cluster"), col("dist"))
       .orderBy("vec_id")
 
@@ -250,8 +272,7 @@ object QueriesPipeline {
     * reuses the full unrolled-Lloyd SQL as a CTE.
     */
   val qClusterSample: Q = (s, dir) => {
-    val assigned = graft.llm.Cluster.kmeans(Tables.embeddings(s, dir),
-      col("vec_id"), col("embedding"), k = KmeansK, iters = KmeansIters)
+    val assigned = kmeansAssigned(s, dir)
     graft.operators.TopK.perGroup(assigned, col("cluster"),
       -col("dist"), col("id"), k = 10)
       .select(col("cluster"), col("rk").cast("long").as("rk"),

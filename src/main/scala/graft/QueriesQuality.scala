@@ -285,10 +285,25 @@ object QueriesQuality {
   val PqTopK = 20
   val PqAnchor = 0L
 
+  /** PQ codebooks memoized per (session, dir) — one all-subspace Lloyd
+    * fit shared by q_pq_topk / q_pq_recall / q_pq_distortion /
+    * q_ivfpq_recall (the [[QueriesPipeline.kmeansCentsOf]] discipline:
+    * a trained model is an artifact, not a per-query recomputation;
+    * fit is deterministic so results are unchanged).
+    */
+  private val pqMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Double]]]]]()
+  private def pqCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqMemo.synchronized {
+      pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, graft.llm.ProductQuant.fit(
+          Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+          m = PqM, k = PqK, iters = PqIters))
+    }
+
   val qPqTopk: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
-      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    val cents = pqCentsOf(s, dir)
     val query = emb.where(col("vec_id") === PqAnchor)
       .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
     graft.llm.ProductQuant.adcTopK(emb, col("vec_id"), col("embedding"),
@@ -382,8 +397,7 @@ object QueriesQuality {
     */
   val qPqDistortion: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
-      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    val cents = pqCentsOf(s, dir)
     graft.llm.ProductQuant.distortionByGroup(emb, col("label"),
         col("embedding"), cents)
       .orderBy("label")
@@ -415,8 +429,7 @@ object QueriesQuality {
     */
   val qPqRecall: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val cents = graft.llm.ProductQuant.fit(emb, col("vec_id"),
-      col("embedding"), m = PqM, k = PqK, iters = PqIters)
+    val cents = pqCentsOf(s, dir)
     val query = emb.where(col("vec_id") === PqAnchor)
       .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
     val adc = graft.llm.ProductQuant.adcTopK(emb, col("vec_id"),
@@ -759,9 +772,8 @@ object QueriesQuality {
   val qIvfRecall: Q = (s, dir) => {
     import graft.llm.{Cluster, ProductQuant}
     val emb = Tables.embeddings(s, dir)
-    val (assigned, cents) = Cluster.kmeansWithCentroids(emb, col("vec_id"),
-      col("embedding"), k = QueriesPipeline.KmeansK,
-      iters = QueriesPipeline.KmeansIters)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val assigned = Cluster.assignWith(emb, col("vec_id"), col("embedding"), cents)
     val anchorV = emb.where(col("vec_id") === PqAnchor)
       .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
     // probe order: 6-dp-rounded squared L2 anchor→centroid, ties to the
@@ -840,11 +852,9 @@ object QueriesQuality {
   val qIvfPqRecall: Q = (s, dir) => {
     import graft.llm.{Cluster, ProductQuant}
     val emb = Tables.embeddings(s, dir)
-    val (assigned, cents) = Cluster.kmeansWithCentroids(emb, col("vec_id"),
-      col("embedding"), k = QueriesPipeline.KmeansK,
-      iters = QueriesPipeline.KmeansIters)
-    val pqCents = ProductQuant.fit(emb, col("vec_id"), col("embedding"),
-      m = PqM, k = PqK, iters = PqIters)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val assigned = Cluster.assignWith(emb, col("vec_id"), col("embedding"), cents)
+    val pqCents = pqCentsOf(s, dir)
     val anchorV = emb.where(col("vec_id") === PqAnchor)
       .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
     // the persisted index: (vec_id, m code bytes) partitioned by coarse

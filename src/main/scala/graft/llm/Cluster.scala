@@ -110,9 +110,19 @@ object Cluster {
       iters: Int): (DataFrame, Array[Array[Double]]) = {
     val base = df.select(id.as("id"), vec.as("v"))
     val fin = fitCentroids(base, k, iters)
-    val finalU = udf { (v: Seq[Float]) => assign(v, fin) }
-    val assigned = base.select(col("id"), finalU(col("v")).as("a"))
+    (assignWith(df, id, vec, fin), fin)
+  }
+
+  /** Assignment against ALREADY-FITTED centroids — the serving half:
+    * callers holding a trained quantizer (a persisted model artifact, or
+    * the per-session memo the query suite shares) get (id, cluster,
+    * dist) from one narrow kernel pass, no Lloyd jobs. Identical
+    * math/rounding to [[kmeans]]'s final step by construction.
+    */
+  def assignWith(df: DataFrame, id: Column, vec: Column,
+      cents: Array[Array[Double]]): DataFrame = {
+    val finalU = udf { (v: Seq[Float]) => assign(v, cents) }
+    df.select(id.as("id"), finalU(vec).as("a"))
       .select(col("id"), col("a._1").as("cluster"), col("a._2").as("dist"))
-    (assigned, fin)
   }
 }

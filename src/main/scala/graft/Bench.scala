@@ -124,5 +124,8 @@ object Bench {
       s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":{},"reps":$reps,"sf":"$sfDir","failures":$failStr,"note":"see bench_detail.json"}""")
     println(line)
     spark.stop()
+    // prompt CLI exit after the one driver-parsed stdout line is flushed
+    // (VERDICT r8 nit 3: local[n] shutdown otherwise lingers minutes)
+    sys.exit(0)
   }
 }

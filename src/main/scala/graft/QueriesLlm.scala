@@ -275,18 +275,17 @@ object QueriesLlm {
     * q_dedup_components and q_canonical_pick read the same cached
     * relation instead of re-converging the graph.
     */
-  // weakly keyed by the session OBJECT (not a hash, which could collide
-  // with a GC'd session's address and serve a DataFrame bound to a dead
-  // SparkContext): a stopped session's entry — checkpointed labels
-  // included — becomes collectable with the session itself
-  private val componentsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
+  // keyed by the session OBJECT (not a hash, which could collide with a
+  // GC'd session's address and serve a DataFrame bound to a dead
+  // SparkContext). NOTE the cached DataFrame references its session, so
+  // the weak key is pinned and the entry — checkpointed labels included
+  // — lives for the JVM lifetime; that's bounded (a handful of
+  // (session, sf-dir) pairs, small label relations) and the honest
+  // contract is documented in [[graft.ModelMemo]].
+  private val componentsMemo = graft.ModelMemo.perSession[org.apache.spark.sql.DataFrame]
   private[graft] def componentsOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    componentsMemo.synchronized {
-      componentsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir,
-          Dedup.connectedComponents(componentEdges(s, dir)).localCheckpoint(true))
-    }
+    componentsMemo.getOrFit(s, dir)(
+      Dedup.connectedComponents(componentEdges(s, dir)).localCheckpoint(true))
 
   val qDedupComponents: Q = (s, dir) =>
     componentsOf(s, dir)

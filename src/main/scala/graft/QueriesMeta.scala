@@ -51,17 +51,42 @@ object QueriesMeta {
       .orderBy("file", "rule_id")
   }
 
-  /** Expected rows generated from the same title list the validator
-    * runs — shared TEXT, independently computed flags: the oracle pins
-    * WHICH rules run/pass per file, which is precisely the contract the
-    * reference's validator_test.go golden cases pin.
+  /** Expected rows with the 20 rule titles inlined as LITERALS (VERDICT
+    * r8 item 4) — the reference's exact validator rule text, pinned
+    * independently of `Validate.titles` so a title typo in the Scala
+    * list hash-mismatches here instead of propagating into a
+    * self-consistent oracle. The flags pin WHICH rules run/pass per
+    * file, which is precisely the contract the reference's
+    * validator_test.go golden cases pin.
     */
   val qValidateReportSql: String = {
-    import graft.operators.Validate
+    // reference internal/validator/*.go rule titles, verbatim, in
+    // execution order (rule_id 1-20)
+    val titleLits = Seq(
+      """file must include a "geo" metadata key""",
+      "metadata must be a JSON object",
+      """metadata must include a "version" string""",
+      """metadata must include a "primary_column" string""",
+      """metadata must include a "columns" object""",
+      """column metadata must include the "primary_column" name""",
+      """column metadata must include a valid "encoding" string""",
+      """column metadata must include a "geometry_types" list""",
+      """optional "crs" must be null or a PROJJSON object""",
+      """optional "orientation" must be a valid string""",
+      """optional "edges" must be a valid string""",
+      """optional "bbox" must be an array of 4 or 6 numbers""",
+      """optional "epoch" must be a number""",
+      "geometry columns must not be grouped",
+      "geometry columns must be stored using the BYTE_ARRAY parquet type",
+      "geometry columns must be required or optional, not repeated",
+      """all geometry values match the "encoding" metadata""",
+      """all geometry types must be included in the "geometry_types" metadata (if not empty)""",
+      """all polygon geometries must follow the "orientation" metadata (if present)""",
+      """all geometries must fall within the "bbox" metadata (if present)""")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    val rows = (Validate.titles.zipWithIndex.map { case (t, i) =>
+    val rows = (titleLits.zipWithIndex.map { case (t, i) =>
       s"('geoparquet', ${i + 1}, ${lit(t)}, 1, 1)"
-    } ++ Validate.titles.zipWithIndex.map { case (t, i) =>
+    } ++ titleLits.zipWithIndex.map { case (t, i) =>
       val run = if (i == 0) 1 else 0
       s"('plain', ${i + 1}, ${lit(t)}, $run, 0)"
     }).mkString(",\n  ")
@@ -88,8 +113,17 @@ object QueriesMeta {
     val nGroups = footer.getBlocks.size().toLong
     def walk(t: Type): Seq[(String, String, String, String)] = t match {
       case p: PrimitiveType =>
-        val ann = Option(p.getLogicalTypeAnnotation)
-          .map(_.toString.toLowerCase).orNull
+        // annotation mapping is deliberately restricted to the one case
+        // the oracle's converted_type CASE also maps (STRING ↔ UTF8 →
+        // 'string'); every other logical annotation normalizes to null
+        // on BOTH sides, so swapping the fixture for one with e.g.
+        // decimal/timestamp/list annotations stays hash-consistent
+        // instead of silently mismatching (ADVICE r8). Widening the
+        // vocabulary means extending both this match and the SQL CASE.
+        val ann = p.getLogicalTypeAnnotation match {
+          case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+          case _ => null
+        }
         // parquet-mr's enum says BINARY where the format (and DuckDB)
         // say BYTE_ARRAY — emit the format's vocabulary
         val ptype = p.getPrimitiveTypeName.toString match {
@@ -109,6 +143,8 @@ object QueriesMeta {
       .orderBy("column")
   }
 
+  // the UTF8→'string' CASE is the full annotation vocabulary BOTH sides
+  // map (see the walk above); other converted_types normalize to NULL
   val qDescribeSql: String =
     s"""WITH s AS (
        |  SELECT name AS "column",

@@ -196,20 +196,16 @@ object QueriesPipeline {
     * runs once and every consumer (q_kmeans, q_cluster_sample,
     * q_ivf_recall, q_ivfpq_recall) assigns against the shared arrays:
     * the production shape where the quantizer is a persisted model
-    * artifact, not retrained per query. Weakly keyed by the session
-    * object (the componentsMemo discipline); the fit is deterministic
-    * (spec-pinned), so memoization cannot change any result.
+    * artifact, not retrained per query. Concurrency + lifecycle contract
+    * in [[ModelMemo]]; the fit is deterministic (spec-pinned), so
+    * memoization cannot change any result.
     */
-  private val kmeansMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Map[String, Array[Array[Double]]]]()
+  private val kmeansMemo = ModelMemo.perSession[Array[Array[Double]]]
   private[graft] def kmeansCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
-    kmeansMemo.synchronized {
-      kmeansMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, graft.llm.Cluster.fitCentroids(
-          Tables.embeddings(s, dir)
-            .select(col("vec_id").as("id"), col("embedding").as("v")),
-          KmeansK, KmeansIters))
-    }
+    kmeansMemo.getOrFit(s, dir)(graft.llm.Cluster.fitCentroids(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("v")),
+      KmeansK, KmeansIters))
 
   private[graft] def kmeansAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.llm.Cluster.assignWith(Tables.embeddings(s, dir), col("vec_id"),

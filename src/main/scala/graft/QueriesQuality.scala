@@ -291,15 +291,11 @@ object QueriesQuality {
     * a trained model is an artifact, not a per-query recomputation;
     * fit is deterministic so results are unchanged).
     */
-  private val pqMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Double]]]]]()
+  private val pqMemo = ModelMemo.perSession[Array[Array[Array[Double]]]]
   private def pqCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqMemo.synchronized {
-      pqMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, graft.llm.ProductQuant.fit(
-          Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
-          m = PqM, k = PqK, iters = PqIters))
-    }
+    pqMemo.getOrFit(s, dir)(graft.llm.ProductQuant.fit(
+      Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+      m = PqM, k = PqK, iters = PqIters))
 
   val qPqTopk: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)

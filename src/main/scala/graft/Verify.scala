@@ -63,5 +63,9 @@ object Verify {
     try Files.writeString(Paths.get("/root/repo/verify_errors.json"), errJsonStamped + "\n")
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
+    // prompt CLI exit: a direct `java graft.Verify` invocation otherwise
+    // lingers minutes in local[n] executor shutdown after all artifacts
+    // are on disk (VERDICT r8 nit 3); shutdown hooks (TempDirs) still run
+    sys.exit(0)
   }
 }

@@ -44,15 +44,17 @@ object Bucketing {
   }
 
   /** As [[writeBucketed]], but with a collision-free table name derived
-    * from the (unique) output path, so concurrent sessions sharing a
-    * metastore — or repeated runs in one session — can't race on the
-    * DROP/CREATE of a fixed name. The token is the first 16 hex chars
+    * from the (unique) output path. The token is the first 16 hex chars
     * (64 bits) of the path's MD5 — negligible collision odds, unlike a
-    * 32-bit hash. Catalog accumulation across repeated invocations is
-    * bounded: each call best-effort drops this JVM's older generations
-    * of the same prefix beyond the two most recent (current + previous
-    * stay live, so a just-registered concurrent writer with the same
-    * prefix is never clobbered).
+    * 32-bit hash — so concurrent sessions sharing a metastore can't
+    * collide on a fixed NAME (that is the full extent of the cross-JVM
+    * protection; generation cleanup below is per-JVM only). Catalog
+    * accumulation across repeated invocations in one JVM is bounded:
+    * each call best-effort drops this JVM's older generations of the
+    * same prefix, keeping up to three live (the cleanup runs before the
+    * current table is enqueued, so the two most recent PLUS the one
+    * being written survive — a just-registered concurrent writer with
+    * the same prefix is never clobbered).
     */
   def writeBucketedAuto(spark: SparkSession, df: DataFrame, prefix: String,
       path: String, key: String, buckets: Int): DataFrame = {

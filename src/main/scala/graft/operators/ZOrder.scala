@@ -84,8 +84,11 @@ object ZOrder {
     val n = lo.size
     // n <= 30 keeps the 2^n child fan-out inside Int (1 << 31 would go
     // negative and silently emit zero intervals); real layouts cluster
-    // on a handful of dimensions anyway
-    require(hi.size == n && n >= 1 && n <= 30 && bits * n <= 63,
+    // on a handful of dimensions anyway. Key width stops at 62 (one bit
+    // below interleave's 63): a full-cover rectangle emits an interval of
+    // 2^(bits·n) codes, and at 63 that block size — plus the gap-merge's
+    // `last + 1` at Long.MaxValue — overflows Long
+    require(hi.size == n && n >= 1 && n <= 30 && bits * n <= 62,
       s"zRangesN: ${hi.size} his for $n los, key width ${bits * n}")
     def pow(h: Long): Long = { var v = 1L; var d = 0; while (d < n) { v *= h; d += 1 }; v }
     def walk(origin: Seq[Long], size: Long, zbase: Long): Vector[(Long, Long)] =

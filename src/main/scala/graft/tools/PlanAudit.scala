@@ -127,5 +127,8 @@ object PlanAudit {
       System.err.println(s"plan audit failures:\n${failures.sorted.mkString("\n")}")
       sys.exit(1)
     }
+    // prompt CLI exit on success too — local[n] shutdown otherwise
+    // lingers minutes after the audit output (VERDICT r8 nit 3)
+    sys.exit(0)
   }
 }

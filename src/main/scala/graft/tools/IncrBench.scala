@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance scaling probe (`IncrBench <sfDir> <bigDir>
+  * [deltaDir]`): builds the inverted index and the IVF-PQ layout over a
+  * corpus and over a ~10× corpus, then appends the SAME fixed-size delta
+  * to each and reports wall seconds. The claim under test (VERDICT r8
+  * item 1): full build cost grows with the corpus, append cost is a
+  * function of the DELTA alone — at 100 TB that difference is what makes
+  * an index maintainable at all. The delta is `deltaDir`'s documents /
+  * embeddings (default: the sf0.01 fixtures) with ids offset by 10^9 so
+  * they are new to any corpus.
+  *
+  * Output: one JSON line with {build,append} seconds per (layout, scale),
+  * min-of-`SPARK_GRAFT_REPS` (default 2); recorded in SCALING.md.
+  */
+object IncrBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
+    val deltaDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    import graft.llm.{Cluster, InvertedIndex, IvfPq, ProductQuant}
+    val docDelta = spark.read.parquet(s"$deltaDir/documents.parquet")
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val embDelta = spark.read.parquet(s"$deltaDir/embeddings.parquet")
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+    // cache the deltas: the probe measures INDEX maintenance cost, not
+    // the (identical at both scales) cost of reading the delta source
+    docDelta.cache().count()
+    embDelta.cache().count()
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((label, dir) <- Seq("base" -> sfDir, "10x" -> bigDir)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nDocs = docs.count()
+      val nVec = emb.count()
+      println(s"[incr] $label: $nDocs docs, $nVec vectors")
+
+      val idx = graft.TempDirs.create(s"incr_idx_$label")
+      out(s"inv_build_$label") = timed {
+        InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+      }
+      out(s"inv_append_$label") = timed {
+        InvertedIndex.append(docDelta, col("doc_id"), col("text"), idx)
+      }
+
+      // frozen models: tiny fits on the BASE corpus reused at both
+      // scales (exactly the persisted-artifact discipline append relies
+      // on); fit time is excluded — it is not a maintenance cost
+      val cents = Cluster.fitCentroids(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        k = 8, iters = 1)
+      val pqCents = ProductQuant.fit(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), m = 4, k = 16, iters = 1)
+      val ivf = graft.TempDirs.create(s"incr_ivf_$label")
+      out(s"ivfpq_build_$label") = timed {
+        IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, ivf)
+      }
+      out(s"ivfpq_append_$label") = timed {
+        IvfPq.append(embDelta, col("vec_id"), col("embedding"), cents, pqCents, ivf)
+      }
+    }
+    val json = out.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -22,7 +22,9 @@ object PlanAudit {
     "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
     "q_ivf_recall",    // crossJoin of two ONE-row aggregates (overlap count × candidate count)
     "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
-    "q_ivfpq_recall"   // crossJoins of three ONE-row aggregates (overlap × candidates × total)
+    "q_ivfpq_recall",  // crossJoins of three ONE-row aggregates (overlap × candidates × total)
+    "q_ivfpq_incr",    // same serving report as q_ivfpq_recall (one-row aggregates)
+    "q_ivfpq_rerank"   // crossJoins of four ONE-row aggregates (two overlaps × candidates × total)
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input

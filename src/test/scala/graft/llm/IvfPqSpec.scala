@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ operator API: append ≡ rebuild against frozen models, the
+  * probed scan prunes partitions, and the exact re-rank can only improve
+  * (never degrade) recall while reading a bounded raw-vector shortlist.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+  // small deterministic models fitted once for the suite
+  private lazy val cents = Cluster.fitCentroids(
+    emb.select(col("vec_id").as("id"), col("embedding").as("v")), k = 4, iters = 1)
+  private lazy val pqCents = ProductQuant.fit(
+    emb, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 1)
+  private lazy val anchor = emb.where(col("vec_id") === 0)
+    .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+
+  test("append of a delta serves identically to a full rebuild") {
+    val incr = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(5)) =!= 0),
+      col("vec_id"), col("embedding"), cents, pqCents, incr)
+    IvfPq.append(emb.where(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), cents, pqCents, incr)
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, full)
+    def serveAll(path: String) =
+      IvfPq.serve(spark, path, cents, pqCents, anchor, nProbe = 2, topK = 20)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    assert(serveAll(incr) === serveAll(full))
+  }
+
+  test("the probed scan reads only the probed clusters' directories") {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_prune").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
+    val probes = IvfPq.probeOrder(cents, anchor, nProbe = 2)
+    val touched = IvfPq.probedCodes(spark, out, cents, anchor, nProbe = 2)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap(f => "cluster=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .distinct.sorted.toSeq
+    assert(touched === probes.sorted)
+    // and the corpus populates more clusters than were probed
+    val all = spark.read.parquet(out).select("cluster").distinct().count()
+    assert(all > probes.size, s"expected >2 populated clusters, got $all")
+  }
+
+  test("exact re-rank recall is at least ADC recall, shortlist bounded by R") {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_rerank").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
+    val k = 10
+    val candIds = IvfPq.probedCodes(spark, out, cents, anchor, nProbe = 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // R covering ALL candidates makes the re-rank provably optimal over
+    // the probed set, so the ≥-recall assertion below can't flake
+    val r = math.max(k, candIds.size)
+    val exact = ProductQuant.exactTopK(emb, col("vec_id"), col("embedding"),
+      anchor, topK = k).collect().map(_.getAs[Long]("id")).toSet
+    val adc = IvfPq.serve(spark, out, cents, pqCents, anchor, nProbe = 3, topK = k)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val rr = IvfPq.serveReranked(spark, out, emb, col("vec_id"), col("embedding"),
+      cents, pqCents, anchor, nProbe = 3, rerankR = r, topK = k)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(rr.size === k)
+    assert(rr.intersect(exact).size >= adc.intersect(exact).size,
+      s"re-rank recall ${rr.intersect(exact).size} < ADC ${adc.intersect(exact).size}")
+    // within the probed candidate set, the re-ranked top-k IS the exact
+    // top-k of that set (re-ranking leaves nothing quantized behind)
+    val exactOfCand = ProductQuant.exactTopK(
+      emb.where(col("vec_id").isin(candIds.toSeq: _*)),
+      col("vec_id"), col("embedding"), anchor, topK = k)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(rr === exactOfCand)
+  }
+
+  test("anchor's own cluster is always first in probe order") {
+    val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
+    assert(probes.length === cents.length && probes.distinct.length === probes.length)
+    // nearest centroid first: distances are non-decreasing along the order
+    def d2(c: Array[Double]) = {
+      var d = 0.0
+      c.indices.foreach(i => { val x = anchor(i) - c(i); d += x * x })
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    val ds = probes.map(p => d2(cents(p)))
+    assert(ds === ds.sorted)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** FastText-style hashed linear classifier APPLY — the learned-quality-
@@ -44,4 +44,80 @@ object HashClassifier {
   /** Logistic score in (0, 1): sigmoid(3 · featMean). */
   def prob(tokens: Column): Column =
     lit(1.0) / (lit(1.0) + exp(featMean(tokens) * -3))
+
+  /** The placeholder weight table as data: (bucket, weight) for every
+    * bucket — exactly the values [[featMean]]'s expression computes, so
+    * a model swap is a DATA change, not a code change, and the spec can
+    * pin placeholder ≡ lookup-table equality.
+    */
+  def placeholderWeights: Array[Double] =
+    Array.tabulate(Buckets)(b =>
+      (b.toLong * Mix % WeightMod).toDouble / WeightMod * 2 - 1)
+
+  /** Dense per-bucket weights from a LEARNED (bucket, weight) table —
+    * the real-model path (VERDICT r8 item 5). The table is bounded by
+    * construction (≤ [[Buckets]] distinct buckets — the whole point of
+    * the hashing trick is a fixed feature space), so collecting it to a
+    * dense driver-side array is the standard "broadcast the model"
+    * move, never a data-sized collect. Unlisted buckets default to 0
+    * (an unseen feature contributes nothing); out-of-range or duplicate
+    * buckets fail loudly.
+    */
+  def weightsFrom(table: DataFrame, bucket: Column, weight: Column): Array[Double] = {
+    val rows = table.select(bucket.cast("int").as("b"),
+      weight.cast("double").as("w")).collect()
+    require(rows.length <= Buckets,
+      s"${rows.length} weight rows for $Buckets buckets")
+    val w = new Array[Double](Buckets)
+    val seen = new Array[Boolean](Buckets)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < Buckets, s"bucket $b outside [0, $Buckets)")
+      require(!seen(b), s"duplicate weight row for bucket $b")
+      seen(b) = true
+      w(b) = r.getDouble(1)
+    }
+    w
+  }
+
+  /** [[featMean]] against an explicit weight vector (broadcast to the
+    * executors): same md5-parity bucket derivation, same array-order
+    * fold — when `weights` equals [[placeholderWeights]] the result is
+    * bit-identical to the expression path (spec-pinned), so swapping in
+    * a trained model changes only the numbers, never the kernel shape.
+    * Still one narrow per-row pass, no explode, no shuffle; the JVM
+    * kernel trades the expression's codegen for an O(1) array lookup
+    * per token.
+    */
+  def featMeanWith(spark: SparkSession, tokens: Column,
+      weights: Array[Double]): Column = {
+    require(weights.length == Buckets, s"need $Buckets weights")
+    val bc = spark.sparkContext.broadcast(weights)
+    val kernel = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) 0.0
+      else {
+        val w = bc.value
+        // one digest instance per row; MessageDigest.digest resets it
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var s = 0.0
+        toks.foreach { t =>
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 8 hex chars of the md5 = the top 4 bytes as an
+          // unsigned 32-bit value — identical to the expression path's
+          // conv(substring(md5, 1, 8), 16, 10)
+          var h = 0L
+          var i = 0
+          while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          s += w((h % Buckets).toInt)
+        }
+        s / toks.size
+      }
+    }
+    kernel(tokens)
+  }
+
+  /** Logistic score over an explicit weight vector: sigmoid(3 · mean). */
+  def probWith(spark: SparkSession, tokens: Column,
+      weights: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(featMeanWith(spark, tokens, weights) * -3))
 }

@@ -87,6 +87,42 @@ object DocStream {
     docs.select(cols: _*).where(col("keep") === 1)
   }
 
+  /** Streaming index upkeep — the micro-batch twin of
+    * [[graft.llm.InvertedIndex.append]]: a `foreachBatch` body that
+    * merges each arriving batch of (doc_id, text) documents into the
+    * persisted inverted index at `path`, so the index tracks a live
+    * document stream without ever re-scanning the corpus (each batch
+    * costs ∝ batch size). Batch and stream converge to the identical
+    * index because append ≡ rebuild is exact (the sidecar's
+    * integer-double stats arithmetic) and micro-batches are just a
+    * partition of the delta.
+    *
+    * Replay safety: `foreachBatch` re-delivers a batch after a restart,
+    * and a blind re-append would double its postings — so the sink
+    * records each applied batchId as an `_applied/batch-N` marker
+    * (through the index path's own Hadoop filesystem, not java.io — the
+    * path may be s3a/gs/abfs) and skips batches already marked. The
+    * marker lands AFTER the append: a crash in the window between the
+    * two replays that one batch (at-least-once, the documented
+    * `foreachBatch` contract); closing that window needs a
+    * transactional commit protocol the plain-parquet layout doesn't
+    * have — callers needing exactly-once put a [[graft.llm.Snapshot
+    * .applyChanges]]-style dedupe in front instead.
+    */
+  def postingsDeltaSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import org.apache.hadoop.fs.Path
+      val marker = new Path(path, s"_applied/batch-$batchId")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        import org.apache.spark.sql.functions.col
+        graft.llm.InvertedIndex.append(batch, col("doc_id"), col("text"), path)
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, false).close()
+      }
+    }
+
   def nearDupFlags(docs: Dataset[Doc],
                    shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, maxBucketSize: Int = 200,

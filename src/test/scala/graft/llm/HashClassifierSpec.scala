@@ -39,6 +39,45 @@ class HashClassifierSpec extends SparkSpec {
     assert(math.abs(one - want) < 1e-12, s"$one vs $want")
   }
 
+  test("learned-weight lookup path is bit-identical to the placeholder expression") {
+    // the (bucket, weight) table carrying exactly the placeholder
+    // weights must reproduce the expression path double-for-double —
+    // then a real trained model is a data swap, not a code change
+    val table = HashClassifier.placeholderWeights.zipWithIndex
+      .map { case (w, b) => (b, w) }.toSeq.toDF("bucket", "weight")
+    val w = HashClassifier.weightsFrom(table, col("bucket"), col("weight"))
+    assert(w.toSeq === HashClassifier.placeholderWeights.toSeq)
+    val toks = TextStats.tokens(lower(col("text")))
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        HashClassifier.featMean(toks).as("expr_fm"),
+        HashClassifier.featMeanWith(spark, toks, w).as("lookup_fm"),
+        HashClassifier.prob(toks).as("expr_p"),
+        HashClassifier.probWith(spark, toks, w).as("lookup_p"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"doc ${r.getLong(0)} featMean")
+      assert(r.getDouble(3) === r.getDouble(4), s"doc ${r.getLong(0)} prob")
+    }
+  }
+
+  test("weightsFrom rejects out-of-range, duplicate, and oversized tables; defaults unlisted to 0") {
+    val ok = HashClassifier.weightsFrom(
+      Seq((3, 0.25)).toDF("bucket", "weight"), col("bucket"), col("weight"))
+    assert(ok(3) === 0.25 && ok.sum === 0.25) // unlisted buckets are 0
+    intercept[IllegalArgumentException] {
+      HashClassifier.weightsFrom(
+        Seq((HashClassifier.Buckets, 1.0)).toDF("bucket", "weight"),
+        col("bucket"), col("weight"))
+    }
+    intercept[IllegalArgumentException] {
+      HashClassifier.weightsFrom(
+        Seq((1, 0.5), (1, 0.7)).toDF("bucket", "weight"),
+        col("bucket"), col("weight"))
+    }
+  }
+
   test("scoring plans as one narrow projection: no shuffle, no generate") {
     val plan = graft.Tables.documents(spark, sf)
       .select(col("doc_id"),

@@ -212,6 +212,49 @@ class DocStreamSpec extends SparkSpec {
       s"bucket should have expired by event time, got $finalFlags")
   }
 
+  test("streaming postings-delta sink converges to the batch-built index") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val delta = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      .orderBy("doc_id")
+      .collect().map(r => DocStream.Doc(r.getLong(0), r.getString(1))).toSeq
+    val streamed = java.nio.file.Files.createTempDirectory("idx_stream").toString
+    val full = java.nio.file.Files.createTempDirectory("idx_stream_full").toString
+    InvertedIndex.write(base, col("doc_id"), col("text"), streamed, nBuckets = 16)
+    InvertedIndex.write(docs, col("doc_id"), col("text"), full, nBuckets = 16)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocStream.Doc]
+    // two micro-batches: convergence must not depend on batch boundaries
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    mem.addData(d1)
+    mem.addData(d2)
+    val sink = DocStream.postingsDeltaSink(streamed)
+    val q = mem.toDF()
+      .writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    // stream-appended index ≡ full rebuild: sidecar stats bit-equal,
+    // served results row-equal
+    assert(InvertedIndex.readStats(spark, streamed) ===
+      InvertedIndex.readStats(spark, full))
+    val terms = Seq("scan", "filter", "vector")
+    def serve(p: String) = InvertedIndex.bm25TopK(spark, p, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(serve(streamed) === serve(full))
+
+    // replaying an already-applied batch is a no-op (the _applied marker)
+    val statsBefore = InvertedIndex.readStats(spark, streamed)
+    sink(d1.toDF(), 0L)
+    assert(InvertedIndex.readStats(spark, streamed) === statsBefore,
+      "replayed batch 0 must not double-append")
+  }
+
   test("state cap bounds bucket growth") {
     implicit val s = spark
     import s.implicits._

@@ -290,24 +290,27 @@ object QueriesCurate {
   val qBm25Sql: String = bm25OracleSql(Bm25Terms, 20)
 
   /** The BM25 oracle parametrized by query terms/k — shared verbatim by
-    * q_bm25 (direct scoring) and q_postings_topk (the persisted
-    * inverted-index serving path), because the layout must never change
-    * the answer.
+    * q_bm25 (direct scoring), q_postings_topk (the persisted
+    * inverted-index serving path), and q_index_incr (append ≡ rebuild),
+    * because the layout must never change the answer. `docFilter`
+    * restricts the corpus (q_index_delete's compacted-survivor oracle);
+    * the default TRUE is the full corpus.
     */
-  private[graft] def bm25OracleSql(termSeq: Seq[String], topK: Int): String = {
+  private[graft] def bm25OracleSql(termSeq: Seq[String], topK: Int,
+      docFilter: String = "TRUE"): String = {
     val terms = termSeq.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END::DOUBLE AS dl
-      |  FROM documents),
+      |  FROM documents WHERE $docFilter),
       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
       |tf AS (
       |  SELECT doc_id, tok, count(*)::DOUBLE AS tf
       |  FROM (SELECT doc_id, unnest(list_filter(
       |          regexp_split_to_array(trim(lower(text)), '\\s+'),
       |          x -> len(x) > 0)) AS tok
-      |        FROM documents WHERE length(trim(text)) > 0)
+      |        FROM documents WHERE length(trim(text)) > 0 AND $docFilter)
       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
       |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
       |SELECT tf.doc_id, round(sum(

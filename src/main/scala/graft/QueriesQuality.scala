@@ -1121,6 +1121,36 @@ object QueriesQuality {
   // append ≡ rebuild: the oracle is the full-corpus BM25, unchanged
   val qIndexIncrSql: String = QueriesCurate.bm25OracleSql(IncrTerms, 20)
 
+  /** q_index_delete — the delete/compact half of index maintenance
+    * (Lucene-style: [[graft.llm.InvertedIndex.delete]] tombstones ids in
+    * O(|delete|) and serving excludes them immediately;
+    * [[graft.llm.InvertedIndex.compact]] rewrites the index without them
+    * — one index-sized pass, one file per bucket — and restores exact
+    * survivor stats). The query builds over the full corpus, deletes
+    * doc_id ≡ 0 mod 10, compacts, and serves; the oracle is a fresh
+    * build over the SURVIVORS (the same BM25 SQL restricted to
+    * `doc_id % 10 <> 0`), so delete+compact ≡ rebuild-on-survivors is
+    * driver-hash-checked. The pre-compact (tombstones-active) serving
+    * semantics are spec-pinned in InvertedIndexSpec.
+    */
+  val qIndexDelete: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(s, dir)
+    val out = TempDirs.create("graft_postings_del")
+    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = PostingsBuckets)
+    InvertedIndex.delete(s, out,
+      docs.where(pmod(col("doc_id"), lit(10)) === 0).select("doc_id"),
+      col("doc_id"))
+    InvertedIndex.compact(s, out)
+    InvertedIndex.bm25TopK(s, out, IncrTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qIndexDeleteSql: String =
+    QueriesCurate.bm25OracleSql(IncrTerms, 20, docFilter = "doc_id % 10 <> 0")
+
   /** q_hash_classifier — the learned-quality-gate apply step
     * ([[graft.llm.HashClassifier]]): every document scored by a hashed
     * linear model over its tokens (hashing-trick buckets from the
@@ -1269,6 +1299,7 @@ object QueriesQuality {
     "q_ivfpq_incr" -> qIvfPqIncr,
     "q_postings_topk" -> qPostingsTopk,
     "q_index_incr" -> qIndexIncr,
+    "q_index_delete" -> qIndexDelete,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1296,6 +1327,7 @@ object QueriesQuality {
     "q_ivfpq_incr" -> qIvfPqIncrSql,
     "q_postings_topk" -> qPostingsTopkSql,
     "q_index_incr" -> qIndexIncrSql,
+    "q_index_delete" -> qIndexDeleteSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

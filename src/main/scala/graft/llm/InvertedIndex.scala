@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * full-rebuild sum bit-for-bit in any order, and the one avgdl
   * division at serve time lands on the identical double either way —
   * append ≡ rebuild is an equality, not an approximation.
+  *
+  * Deletes are Lucene-style ([[delete]]/[[compact]]): an O(|delete|)
+  * tombstone write makes docs invisible to serving immediately;
+  * [[compact]] later rewrites the index without them (index-sized, one
+  * file per bucket — also healing append's small-file accumulation)
+  * and restores exact stats, after which the index is equivalent to a
+  * fresh build over the survivors.
   */
 object InvertedIndex {
 
@@ -55,6 +62,15 @@ object InvertedIndex {
     * ones included, which produce no postings) is counted when the
     * write action executes.
     */
+  /** The sentinel "term" carried by a token-less document's single
+    * posting row: tokens are non-empty by construction, so "" can never
+    * collide with a real term, and no query term ever matches it. The
+    * sentinel makes the postings relation COMPLETE over documents
+    * (every doc has ≥ 1 row carrying its dl), which is what lets
+    * [[compact]] recompute exact survivor stats from the index alone.
+    */
+  private val EmptyDocTerm = ""
+
   private def postings(docs: DataFrame, id: Column,
       text: Column): (DataFrame, Observation) = {
     val obs = Observation()
@@ -63,8 +79,13 @@ object InvertedIndex {
         TextStats.tokenCount(text).cast("double").as("dl"))
       .observe(obs, count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"))
+    // explode_outer + coalesce: a token-less doc yields one sentinel row
+    // instead of vanishing from the index (the generator must be
+    // top-level in its projection; the coalesce follows in the next)
     val post = base
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term0"))
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("term0"), lit(EmptyDocTerm)).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
     (post, obs)
@@ -136,6 +157,75 @@ object InvertedIndex {
   def bucketCol(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** Lucene-style deletes: mark `ids` as tombstoned NOW (an id-only
+    * append to the `_tombstones` sidecar — O(|delete|), touches no
+    * postings file), reclaim space and stats at the next [[compact]].
+    * Until then serving anti-joins the tombstones — deleted docs can
+    * never appear in results and no longer count toward term document
+    * frequencies — while the sidecar's corpus-level N/avgdl stay stale
+    * (exactly Lucene's semantics: docFreq-visible deletes, corpus stats
+    * corrected at merge). Deleting an absent id is a harmless no-op.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      id: Column): Unit =
+    ids.select(id.cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+
+  /** The tombstone set, if any delete has run since the last compact. */
+  private def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Rewrite the index without its tombstoned documents and with exact
+    * survivor stats — the merge step that turns [[delete]]'s logical
+    * removal physical. One index-sized rewrite (never corpus-sized):
+    * postings anti-join the tombstones, repartition by bucket (each
+    * bucket's rows land in exactly one task → ONE file per bucket, so
+    * compaction also heals the small-file accumulation of repeated
+    * [[append]]s), and survivor stats come from the rewritten index
+    * itself — exact because the sentinel rows make postings complete
+    * over documents and (n_docs, sum_dl) are integer-valued-double
+    * sums. After compact, the index is bit-equivalent in content and
+    * stats to a fresh [[write]] over the surviving documents
+    * (spec-pinned). The swap is delete-then-rename (brief
+    * unavailability; a manifest-pointer layout would swap atomically —
+    * out of scope for plain parquet directories). Compaction also
+    * clears the `_tombstones` sidecar (their work is done) and any
+    * `_applied` stream-batch markers — compact a stream-fed index only
+    * while its query is stopped, as any merge operation. Returns the
+    * surviving (nDocs, avgdl).
+    */
+  def compact(spark: SparkSession, path: String): (Double, Double) = {
+    val st = readStats(spark, path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val survivors = tombstones(spark, path) match {
+      case Some(t) =>
+        spark.read.parquet(path)
+          .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => spark.read.parquet(path)
+    }
+    survivors
+      .select("term", "doc_id", "dl", "tf", "bucket")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    // exact survivor stats off the rewritten (index-sized) relation:
+    // one row per (doc, dl) thanks to the sentinel discipline
+    val d = spark.read.parquet(tmp).select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
+    val out = readStats(spark, path)
+    (out.nDocs, out.avgdl)
+  }
+
   /** BM25 top-`topK` for `queryTerms` over the persisted index, reading
     * only the terms' buckets. df comes from the probed postings (exact:
     * every posting of a query term lives in that term's bucket).
@@ -150,9 +240,16 @@ object InvertedIndex {
     val buckets = queryTerms.toDF("term")
       .select(bucketCol(col("term"), st.nBuckets)).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    val post = spark.read.parquet(path)
+    val probed = spark.read.parquet(path)
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
+    // logical deletes: tombstoned docs leave results AND df counts now;
+    // corpus stats correct at the next compact (Lucene semantics)
+    val post = tombstones(spark, path) match {
+      case Some(t) =>
+        probed.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => probed
+    }
     val dfTable = post.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     post.join(broadcast(dfTable), "term")

@@ -74,16 +74,66 @@ object IvfPq {
       .join(Cluster.assignWith(df, id, vec, cents)
         .select(col("id"), col("cluster")), "id")
 
+  /** Lucene-style deletes for the vector index: an O(|delete|)
+    * tombstone write ([[graft.llm.InvertedIndex.delete]]'s discipline)
+    * makes the ids invisible to every serve immediately; [[compact]]
+    * reclaims their code rows. Deleting an absent id is a no-op.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      id: Column): Unit =
+    ids.select(id.cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+
+  private def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Rewrite the index without its tombstoned ids: one index-sized
+    * (never corpus-sized) pass — anti-join the tombstones, repartition
+    * by cluster (ONE file per cluster directory, healing [[append]]'s
+    * small-file accumulation), delete-then-rename swap. Codes are
+    * deterministic per row, so the compacted index is content-equal to
+    * a fresh [[write]] over the survivors (spec-pinned).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val survivors = tombstones(spark, path) match {
+      case Some(t) =>
+        spark.read.parquet(path)
+          .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => spark.read.parquet(path)
+    }
+    survivors.select("id", "codes", "cluster")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
+  }
+
   /** The probed partition scan for `query` — `cluster IN (…)` becomes
     * PartitionFilters, so unprobed directories are never listed or
-    * read. Shared by [[serve]] and [[serveReranked]].
+    * read; tombstoned ids (if any [[delete]] ran since the last
+    * [[compact]]) are anti-joined out before scoring. Shared by
+    * [[serve]] and [[serveReranked]].
     */
   def probedCodes(spark: SparkSession, path: String,
       cents: Array[Array[Double]], query: Array[Double],
       nProbe: Int): DataFrame = {
     val probes = probeOrder(cents, query, nProbe)
-    spark.read.parquet(path)
+    val scan = spark.read.parquet(path)
       .where(col("cluster").isin(probes: _*))
+    tombstones(spark, path) match {
+      case Some(t) =>
+        scan.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => scan
+    }
   }
 
   /** ADC top-`topK` for a client-supplied `query` vector: reads ONLY

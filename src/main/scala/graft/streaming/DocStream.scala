@@ -110,18 +110,43 @@ object DocStream {
     * .applyChanges]]-style dedupe in front instead.
     */
   def postingsDeltaSink(path: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => {
-      import org.apache.hadoop.fs.Path
-      val marker = new Path(path, s"_applied/batch-$batchId")
-      val fs = marker.getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        import org.apache.spark.sql.functions.col
-        graft.llm.InvertedIndex.append(batch, col("doc_id"), col("text"), path)
-        fs.mkdirs(marker.getParent)
-        fs.create(marker, false).close()
-      }
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.InvertedIndex.append(batch, col("doc_id"), col("text"), path)
     }
+
+  /** The vector-index twin of [[postingsDeltaSink]]: merge each
+    * micro-batch of (vec_id, embedding) rows into a persisted IVF-PQ
+    * layout via [[graft.llm.IvfPq.append]], encoding against the FROZEN
+    * models (the artifact discipline that makes incremental encode
+    * valid). Same `_applied` marker replay guard, same at-least-once
+    * caveat as the postings sink.
+    */
+  def vectorDeltaSink(path: String, cents: Array[Array[Double]],
+      pqCents: Array[Array[Array[Double]]]): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.IvfPq.append(batch, col("vec_id"), col("embedding"),
+        cents, pqCents, path)
+    }
+
+  /** Replay guard shared by the index sinks: run `body` only if this
+    * batchId has no `_applied` marker yet, then mark it — through the
+    * index path's own Hadoop filesystem (the path may be
+    * s3a/gs/abfs, never java.io).
+    */
+  private def appliedOnce(batch: DataFrame, path: String, batchId: Long)
+      (body: => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(path, s"_applied/batch-$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
+    }
+  }
 
   def nearDupFlags(docs: Dataset[Doc],
                    shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,

@@ -107,6 +107,78 @@ class InvertedIndexSpec extends SparkSpec {
     b.result()
   }
 
+  test("delete tombstones serve-invisibly now; compact equals a rebuild on survivors") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_del").toString
+    val reb = java.nio.file.Files.createTempDirectory("invidx_del_reb").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val statsFull = InvertedIndex.readStats(spark, idx)
+    val deadIds = docs.where(pmod(col("doc_id"), lit(4)) === 1)
+    InvertedIndex.delete(spark, idx, deadIds.select("doc_id"), col("doc_id"))
+    val dead = deadIds.select("doc_id").collect().map(_.getLong(0)).toSet
+    // pre-compact: deleted docs can't appear in results, but the corpus
+    // sidecar is intentionally stale (Lucene semantics)
+    val preCompact = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(preCompact.nonEmpty && preCompact.forall(id => !dead(id)))
+    assert(InvertedIndex.readStats(spark, idx) === statsFull)
+    // compact ≡ fresh build over the survivors: stats bit-equal,
+    // served rows equal, tombstones gone
+    InvertedIndex.compact(spark, idx)
+    val survivors = docs.where(pmod(col("doc_id"), lit(4)) =!= 1)
+    InvertedIndex.write(survivors, col("doc_id"), col("text"), reb, nBuckets = 16)
+    assert(InvertedIndex.readStats(spark, idx) ===
+      InvertedIndex.readStats(spark, reb))
+    def serve(p: String) = InvertedIndex.bm25TopK(spark, p, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(serve(idx) === serve(reb))
+    assert(!new java.io.File(idx, "_tombstones").exists())
+  }
+
+  test("compact with no tombstones heals append's small files: one file per bucket, nothing changes") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_heal").toString
+    InvertedIndex.write(docs.where(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), idx, nBuckets = 8)
+    InvertedIndex.append(docs.where(col("doc_id") % 2 =!= 0),
+      col("doc_id"), col("text"), idx)
+    val statsBefore = InvertedIndex.readStats(spark, idx)
+    val servedBefore = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val filesBefore = allDataFiles(idx).size
+    InvertedIndex.compact(spark, idx)
+    val buckets = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val n = b.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${b.getName} has $n files after compact")
+    }
+    assert(allDataFiles(idx).size < filesBefore)
+    assert(InvertedIndex.readStats(spark, idx) === statsBefore)
+    val servedAfter = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(servedAfter === servedBefore)
+  }
+
+  test("token-less docs survive the index round-trip: counted in stats, preserved by compact") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "),
+      (4L, "alpha")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_empty").toString
+    val (n, avgdl) = InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 4)
+    assert(n === 4.0)            // empty docs count toward N
+    assert(avgdl === 3.0 / 4.0)  // 2 + 0 + 0 + 1 tokens
+    InvertedIndex.compact(spark, idx)
+    // the sentinel rows carried the token-less docs through the rewrite
+    assert(InvertedIndex.readStats(spark, idx) ===
+      InvertedIndex.Stats(4.0, 3.0, 4))
+    val served = InvertedIndex.bm25TopK(spark, idx, Seq("alpha"), topK = 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(served.toSet === Set(1L, 4L))
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

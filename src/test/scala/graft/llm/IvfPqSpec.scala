@@ -75,6 +75,35 @@ class IvfPqSpec extends SparkSpec {
     assert(rr === exactOfCand)
   }
 
+  test("delete tombstones serve-invisibly now; compact equals a rebuild on survivors") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    val reb = java.nio.file.Files.createTempDirectory("ivfpq_del_reb").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    val deadIds = emb.where(pmod(col("vec_id"), lit(4)) === 1)
+    IvfPq.delete(spark, idx, deadIds.select("vec_id"), col("vec_id"))
+    val dead = deadIds.select("vec_id").collect().map(_.getLong(0)).toSet
+    def serve(p: String) =
+      IvfPq.serve(spark, p, cents, pqCents, anchor, nProbe = 4, topK = 20)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    // pre-compact: tombstoned ids never surface
+    val pre = serve(idx)
+    assert(pre.nonEmpty && pre.forall(r => !dead(r._1)))
+    IvfPq.compact(spark, idx)
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(4)) =!= 1),
+      col("vec_id"), col("embedding"), cents, pqCents, reb)
+    assert(serve(idx) === serve(reb))
+    // compact also == the pre-compact logical view (codes deterministic)
+    assert(serve(idx) === pre)
+    assert(!new java.io.File(idx, "_tombstones").exists())
+    // one file per cluster directory after compact
+    new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .foreach { c =>
+        val n = c.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n === 1, s"${c.getName} has $n files after compact")
+      }
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

@@ -255,6 +255,41 @@ class DocStreamSpec extends SparkSpec {
       "replayed batch 0 must not double-append")
   }
 
+  test("streaming vector-delta sink converges to the batch-built IVF-PQ index") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.{Cluster, IvfPq, ProductQuant}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Cluster.fitCentroids(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), k = 4, iters = 1)
+    val pqCents = ProductQuant.fit(emb, col("vec_id"), col("embedding"),
+      m = 4, k = 8, iters = 1)
+    val base = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val deltaRows = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val streamed = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_stream_full").toString
+    IvfPq.write(base, col("vec_id"), col("embedding"), cents, pqCents, streamed)
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, full)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(deltaRows)
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(DocStream.vectorDeltaSink(streamed, cents, pqCents))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    val anchor = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    def serve(p: String) = IvfPq.serve(spark, p, cents, pqCents, anchor,
+        nProbe = 3, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    assert(serve(streamed) === serve(full))
+  }
+
   test("state cap bounds bucket growth") {
     implicit val s = spark
     import s.implicits._

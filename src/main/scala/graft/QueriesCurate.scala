@@ -293,24 +293,25 @@ object QueriesCurate {
     * q_bm25 (direct scoring), q_postings_topk (the persisted
     * inverted-index serving path), and q_index_incr (append ≡ rebuild),
     * because the layout must never change the answer. `docFilter`
-    * restricts the corpus (q_index_delete's compacted-survivor oracle);
-    * the default TRUE is the full corpus.
+    * restricts the corpus (q_index_delete's compacted-survivor oracle)
+    * and `textExpr` rewrites it (q_index_upsert's post-merge oracle);
+    * the defaults are the full unmodified corpus.
     */
   private[graft] def bm25OracleSql(termSeq: Seq[String], topK: Int,
-      docFilter: String = "TRUE"): String = {
+      docFilter: String = "TRUE", textExpr: String = "text"): String = {
     val terms = termSeq.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END::DOUBLE AS dl
+      |    CASE WHEN length(trim($textExpr)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower($textExpr)), '\\s+')) END::DOUBLE AS dl
       |  FROM documents WHERE $docFilter),
       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
       |tf AS (
       |  SELECT doc_id, tok, count(*)::DOUBLE AS tf
       |  FROM (SELECT doc_id, unnest(list_filter(
-      |          regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |          regexp_split_to_array(trim(lower($textExpr)), '\\s+'),
       |          x -> len(x) > 0)) AS tok
-      |        FROM documents WHERE length(trim(text)) > 0 AND $docFilter)
+      |        FROM documents WHERE length(trim($textExpr)) > 0 AND $docFilter)
       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
       |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
       |SELECT tf.doc_id, round(sum(

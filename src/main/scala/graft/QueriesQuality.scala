@@ -1151,6 +1151,48 @@ object QueriesQuality {
   val qIndexDeleteSql: String =
     QueriesCurate.bm25OracleSql(IncrTerms, 20, docFilter = "doc_id % 10 <> 0")
 
+  /** q_index_upsert — the full CRUD story on a live index
+    * ([[graft.llm.InvertedIndex.applyChangeFeed]]): a change feed
+    * rewrites every doc_id ≡ 0 mod 10 (text + " updated") and deletes
+    * every doc_id ≡ 3 mod 7, applied as two delta-sized steps — touched
+    * ids tombstone at generation g, upserted versions re-append at
+    * g+1, alive past their own tombstone by the sequence-number
+    * ordering (no rebuild anywhere). After [[graft.llm.InvertedIndex
+    * .compact]] the index must equal a fresh build over the post-merge
+    * corpus, which is exactly what the oracle computes in SQL
+    * (docFilter drops the deletes, textExpr applies the rewrite). The
+    * query terms include "updated" so the upserted versions' new token
+    * must surface for the hash to match.
+    */
+  val UpsertTerms = Seq("updated", "scan", "merge")
+
+  val qIndexUpsert: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(s, dir)
+    val out = TempDirs.create("graft_postings_ups")
+    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = PostingsBuckets)
+    // well-formed feed: one op per id (deletes win the overlap)
+    val upserts = docs
+      .where(pmod(col("doc_id"), lit(10)) === 0 &&
+        pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"),
+        lit("upsert").as("op"))
+    val deletes = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+    InvertedIndex.applyChangeFeed(upserts.unionByName(deletes),
+      col("doc_id"), col("text"), col("op"), out)
+    InvertedIndex.compact(s, out)
+    InvertedIndex.bm25TopK(s, out, UpsertTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qIndexUpsertSql: String = QueriesCurate.bm25OracleSql(
+    UpsertTerms, 20,
+    docFilter = "doc_id % 7 <> 3",
+    textExpr = "CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END")
+
   /** q_hash_classifier — the learned-quality-gate apply step
     * ([[graft.llm.HashClassifier]]): every document scored by a hashed
     * linear model over its tokens (hashing-trick buckets from the
@@ -1300,6 +1342,7 @@ object QueriesQuality {
     "q_postings_topk" -> qPostingsTopk,
     "q_index_incr" -> qIndexIncr,
     "q_index_delete" -> qIndexDelete,
+    "q_index_upsert" -> qIndexUpsert,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1328,6 +1371,7 @@ object QueriesQuality {
     "q_postings_topk" -> qPostingsTopkSql,
     "q_index_incr" -> qIndexIncrSql,
     "q_index_delete" -> qIndexDeleteSql,
+    "q_index_upsert" -> qIndexUpsertSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -91,11 +91,20 @@ object InvertedIndex {
     (post, obs)
   }
 
+  /** The sidecar also carries the index GENERATION — a monotone counter
+    * bumped by every maintenance op. Rows are stamped with the
+    * generation that wrote them; a tombstone records the generation at
+    * which its id died and kills only OLDER rows (Lucene's
+    * sequence-number deletes). That `row.gen < tombstone.gen` ordering
+    * is what makes upsert = delete + append correct without a rebuild:
+    * the re-appended version carries a newer generation than the
+    * tombstone that killed its predecessor.
+    */
   private def writeStats(spark: SparkSession, path: String,
-      st: Stats): Unit = {
+      st: Stats, gen: Long): Unit = {
     import spark.implicits._
-    Seq((st.nDocs, st.sumDl, st.nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+    Seq((st.nDocs, st.sumDl, st.nBuckets, gen))
+      .toDF("n_docs", "sum_dl", "n_buckets", "gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
@@ -105,6 +114,9 @@ object InvertedIndex {
     Stats(r.getAs[Double]("n_docs"), r.getAs[Double]("sum_dl"),
       r.getAs[Int]("n_buckets"))
   }
+
+  private def readGen(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/_stats").head().getAs[Long]("gen")
 
   private def observed(obs: Observation): (Double, Double) = {
     val m = obs.get
@@ -120,10 +132,11 @@ object InvertedIndex {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val (post, obs) = postings(docs, id, text)
     post.withColumn("bucket", bucketCol(col("term"), nBuckets))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val (nDocs, sumDl) = observed(obs)
     val st = Stats(nDocs, sumDl, nBuckets)
-    writeStats(docs.sparkSession, path, st)
+    writeStats(docs.sparkSession, path, st, gen = 0L)
     (nDocs, st.avgdl)
   }
 
@@ -142,12 +155,14 @@ object InvertedIndex {
       path: String): (Double, Double) = {
     val spark = docs.sparkSession
     val old = readStats(spark, path)
+    val gen = readGen(spark, path) + 1
     val (post, obs) = postings(docs, id, text)
     post.withColumn("bucket", bucketCol(col("term"), old.nBuckets))
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket").parquet(path)
     val (dN, dSum) = observed(obs)
     val st = Stats(old.nDocs + dN, old.sumDl + dSum, old.nBuckets)
-    writeStats(spark, path, st)
+    writeStats(spark, path, st, gen)
     (st.nDocs, st.avgdl)
   }
 
@@ -164,12 +179,41 @@ object InvertedIndex {
     * never appear in results and no longer count toward term document
     * frequencies — while the sidecar's corpus-level N/avgdl stay stale
     * (exactly Lucene's semantics: docFreq-visible deletes, corpus stats
-    * corrected at merge). Deleting an absent id is a harmless no-op.
+    * corrected at merge). Each tombstone is stamped with the NEW index
+    * generation and kills only rows of OLDER generations, so a later
+    * [[append]] of the same id (an upsert's second half) stays alive.
+    * Deleting an absent id is a harmless no-op.
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-      id: Column): Unit =
+      id: Column): Unit = {
+    val st = readStats(spark, path)
+    val gen = readGen(spark, path) + 1
     ids.select(id.cast("long").as("doc_id")).distinct()
+      .withColumn("gen", lit(gen))
       .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+    writeStats(spark, path, st, gen)
+  }
+
+  /** Apply a change feed to a live index — the maintenance capstone:
+    * `op` = "upsert" replaces (or adds) the document with that id,
+    * "delete" removes it; untouched documents keep their postings. Two
+    * delta-sized steps against the live layout, no rebuild: every
+    * touched id is tombstoned at generation g, then the upserted
+    * versions re-append at generation g+1 (alive past their own
+    * tombstone by the generation ordering). Old versions vanish from
+    * serving and new versions surface immediately; scores use
+    * Lucene-stale corpus scalars (N/avgdl) until [[compact]], after
+    * which the index equals a fresh build over the post-merge corpus
+    * (q_index_upsert hash-checks exactly that).
+    * Same well-formed-feed contract as [[Snapshot.applyChanges]]: at
+    * most one op per id.
+    */
+  def applyChangeFeed(feed: DataFrame, id: Column, text: Column,
+      op: Column, path: String): (Double, Double) = {
+    val spark = feed.sparkSession
+    delete(spark, path, feed.select(id.as("doc_id")), col("doc_id"))
+    append(feed.where(op === "upsert"), id, text, path)
+  }
 
   /** The tombstone set, if any delete has run since the last compact. */
   private def tombstones(spark: SparkSession,
@@ -179,6 +223,21 @@ object InvertedIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
     else None
   }
+
+  /** `rows` minus the tombstoned ones: a row dies only to a tombstone
+    * of a strictly newer generation (broadcast anti-join; tombstone
+    * sets are delete-sized, never corpus-sized).
+    */
+  private def liveRows(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) =>
+        val dead = t.select(col("doc_id").as("_t_id"), col("gen").as("_t_gen"))
+        rows.join(broadcast(dead),
+          rows("doc_id") === col("_t_id") && rows("gen") < col("_t_gen"),
+          "left_anti")
+      case None => rows
+    }
 
   /** Rewrite the index without its tombstoned documents and with exact
     * survivor stats — the merge step that turns [[delete]]'s logical
@@ -202,21 +261,19 @@ object InvertedIndex {
   def compact(spark: SparkSession, path: String): (Double, Double) = {
     val st = readStats(spark, path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    val survivors = tombstones(spark, path) match {
-      case Some(t) =>
-        spark.read.parquet(path)
-          .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      case None => spark.read.parquet(path)
-    }
+    val survivors = liveRows(spark, path, spark.read.parquet(path))
+    // generations reset to 0: with the tombstones gone, history is spent
     survivors
-      .select("term", "doc_id", "dl", "tf", "bucket")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("bucket"), lit(0L).as("gen"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     // exact survivor stats off the rewritten (index-sized) relation:
     // one row per (doc, dl) thanks to the sentinel discipline
     val d = spark.read.parquet(tmp).select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
-    writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets))
+    writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets),
+      gen = 0L)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -245,11 +302,7 @@ object InvertedIndex {
         col("term").isin(queryTerms: _*))
     // logical deletes: tombstoned docs leave results AND df counts now;
     // corpus stats correct at the next compact (Lucene semantics)
-    val post = tombstones(spark, path) match {
-      case Some(t) =>
-        probed.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      case None => probed
-    }
+    val post = liveRows(spark, path, probed)
     val dfTable = post.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     post.join(broadcast(dfTable), "term")

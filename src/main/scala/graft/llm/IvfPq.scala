@@ -44,28 +44,61 @@ object IvfPq {
     }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2).toSeq
 
   /** Encode `df`'s vectors against the frozen models and persist the
-    * index under `path`: (id, codes) rows in `cluster=…` directories.
-    * One narrow encode/assign pass + the partitioned write; the on-disk
-    * index holds code bytes only, never raw vectors.
+    * index under `path`: (id, codes, gen) rows in `cluster=…`
+    * directories. One narrow encode/assign pass + the partitioned
+    * write; the on-disk index holds code bytes only, never raw vectors.
+    * `gen` is the maintenance generation ([[graft.llm.InvertedIndex]]'s
+    * sequence-number discipline: tombstones kill only older rows, so
+    * upsert = delete + append needs no rebuild).
     */
   def write(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
-      path: String): Unit =
+      path: String): Unit = {
     encoded(df, id, vec, cents, pqCents)
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    writeGen(df.sparkSession, path, 0L)
+  }
 
   /** Merge a delta snapshot into an existing index: encode ONLY the
     * delta against the same frozen models and append into the same
     * cluster directories — cost ∝ delta size, never corpus size.
-    * Contract: delta ids must be NEW (updates/deletes route through
-    * [[Snapshot.applyChanges]] upstream); per-row encoding is
-    * deterministic, so append ≡ rebuild for every serving read.
+    * Delta ids are NEW or upserts whose old versions a preceding
+    * [[delete]] tombstoned; per-row encoding is deterministic, so
+    * append ≡ rebuild for every serving read.
     */
   def append(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
-      path: String): Unit =
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val gen = readGen(spark, path) + 1
     encoded(df, id, vec, cents, pqCents)
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("cluster").parquet(path)
+    writeGen(spark, path, gen)
+  }
+
+  /** Apply a (id, vector, op) change feed to a live vector index:
+    * upsert re-embeds, delete removes — two delta-sized steps (see
+    * [[graft.llm.InvertedIndex.applyChangeFeed]] for the generation
+    * argument; [[compact]] makes the removal physical).
+    */
+  def applyChangeFeed(feed: DataFrame, id: Column, vec: Column,
+      op: Column, path: String, cents: Array[Array[Double]],
+      pqCents: Array[Array[Array[Double]]]): Unit = {
+    val spark = feed.sparkSession
+    delete(spark, path, feed.select(id.as("id")), col("id"))
+    append(feed.where(op === "upsert"), id, vec, cents, pqCents, path)
+  }
+
+  private def writeGen(spark: SparkSession, path: String, gen: Long): Unit = {
+    import spark.implicits._
+    Seq(gen).toDF("gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_gen")
+  }
+
+  private def readGen(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/_gen").head().getLong(0)
 
   private def encoded(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]],
@@ -80,9 +113,13 @@ object IvfPq {
     * reclaims their code rows. Deleting an absent id is a no-op.
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-      id: Column): Unit =
+      id: Column): Unit = {
+    val gen = readGen(spark, path) + 1
     ids.select(id.cast("long").as("id")).distinct()
+      .withColumn("gen", lit(gen))
       .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+    writeGen(spark, path, gen)
+  }
 
   private def tombstones(spark: SparkSession,
       path: String): Option[DataFrame] = {
@@ -91,6 +128,20 @@ object IvfPq {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
     else None
   }
+
+  /** `rows` minus tombstoned ones — a row dies only to a strictly
+    * newer-generation tombstone (broadcast anti-join, delete-sized).
+    */
+  private def liveRows(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) =>
+        val dead = t.select(col("id").as("_t_id"), col("gen").as("_t_gen"))
+        rows.join(broadcast(dead),
+          rows("id") === col("_t_id") && rows("gen") < col("_t_gen"),
+          "left_anti")
+      case None => rows
+    }
 
   /** Rewrite the index without its tombstoned ids: one index-sized
     * (never corpus-sized) pass — anti-join the tombstones, repartition
@@ -101,13 +152,10 @@ object IvfPq {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    val survivors = tombstones(spark, path) match {
-      case Some(t) =>
-        spark.read.parquet(path)
-          .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => spark.read.parquet(path)
-    }
-    survivors.select("id", "codes", "cluster")
+    val survivors = liveRows(spark, path, spark.read.parquet(path))
+    // generations reset: with the tombstones gone, history is spent
+    survivors.select(col("id"), col("codes"), col("cluster"),
+        lit(0L).as("gen"))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -115,6 +163,7 @@ object IvfPq {
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
+    writeGen(spark, path, 0L)
   }
 
   /** The probed partition scan for `query` — `cluster IN (…)` becomes
@@ -127,13 +176,8 @@ object IvfPq {
       cents: Array[Array[Double]], query: Array[Double],
       nProbe: Int): DataFrame = {
     val probes = probeOrder(cents, query, nProbe)
-    val scan = spark.read.parquet(path)
-      .where(col("cluster").isin(probes: _*))
-    tombstones(spark, path) match {
-      case Some(t) =>
-        scan.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => scan
-    }
+    liveRows(spark, path, spark.read.parquet(path)
+      .where(col("cluster").isin(probes: _*)))
   }
 
   /** ADC top-`topK` for a client-supplied `query` vector: reads ONLY

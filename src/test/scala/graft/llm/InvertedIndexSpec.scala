@@ -179,6 +179,47 @@ class InvertedIndexSpec extends SparkSpec {
     assert(served.toSet === Set(1L, 4L))
   }
 
+  test("change feed upserts live through their own tombstone; compact equals rebuild on the merged corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_ups").toString
+    val reb = java.nio.file.Files.createTempDirectory("invidx_ups_reb").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val upserts = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zupserted")).as("text"),
+        lit("upsert").as("op"))
+    val deletes = docs.where(pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+    InvertedIndex.applyChangeFeed(upserts.unionByName(deletes),
+      col("doc_id"), col("text"), col("op"), idx)
+    // PRE-compact: upserted docs are searchable by their NEW token and
+    // deleted docs are gone — the generation ordering at work
+    val zHits = InvertedIndex.bm25TopK(spark, idx, Seq("zupserted"), topK = 1000)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(zHits === upserts.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val preIds = InvertedIndex.bm25TopK(spark, idx, terms, topK = 1000)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val deadIds = deletes.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(preIds.intersect(deadIds).isEmpty)
+    // POST-compact: bit-equal to a fresh build over the merged corpus
+    InvertedIndex.compact(spark, idx)
+    val merged = docs.where(pmod(col("doc_id"), lit(5)) =!= 1)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" zupserted")))
+          .otherwise(col("text")).as("text"))
+    InvertedIndex.write(merged, col("doc_id"), col("text"), reb, nBuckets = 16)
+    assert(InvertedIndex.readStats(spark, idx) ===
+      InvertedIndex.readStats(spark, reb))
+    def serve(p: String, t: Seq[String]) =
+      InvertedIndex.bm25TopK(spark, p, t, topK = 50)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(serve(idx, terms) === serve(reb, terms))
+    assert(serve(idx, Seq("zupserted")) === serve(reb, Seq("zupserted")))
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

@@ -104,6 +104,33 @@ class IvfPqSpec extends SparkSpec {
       }
   }
 
+  test("vector change feed: upserts re-embed past their tombstone; compact equals rebuild on the merged set") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_ups").toString
+    val reb = java.nio.file.Files.createTempDirectory("ivfpq_ups_reb").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    // upsert: vectors re-embedded as their reverse; delete another slice
+    val reverseU = udf { (v: Seq[Float]) => v.reverse }
+    val upserts = emb.where(pmod(col("vec_id"), lit(6)) === 2)
+      .select(col("vec_id"), reverseU(col("embedding")).as("embedding"),
+        lit("upsert").as("op"))
+    val deletes = emb.where(pmod(col("vec_id"), lit(6)) === 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    IvfPq.applyChangeFeed(upserts.unionByName(deletes),
+      col("vec_id"), col("embedding"), col("op"), idx, cents, pqCents)
+    IvfPq.compact(spark, idx)
+    val merged = emb.where(pmod(col("vec_id"), lit(6)) =!= 3)
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(6)) === 2, reverseU(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+    IvfPq.write(merged, col("vec_id"), col("embedding"), cents, pqCents, reb)
+    def serve(p: String) =
+      IvfPq.serve(spark, p, cents, pqCents, anchor, nProbe = 4, topK = 50)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    assert(serve(idx) === serve(reb))
+    val deadIds = deletes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(serve(idx).map(_._1).forall(id => !deadIds(id)))
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

@@ -1193,6 +1193,77 @@ object QueriesQuality {
     docFilter = "doc_id % 7 <> 3",
     textExpr = "CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END")
 
+  /** q_index_asof — time travel over the generation-stamped index
+    * ([[graft.llm.InvertedIndex.bm25TopK]]'s `asOfGen`): the SAME
+    * change feed as q_index_upsert runs against a fresh index, but the
+    * serve asks for generation 0 — the pre-feed state. Rows written
+    * later and tombstones placed later don't exist at that generation,
+    * and the corpus scalars come from the sidecar's generation LOG, so
+    * the answer must equal a serve over the ORIGINAL corpus — which is
+    * exactly what the oracle computes (the unmodified-corpus BM25 SQL,
+    * no docFilter, no textExpr). The query terms include "updated": the
+    * upserted versions' new token must be INVISIBLE as of gen 0 even
+    * though it is currently in the index files. No compact before the
+    * serve — history reaches back to the last compact, and compaction
+    * spends it (spec-pinned).
+    */
+  val qIndexAsof: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(s, dir)
+    val out = TempDirs.create("graft_postings_asof")
+    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = PostingsBuckets)
+    val upserts = docs
+      .where(pmod(col("doc_id"), lit(10)) === 0 &&
+        pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"),
+        lit("upsert").as("op"))
+    val deletes = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+    InvertedIndex.applyChangeFeed(upserts.unionByName(deletes),
+      col("doc_id"), col("text"), col("op"), out)
+    InvertedIndex.bm25TopK(s, out, UpsertTerms, topK = 20,
+      asOfGen = Some(0L))
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  // as-of gen 0 ≡ the unmodified corpus, feed notwithstanding
+  val qIndexAsofSql: String = QueriesCurate.bm25OracleSql(UpsertTerms, 20)
+
+  /** q_postings_batch — batched retrieval serving
+    * ([[graft.llm.InvertedIndex.bm25TopKBatch]]): three queries scored
+    * in ONE probed scan of the persisted index (union of the batch's
+    * term buckets read once, df computed once per distinct term, a
+    * batch-sized broadcast fanning postings out to interested queries,
+    * top-20 per qid via a qid-partitioned rank window). Per query the
+    * scores are exactly [[graft.llm.InvertedIndex.bm25TopK]]'s — the
+    * oracle is a UNION ALL of the three single-query BM25 statements,
+    * so batch ≡ singles is driver-hash-checked; the batch-size-constant
+    * scan count and bucket pruning are spec-pinned in InvertedIndexSpec.
+    */
+  val BatchQueries: Seq[(String, Seq[String])] = Seq(
+    "q_filter" -> PostingsTerms,
+    "q_merge" -> IncrTerms,
+    "q_update" -> UpsertTerms)
+
+  val qPostingsBatch: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    import s.implicits._
+    val out = TempDirs.create("graft_postings_batch")
+    InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
+      col("text"), out, nBuckets = PostingsBuckets)
+    val queries = BatchQueries.toDF("qid", "terms")
+    InvertedIndex.bm25TopKBatch(s, out, queries, col("qid"), col("terms"),
+      topK = 20)
+      .select(col("qid"), col("id").as("doc_id"), col("score"))
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
+
+  val qPostingsBatchSql: String = BatchQueries.map { case (qid, terms) =>
+    s"SELECT '$qid' AS qid, doc_id, score FROM (\n${QueriesCurate.bm25OracleSql(terms, 20)}\n) AS sub_$qid"
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY qid, score DESC, doc_id")
+
   /** q_hash_classifier — the learned-quality-gate apply step
     * ([[graft.llm.HashClassifier]]): every document scored by a hashed
     * linear model over its tokens (hashing-trick buckets from the
@@ -1343,6 +1414,8 @@ object QueriesQuality {
     "q_index_incr" -> qIndexIncr,
     "q_index_delete" -> qIndexDelete,
     "q_index_upsert" -> qIndexUpsert,
+    "q_index_asof" -> qIndexAsof,
+    "q_postings_batch" -> qPostingsBatch,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1372,6 +1445,8 @@ object QueriesQuality {
     "q_index_incr" -> qIndexIncrSql,
     "q_index_delete" -> qIndexDeleteSql,
     "q_index_upsert" -> qIndexUpsertSql,
+    "q_index_asof" -> qIndexAsofSql,
+    "q_postings_batch" -> qPostingsBatchSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

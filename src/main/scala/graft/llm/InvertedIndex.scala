@@ -99,24 +99,44 @@ object InvertedIndex {
     * is what makes upsert = delete + append correct without a rebuild:
     * the re-appended version carries a newer generation than the
     * tombstone that killed its predecessor.
+    *
+    * The sidecar is an append-only LOG, one row per generation ([[write]]
+    * and [[compact]] truncate it back to gen 0): keeping every
+    * generation's (n_docs, sum_dl) is what makes [[bm25TopK]]'s
+    * `asOfGen` time travel exact — a historical serve reads the scalars
+    * the live serve would have used at that generation, not today's.
+    * History spans back to the last compact (Iceberg-style snapshot
+    * retention: compaction spends it).
     */
   private def writeStats(spark: SparkSession, path: String,
       st: Stats, gen: Long): Unit = {
     import spark.implicits._
+    val mode = if (gen == 0L) "overwrite" else "append"
     Seq((st.nDocs, st.sumDl, st.nBuckets, gen))
       .toDF("n_docs", "sum_dl", "n_buckets", "gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+      .coalesce(1).write.mode(mode).parquet(s"$path/_stats")
   }
 
-  /** The persisted stats sidecar of an index at `path`. */
-  def readStats(spark: SparkSession, path: String): Stats = {
-    val r = spark.read.parquet(s"$path/_stats").head()
+  private def statsRow(spark: SparkSession, path: String,
+      asOfGen: Option[Long]): org.apache.spark.sql.Row = {
+    val log = spark.read.parquet(s"$path/_stats")
+    val visible = asOfGen.fold(log)(g => log.where(col("gen") <= g))
+    visible.orderBy(col("gen").desc).head()
+  }
+
+  /** The persisted stats sidecar of an index at `path` — the latest
+    * generation, or the newest generation ≤ `asOfGen` when set.
+    */
+  def readStats(spark: SparkSession, path: String,
+      asOfGen: Option[Long] = None): Stats = {
+    val r = statsRow(spark, path, asOfGen)
     Stats(r.getAs[Double]("n_docs"), r.getAs[Double]("sum_dl"),
       r.getAs[Int]("n_buckets"))
   }
 
-  private def readGen(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/_stats").head().getAs[Long]("gen")
+  /** The index's current generation (0 after a fresh write or compact). */
+  def readGen(spark: SparkSession, path: String): Long =
+    statsRow(spark, path, None).getAs[Long]("gen")
 
   private def observed(obs: Observation): (Double, Double) = {
     val m = obs.get
@@ -226,18 +246,25 @@ object InvertedIndex {
 
   /** `rows` minus the tombstoned ones: a row dies only to a tombstone
     * of a strictly newer generation (broadcast anti-join; tombstone
-    * sets are delete-sized, never corpus-sized).
+    * sets are delete-sized, never corpus-sized). With `asOfGen` set,
+    * the index is viewed AS OF that generation: rows written later and
+    * tombstones placed later simply don't exist yet — which is all time
+    * travel is, given sequence-number maintenance.
     */
   private def liveRows(spark: SparkSession, path: String,
-      rows: DataFrame): DataFrame =
-    tombstones(spark, path) match {
+      rows: DataFrame, asOfGen: Option[Long] = None): DataFrame = {
+    val visible = asOfGen.fold(rows)(g => rows.where(col("gen") <= g))
+    tombstones(spark, path).map { t =>
+      asOfGen.fold(t)(g => t.where(col("gen") <= g))
+    } match {
       case Some(t) =>
         val dead = t.select(col("doc_id").as("_t_id"), col("gen").as("_t_gen"))
-        rows.join(broadcast(dead),
-          rows("doc_id") === col("_t_id") && rows("gen") < col("_t_gen"),
+        visible.join(broadcast(dead),
+          visible("doc_id") === col("_t_id") && visible("gen") < col("_t_gen"),
           "left_anti")
-      case None => rows
+      case None => visible
     }
+  }
 
   /** Rewrite the index without its tombstoned documents and with exact
     * survivor stats — the merge step that turns [[delete]]'s logical
@@ -283,38 +310,115 @@ object InvertedIndex {
     (out.nDocs, out.avgdl)
   }
 
-  /** BM25 top-`topK` for `queryTerms` over the persisted index, reading
-    * only the terms' buckets. df comes from the probed postings (exact:
-    * every posting of a query term lives in that term's bucket).
+  /** The live probed postings for a term set: `bucket IN` partition
+    * pruning + `term IN` residual, tombstones applied. Shared by the
+    * single-query and batched serves so their scores can never drift.
     */
-  def bm25TopK(spark: SparkSession, path: String, queryTerms: Seq[String],
-      topK: Int = 20): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val st = readStats(spark, path)
-    val (nDocs, avgdl) = (st.nDocs, st.avgdl)
+  private def probedPostings(spark: SparkSession, path: String,
+      queryTerms: Seq[String], nBuckets: Int,
+      asOfGen: Option[Long]): DataFrame = {
     // |terms| rows through the same codegen'd hash the writer used
     import spark.implicits._
     val buckets = queryTerms.toDF("term")
-      .select(bucketCol(col("term"), st.nBuckets)).distinct()
+      .select(bucketCol(col("term"), nBuckets)).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val probed = spark.read.parquet(path)
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
     // logical deletes: tombstoned docs leave results AND df counts now;
     // corpus stats correct at the next compact (Lucene semantics)
-    val post = liveRows(spark, path, probed)
+    liveRows(spark, path, probed, asOfGen)
+  }
+
+  /** The per-posting BM25 partial score, given corpus scalars. */
+  private def bm25Part(nDocs: Double, avgdl: Double): Column = {
+    val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    idf * col("tf") * (Bm25.K1 + 1) /
+      (col("tf") + lit(Bm25.K1) *
+        (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / avgdl))
+  }
+
+  /** BM25 top-`topK` for `queryTerms` over the persisted index, reading
+    * only the terms' buckets. df comes from the probed postings (exact:
+    * every posting of a query term lives in that term's bucket).
+    * `asOfGen` serves the index AS OF a past generation (time travel):
+    * rows, tombstones, AND the corpus scalars are all taken at that
+    * generation, so the answer equals what a live serve returned then —
+    * history reaches back to the last [[compact]].
+    */
+  def bm25TopK(spark: SparkSession, path: String, queryTerms: Seq[String],
+      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = readStats(spark, path, asOfGen)
+    val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
     val dfTable = post.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     post.join(broadcast(dfTable), "term")
-      .withColumn("idf",
-        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1))
-      .withColumn("part",
-        col("idf") * col("tf") * (Bm25.K1 + 1) /
-          (col("tf") + lit(Bm25.K1) *
-            (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / avgdl)))
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("doc_id").as("id"))
       .agg(round(sum("part"), 4).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
+  }
+
+  /** Batched serving — the production retrieval shape: score a whole
+    * batch of queries in ONE probed scan instead of one scan per query.
+    * `queries` is (qid, terms array); the scan reads the UNION of the
+    * batch's term buckets once, df is computed once per distinct term
+    * (a term's document frequency doesn't depend on which query asked),
+    * and a batch-sized broadcast join fans postings out to the queries
+    * that want them. Per query the scores are EXACTLY [[bm25TopK]]'s
+    * (same df, same scalars, same rounding/tie-break — spec-pinned), so
+    * batching changes the COST, never an answer. Top-k per query via a
+    * qid-partitioned rank window (each partition is ≤ the query's
+    * candidate doc set, never the corpus). The plan's index scan count
+    * is a constant (the df pass + the scoring pass) independent of
+    * batch size — spec-pinned, as is the bucket pruning.
+    */
+  def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qid: Column, terms: Column, topK: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = readStats(spark, path, asOfGen)
+    val wanted = queries.select(qid.as("qid"), explode(terms).as("term"))
+      .distinct()
+    // the batch's term list drives the one probed scan; a query batch is
+    // request-sized (thousands of terms at most), so collecting it is
+    // bounded by construction
+    val allTerms = wanted.select("term").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(allTerms.nonEmpty, "query batch must carry at least one term")
+    val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
+    val dfTable = post.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = post.join(broadcast(dfTable), "term")
+      .join(broadcast(wanted), "term") // fan out to interested queries
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("qid"), col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+      .where(col("rk") <= topK).drop("rk")
+  }
+
+  /** Tombstone-debt compaction policy: compact when the tombstoned-id
+    * count reaches `maxDeadFrac` of the indexed documents — the
+    * Lucene/Iceberg maintenance loop (deletes accumulate cheaply, a
+    * merge amortizes them) as one idempotent call. Both inputs are
+    * sidecar-sized reads (the tombstone set is delete-sized, the stats
+    * row is one row); only a triggered compact touches the index.
+    * Returns true iff it compacted.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxDeadFrac: Double = 0.1): Boolean = {
+    require(maxDeadFrac > 0 && maxDeadFrac <= 1,
+      s"maxDeadFrac must be in (0, 1]: $maxDeadFrac")
+    val st = readStats(spark, path)
+    val dead = tombstones(spark, path)
+      .map(_.select("doc_id").distinct().count()).getOrElse(0L)
+    val due = st.nDocs > 0 && dead.toDouble / st.nDocs >= maxDeadFrac
+    if (due) compact(spark, path)
+    due
   }
 }

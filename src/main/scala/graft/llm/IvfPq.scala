@@ -131,17 +131,25 @@ object IvfPq {
 
   /** `rows` minus tombstoned ones — a row dies only to a strictly
     * newer-generation tombstone (broadcast anti-join, delete-sized).
+    * With `asOfGen` set, the index is served AS OF that generation:
+    * later rows and later tombstones don't exist yet (the vector twin
+    * of [[graft.llm.InvertedIndex]]'s time travel; no corpus scalars to
+    * version here, so row/tombstone visibility is the whole story).
     */
   private def liveRows(spark: SparkSession, path: String,
-      rows: DataFrame): DataFrame =
-    tombstones(spark, path) match {
+      rows: DataFrame, asOfGen: Option[Long] = None): DataFrame = {
+    val visible = asOfGen.fold(rows)(g => rows.where(col("gen") <= g))
+    tombstones(spark, path).map { t =>
+      asOfGen.fold(t)(g => t.where(col("gen") <= g))
+    } match {
       case Some(t) =>
         val dead = t.select(col("id").as("_t_id"), col("gen").as("_t_gen"))
-        rows.join(broadcast(dead),
-          rows("id") === col("_t_id") && rows("gen") < col("_t_gen"),
+        visible.join(broadcast(dead),
+          visible("id") === col("_t_id") && visible("gen") < col("_t_gen"),
           "left_anti")
-      case None => rows
+      case None => visible
     }
+  }
 
   /** Rewrite the index without its tombstoned ids: one index-sized
     * (never corpus-sized) pass — anti-join the tombstones, repartition
@@ -174,23 +182,43 @@ object IvfPq {
     */
   def probedCodes(spark: SparkSession, path: String,
       cents: Array[Array[Double]], query: Array[Double],
-      nProbe: Int): DataFrame = {
+      nProbe: Int, asOfGen: Option[Long] = None): DataFrame = {
     val probes = probeOrder(cents, query, nProbe)
     liveRows(spark, path, spark.read.parquet(path)
-      .where(col("cluster").isin(probes: _*)))
+      .where(col("cluster").isin(probes: _*)), asOfGen)
   }
 
   /** ADC top-`topK` for a client-supplied `query` vector: reads ONLY
     * the probed partitions' code bytes and scores them against the
     * broadcast m × k table ([[ProductQuant.adcFromCodes]]). No raw
-    * vector is touched.
+    * vector is touched. `asOfGen` serves a past generation (back to the
+    * last [[compact]]).
     */
   def serve(spark: SparkSession, path: String,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
-      query: Array[Double], nProbe: Int, topK: Int): DataFrame =
+      query: Array[Double], nProbe: Int, topK: Int,
+      asOfGen: Option[Long] = None): DataFrame =
     ProductQuant.adcFromCodes(
-      probedCodes(spark, path, cents, query, nProbe),
+      probedCodes(spark, path, cents, query, nProbe, asOfGen),
       col("id"), col("codes"), pqCents, query, topK)
+
+  /** Tombstone-debt compaction policy, the vector twin of
+    * [[graft.llm.InvertedIndex.compactIfNeeded]]: compact when
+    * tombstoned ids reach `maxDeadFrac` of stored rows. The row count
+    * is a metadata-only parquet count (row-group stats, no data pages);
+    * the tombstone set is delete-sized. Returns true iff it compacted.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxDeadFrac: Double = 0.1): Boolean = {
+    require(maxDeadFrac > 0 && maxDeadFrac <= 1,
+      s"maxDeadFrac must be in (0, 1]: $maxDeadFrac")
+    val total = spark.read.parquet(path).count()
+    val dead = tombstones(spark, path)
+      .map(_.select("id").distinct().count()).getOrElse(0L)
+    val due = total > 0 && dead.toDouble / total >= maxDeadFrac
+    if (due) compact(spark, path)
+    due
+  }
 
   /** Two-stage serve: ADC top-`rerankR` over the probed code bytes,
     * then exact re-rank of just those R raw vectors — the standard
@@ -206,9 +234,9 @@ object IvfPq {
       rawId: Column, rawVec: Column,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
       query: Array[Double], nProbe: Int, rerankR: Int,
-      topK: Int): DataFrame = {
+      topK: Int, asOfGen: Option[Long] = None): DataFrame = {
     val shortlist = ProductQuant.adcFromCodes(
-      probedCodes(spark, path, cents, query, nProbe),
+      probedCodes(spark, path, cents, query, nProbe, asOfGen),
       col("id"), col("codes"), pqCents, query, rerankR)
       .select(col("id"))
     val bcQ = spark.sparkContext.broadcast(query)

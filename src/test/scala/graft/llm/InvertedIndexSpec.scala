@@ -220,6 +220,98 @@ class InvertedIndexSpec extends SparkSpec {
     assert(serve(idx, Seq("zupserted")) === serve(reb, Seq("zupserted")))
   }
 
+  test("as-of-generation serving is exact time travel back to the last compact") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_asof").toString
+    val orig = java.nio.file.Files.createTempDirectory("invidx_asof_orig").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    InvertedIndex.write(docs, col("doc_id"), col("text"), orig, nBuckets = 16)
+    val upserts = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zupserted")).as("text"),
+        lit("upsert").as("op"))
+    val deletes = docs.where(pmod(col("doc_id"), lit(5)) === 1)
+      .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+    InvertedIndex.applyChangeFeed(upserts.unionByName(deletes),
+      col("doc_id"), col("text"), col("op"), idx)
+    def serve(p: String, t: Seq[String], g: Option[Long]) =
+      InvertedIndex.bm25TopK(spark, p, t, topK = 50, asOfGen = g)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    // gen 0 = pre-feed: equals a serve over the untouched twin index,
+    // and the upsert token does not exist yet
+    assert(serve(idx, terms, Some(0L)) === serve(orig, terms, None))
+    assert(serve(idx, Seq("zupserted"), Some(0L)).isEmpty)
+    // gen 1 = mid-feed (tombstones placed, re-appends not yet): every
+    // touched id is invisible, stats still the write-time scalars
+    val touched = upserts.unionByName(deletes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(serve(idx, terms, Some(1L)).forall(p => !touched(p._1)))
+    assert(InvertedIndex.readStats(spark, idx, Some(1L)) ===
+      InvertedIndex.readStats(spark, orig))
+    // asking for the current generation is the live serve
+    val g = InvertedIndex.readGen(spark, idx)
+    assert(serve(idx, terms, Some(g)) === serve(idx, terms, None))
+    // compaction spends history: gens reset, as-of 0 is now the merged state
+    InvertedIndex.compact(spark, idx)
+    assert(InvertedIndex.readGen(spark, idx) === 0L)
+    assert(serve(idx, terms, Some(0L)) === serve(idx, terms, None))
+  }
+
+  test("batched serving equals per-query serving and reads one probed scan") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_batch").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val batch = Seq("a" -> Seq("scan", "filter"), "b" -> terms,
+      "c" -> Seq("window", "merge")).toDF("qid", "terms")
+    val got = InvertedIndex.bm25TopKBatch(spark, idx, batch,
+      col("qid"), col("terms"), topK = 20)
+      .collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq).toMap
+    for ((qid, ts) <- Seq("a" -> Seq("scan", "filter"), "b" -> terms,
+        "c" -> Seq("window", "merge"))) {
+      val single = InvertedIndex.bm25TopK(spark, idx, ts, topK = 20)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+      assert(got(qid) === single, s"batch result for $qid drifted")
+    }
+    // the index scan count is a PLAN constant (the df pass + the scoring
+    // pass), independent of batch size — batching amortizes, it never
+    // multiplies scans per query — and the scans stay bucket-pruned
+    def scans(b: org.apache.spark.sql.DataFrame) = {
+      val plan = InvertedIndex.bm25TopKBatch(spark, idx, b,
+        col("qid"), col("terms"), topK = 20)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+      "invidx_batch".r.findAllIn(plan).size
+    }
+    val one = Seq("a" -> Seq("scan", "filter")).toDF("qid", "terms")
+    assert(scans(batch) === scans(one))
+  }
+
+  test("compactIfNeeded triggers only past the tombstone-debt threshold") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_policy").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 8)
+    // delete 1% of docs: below a 10% threshold → no compaction
+    InvertedIndex.delete(spark, idx,
+      docs.where(pmod(col("doc_id"), lit(100)) === 0).select("doc_id"),
+      col("doc_id"))
+    assert(!InvertedIndex.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
+    assert(new java.io.File(idx, "_tombstones").exists())
+    // delete another ~25%: past the threshold → compacts, clears debt
+    InvertedIndex.delete(spark, idx,
+      docs.where(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),
+      col("doc_id"))
+    assert(InvertedIndex.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
+    assert(!new java.io.File(idx, "_tombstones").exists())
+    // idempotent: debt is spent
+    assert(!InvertedIndex.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

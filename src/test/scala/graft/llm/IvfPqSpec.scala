@@ -131,6 +131,41 @@ class IvfPqSpec extends SparkSpec {
     assert(serve(idx).map(_._1).forall(id => !deadIds(id)))
   }
 
+  test("as-of-generation vector serving is exact time travel; compactIfNeeded gates on debt") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_asof").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    def serve(g: Option[Long]) =
+      IvfPq.serve(spark, idx, cents, pqCents, anchor, nProbe = 4, topK = 50,
+        asOfGen = g)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    val preFeed = serve(None)
+    val reverseU = udf { (v: Seq[Float]) => v.reverse }
+    val upserts = emb.where(pmod(col("vec_id"), lit(6)) === 2)
+      .select(col("vec_id"), reverseU(col("embedding")).as("embedding"),
+        lit("upsert").as("op"))
+    val deletes = emb.where(pmod(col("vec_id"), lit(6)) === 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    IvfPq.applyChangeFeed(upserts.unionByName(deletes),
+      col("vec_id"), col("embedding"), col("op"), idx, cents, pqCents)
+    // gen 0 = pre-feed state, exactly; mid-feed gen 1 hides every
+    // touched id; current gen = live serve
+    assert(serve(Some(0L)) === preFeed)
+    val touched = upserts.unionByName(deletes)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(serve(Some(1L)).forall(p => !touched(p._1)))
+    assert(serve(Some(2L)) === serve(None))
+    // 2/7 of stored rows carry tombstones (both feed halves tombstone;
+    // upserts re-appended): below a 50% threshold → untouched, past
+    // 10% → compacts
+    assert(!IvfPq.compactIfNeeded(spark, idx, maxDeadFrac = 0.5))
+    assert(new java.io.File(idx, "_tombstones").exists())
+    assert(IvfPq.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
+    assert(!new java.io.File(idx, "_tombstones").exists())
+    assert(!IvfPq.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
+    assert(serve(None).map(_._1).forall(id =>
+      !deletes.select("vec_id").collect().map(_.getLong(0)).toSet(id)))
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance scaling probe (`IncrBench <sfDir> <bigDir>
   * [deltaDir]`): builds the inverted index and the IVF-PQ layout over a
-  * corpus and over a ~10× corpus, then appends the SAME fixed-size delta
+  * corpus and over a much larger corpus (e.g. 10× or 100×), then
+  * appends the SAME fixed-size delta
   * to each and reports wall seconds. The claim under test (VERDICT r8
   * item 1): full build cost grows with the corpus, append cost is a
   * function of the DELTA alone — at 100 TB that difference is what makes
@@ -49,7 +50,7 @@ object IncrBench {
     embDelta.cache().count()
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for ((label, dir) <- Seq("base" -> sfDir, "10x" -> bigDir)) {
+    for ((label, dir) <- Seq("base" -> sfDir, "big" -> bigDir)) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val nDocs = docs.count()

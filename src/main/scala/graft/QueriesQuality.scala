@@ -1264,6 +1264,51 @@ object QueriesQuality {
     s"SELECT '$qid' AS qid, doc_id, score FROM (\n${QueriesCurate.bm25OracleSql(terms, 20)}\n) AS sub_$qid"
   }.mkString("", "\nUNION ALL\n", "\nORDER BY qid, score DESC, doc_id")
 
+  /** q_phrase_search — exact-phrase retrieval over a POSITIONAL index
+    * ([[graft.llm.InvertedIndex.phraseTopK]]): postings carry each
+    * term's sorted occurrence offsets, and a phrase match is a start
+    * position every slot votes for (one bucket-pruned scan, candidate
+    * starts shuffled as ints — Lucene PhraseQuery semantics, overlaps
+    * counted). Ranked by phrase occurrence count, id tie-break. The
+    * oracle replays it relationally: tokens with zipped-unnest
+    * ordinals, one self-join per phrase slot on ord offsets, count per
+    * doc — token positions agree between engines because both split on
+    * the same whitespace discipline.
+    */
+  val PhraseTerms = Seq("slow", "hash", "batch")
+
+  val qPhraseSearch: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val out = TempDirs.create("graft_postings_phrase")
+    InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
+      col("text"), out, nBuckets = PostingsBuckets, positions = true)
+    InvertedIndex.phraseTopK(s, out, PhraseTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("tf"))
+      .orderBy(col("tf").desc, col("doc_id"))
+  }
+
+  val qPhraseSearchSql: String = {
+    val toks =
+      """SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS tok,
+        |    unnest(range(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)))) AS ord
+        |  FROM documents WHERE length(trim(text)) > 0""".stripMargin
+    val joins = (1 until PhraseTerms.length).map { i =>
+      s"  JOIN toks t$i ON t$i.doc_id = t0.doc_id AND t$i.ord = t0.ord + $i"
+    }.mkString("\n")
+    val conds = PhraseTerms.zipWithIndex
+      .map { case (t, i) => s"t$i.tok = '$t'" }.mkString(" AND ")
+    s"""WITH toks AS (
+       |  $toks),
+       |hits AS (
+       |  SELECT t0.doc_id
+       |  FROM toks t0
+       |$joins
+       |  WHERE $conds)
+       |SELECT doc_id, count(*)::DOUBLE AS tf FROM hits GROUP BY doc_id
+       |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** q_hash_classifier — the learned-quality-gate apply step
     * ([[graft.llm.HashClassifier]]): every document scored by a hashed
     * linear model over its tokens (hashing-trick buckets from the
@@ -1416,6 +1461,7 @@ object QueriesQuality {
     "q_index_upsert" -> qIndexUpsert,
     "q_index_asof" -> qIndexAsof,
     "q_postings_batch" -> qPostingsBatch,
+    "q_phrase_search" -> qPhraseSearch,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1447,6 +1493,7 @@ object QueriesQuality {
     "q_index_upsert" -> qIndexUpsertSql,
     "q_index_asof" -> qIndexAsofSql,
     "q_postings_batch" -> qPostingsBatchSql,
+    "q_phrase_search" -> qPhraseSearchSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

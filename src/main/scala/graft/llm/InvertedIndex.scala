@@ -71,8 +71,8 @@ object InvertedIndex {
     */
   private val EmptyDocTerm = ""
 
-  private def postings(docs: DataFrame, id: Column,
-      text: Column): (DataFrame, Observation) = {
+  private def postings(docs: DataFrame, id: Column, text: Column,
+      withPositions: Boolean = false): (DataFrame, Observation) = {
     val obs = Observation()
     val base = docs.select(id.as("doc_id"),
         TextStats.tokens(lower(text)).as("t"),
@@ -81,15 +81,33 @@ object InvertedIndex {
         coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"))
     // explode_outer + coalesce: a token-less doc yields one sentinel row
     // instead of vanishing from the index (the generator must be
-    // top-level in its projection; the coalesce follows in the next)
-    val post = base
-      .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term0"))
-      .select(col("doc_id"), col("dl"),
-        coalesce(col("term0"), lit(EmptyDocTerm)).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // top-level in its projection; the coalesce follows in the next).
+    // A POSITIONAL index additionally keeps each term's sorted
+    // occurrence offsets (Lucene's positions list) — the sentinel row's
+    // null position vanishes from collect_list, leaving an empty array.
+    val post =
+      if (withPositions)
+        base
+          .select(col("doc_id"), col("dl"),
+            posexplode_outer(col("t")).as(Seq("pos", "term0")))
+          .select(col("doc_id"), col("dl"), col("pos"),
+            coalesce(col("term0"), lit(EmptyDocTerm)).as("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        base
+          .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term0"))
+          .select(col("doc_id"), col("dl"),
+            coalesce(col("term0"), lit(EmptyDocTerm)).as("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).cast("double").as("tf"))
     (post, obs)
   }
+
+  /** Whether the index at `path` carries per-posting position lists. */
+  def isPositional(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema.fieldNames.contains("positions")
 
   /** The sidecar also carries the index GENERATION — a monotone counter
     * bumped by every maintenance op. Rows are stamped with the
@@ -145,12 +163,16 @@ object InvertedIndex {
 
   /** Build the index under `path` in one corpus scan. Returns
     * (nDocs, avgdl) for callers that want the stats without re-reading
-    * the sidecar.
+    * the sidecar. `positions = true` builds a POSITIONAL index (each
+    * posting carries its sorted occurrence offsets — [[phraseTopK]]
+    * needs them); the BM25 serves ignore the column and parquet column
+    * pruning keeps it off their scans, so a positional index pays its
+    * extra bytes only when a phrase query asks for them.
     */
   def write(docs: DataFrame, id: Column, text: Column, path: String,
-      nBuckets: Int): (Double, Double) = {
+      nBuckets: Int, positions: Boolean = false): (Double, Double) = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    val (post, obs) = postings(docs, id, text)
+    val (post, obs) = postings(docs, id, text, positions)
     post.withColumn("bucket", bucketCol(col("term"), nBuckets))
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
@@ -176,7 +198,8 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val old = readStats(spark, path)
     val gen = readGen(spark, path) + 1
-    val (post, obs) = postings(docs, id, text)
+    // the delta inherits the index's layout: positional stays positional
+    val (post, obs) = postings(docs, id, text, isPositional(spark, path))
     post.withColumn("bucket", bucketCol(col("term"), old.nBuckets))
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket").parquet(path)
@@ -289,10 +312,11 @@ object InvertedIndex {
     val st = readStats(spark, path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     val survivors = liveRows(spark, path, spark.read.parquet(path))
-    // generations reset to 0: with the tombstones gone, history is spent
+    // generations reset to 0: with the tombstones gone, history is
+    // spent. Schema-preserving: a positional index keeps its positions
+    // through the rewrite.
     survivors
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
-        col("bucket"), lit(0L).as("gen"))
+      .drop("gen").withColumn("gen", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     // exact survivor stats off the rewritten (index-sized) relation:
@@ -400,6 +424,46 @@ object InvertedIndex {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
       .where(col("rk") <= topK).drop("rk")
+  }
+
+  /** Exact-phrase top-`topK` over a POSITIONAL index ([[write]] with
+    * `positions = true`): docs containing `phrase` as consecutive
+    * tokens, ranked by occurrence count (overlapping occurrences
+    * counted — Lucene's PhraseQuery semantics). The plan is ONE probed
+    * scan + two bounded shuffles (candidate starts as ints, then
+    * per-doc counts): postings of the phrase's terms (bucket-pruned
+    * like every serve) broadcast-join the |phrase| slot table, each
+    * position becomes a candidate START (`pos - slot`), and a start is
+    * a match iff ALL slots voted for it — a single groupBy(doc, start)
+    * with countDistinct(slot), re-aggregated per doc. No per-term
+    * self-joins, no position arrays shuffled whole (they explode to
+    * ints), and repeated phrase terms fall out naturally (one posting
+    * row votes for every slot its term fills). The slot vote count is a
+    * plain `count`, not a distinct: (doc, slot, start) rows are unique
+    * by construction — a slot holds one term and a posting's positions
+    * are distinct. `asOfGen` time travel applies as in [[bm25TopK]].
+    */
+  def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
+      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(isPositional(spark, path),
+      s"$path is not a positional index (write with positions = true)")
+    import spark.implicits._
+    val st = readStats(spark, path, asOfGen)
+    val post = probedPostings(spark, path, phrase.distinct, st.nBuckets,
+      asOfGen)
+    val slots = phrase.zipWithIndex.toDF("term", "slot")
+    post.join(broadcast(slots), "term")
+      .select(col("doc_id"), col("slot"), explode(col("positions")).as("pos"))
+      .withColumn("start", col("pos") - col("slot"))
+      .where(col("start") >= 0)
+      .groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("nslots"))
+      .where(col("nslots") === phrase.length)
+      .groupBy(col("doc_id").as("id"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .orderBy(col("tf").desc, col("id"))
+      .limit(topK)
   }
 
   /** Tombstone-debt compaction policy: compact when the tombstoned-id

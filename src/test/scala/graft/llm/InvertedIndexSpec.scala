@@ -312,6 +312,68 @@ class InvertedIndexSpec extends SparkSpec {
     assert(!InvertedIndex.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
   }
 
+  test("phrase search: overlaps, repeated terms, absence, and the positional guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // "a a" overlaps: starts 0,1 → tf 2
+      (2L, "a b a b a b"),    // "a b" thrice
+      (3L, "b a"),            // reversed — no "a b" unless wrapped
+      (4L, "c c c")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_phrase").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx,
+      nBuckets = 4, positions = true)
+    def phrase(p: Seq[String]) =
+      InvertedIndex.phraseTopK(spark, idx, p, topK = 10)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("tf"))).toSeq
+    assert(phrase(Seq("a", "a")) === Seq((1L, 2.0)))          // overlapping counted
+    assert(phrase(Seq("a", "b")) === Seq((2L, 3.0), (1L, 1.0)))
+    assert(phrase(Seq("a", "b", "a")) === Seq((2L, 2.0)))     // overlap again
+    assert(phrase(Seq("b", "a")) === Seq((2L, 2.0), (3L, 1.0)))
+    assert(phrase(Seq("c")) === Seq((4L, 3.0)))               // 1-term = term tf
+    assert(phrase(Seq("a", "c")).isEmpty)
+    // a non-positional index refuses phrase queries loudly
+    val plain = java.nio.file.Files.createTempDirectory("invidx_plain").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), plain, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseTopK(spark, plain, Seq("a", "b"))
+    }
+  }
+
+  test("positional index: fixture phrase counts match a brute-force token sweep; positions survive append+compact") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_pos").toString
+    InvertedIndex.write(docs.where(col("doc_id") % 2 === 0), col("doc_id"),
+      col("text"), idx, nBuckets = 16, positions = true)
+    InvertedIndex.append(docs.where(col("doc_id") % 2 =!= 0), col("doc_id"),
+      col("text"), idx)
+    assert(InvertedIndex.isPositional(spark, idx))
+    // fixture-drift-proof: test the corpus's own most frequent trigram
+    val p = docs.select(TextStats.tokens(lower(col("text"))).as("t"))
+      .where(expr("size(t) >= 3"))
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+      .groupBy("g").count().orderBy(desc("count"), col("g"))
+      .head().getString(0).split(" ").toSeq
+    def serve() = InvertedIndex.phraseTopK(spark, idx, p, topK = 100)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("tf"))).toSeq
+    // brute force: count phrase starts by sliding over the token array
+    val expected = docs
+      .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("t"))
+      .where(expr("size(t) >= 3"))
+      .select(col("doc_id"), expr(
+        s"size(filter(sequence(0, size(t) - 3), i -> " +
+          s"t[i] = '${p(0)}' AND t[i+1] = '${p(1)}' AND t[i+2] = '${p(2)}'))")
+        .cast("double").as("tf"))
+      .where(col("tf") > 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("tf")))
+      .sortBy(x => (-x._2, x._1)).toSeq
+    assert(serve() === expected && expected.nonEmpty)
+    // compact preserves the positional layout and the answers
+    InvertedIndex.compact(spark, idx)
+    assert(InvertedIndex.isPositional(spark, idx))
+    assert(serve() === expected)
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

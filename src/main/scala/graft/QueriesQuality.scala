@@ -1062,6 +1062,83 @@ object QueriesQuality {
   // append ≡ rebuild: the oracle IS the full-rebuild serving report
   val qIvfPqIncrSql: String = qIvfPqRecallSql
 
+  /** q_ivfpq_batch — batched ANN serving over the persisted IVF-PQ
+    * index ([[graft.llm.IvfPq.serveBatch]]): three client query vectors
+    * answered by ONE scan of the union of their probed cluster
+    * partitions — each stored code row fans out only to the queries
+    * probing its cluster (batch-sized broadcast of per-query ADC
+    * tables), same 6-dp ADC arithmetic, top-20 per query via a
+    * qid-partitioned rank window. The oracle replicates the
+    * q_ivfpq_recall coarse-probe + ADC CTEs once per anchor and UNION
+    * ALLs the per-query top-20 — so batch ≡ singles is
+    * driver-hash-checked; IvfPqSpec pins batch ≡ [[graft.llm.IvfPq
+    * .serve]] row-for-row.
+    */
+  val BatchAnchors = Seq("qa" -> 0L, "qb" -> 7L, "qc" -> 42L)
+
+  val qIvfPqBatch: Q = (s, dir) => {
+    import graft.llm.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val pqCents = pqCentsOf(s, dir)
+    val anchors = BatchAnchors.map { case (qid, vid) =>
+      qid -> emb.where(col("vec_id") === vid).select("embedding")
+        .head().getSeq[Float](0).toArray.map(_.toDouble)
+    }
+    val out = TempDirs.create("graft_ivfpq_batch")
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
+    IvfPq.serveBatch(s, out, cents, pqCents, anchors,
+      nProbe = IvfNProbe, topK = PqTopK)
+      .orderBy(col("qid"), col("adc"), col("id"))
+  }
+
+  val qIvfPqBatchSql: String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val sub = 64 / PqM
+    def qdist(sCol: String, cTab: String): String =
+      s"round(list_sum(list_transform(range(1, $sub + 1), " +
+        s"i -> ($sCol[i] - $cTab.c[i]) * ($sCol[i] - $cTab.c[i]))), 6)"
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    val perAnchor = BatchAnchors.map { case (qid, vid) =>
+      val qds = (0 until PqM).map { j =>
+        s"""qd_${qid}_$j AS (
+           |  SELECT cid, ${qdist("qs", s"c${j}_$PqIters")} AS d
+           |  FROM c${j}_$PqIters CROSS JOIN
+           |    (SELECT s AS qs FROM e$j WHERE vec_id = $vid))""".stripMargin
+      }.mkString(",\n")
+      val qdJoins = (0 until PqM)
+        .map(j => s"JOIN qd_${qid}_$j ON qd_${qid}_$j.cid = code$j.cid")
+        .mkString(" ")
+      val adcExpr = (0 until PqM).map(j => s"qd_${qid}_$j.d").mkString(" + ")
+      s"""$qds,
+         |qv_$qid AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+         |       FROM emb WHERE vec_id = $vid),
+         |cd_$qid AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+         |    i -> (qv_$qid.q[i] - c.c[i]) * (qv_$qid.q[i] - c.c[i]))), 6) AS d
+         |  FROM $cf c CROSS JOIN qv_$qid),
+         |probes_$qid AS (SELECT cid FROM cd_$qid ORDER BY d, cid LIMIT $IvfNProbe),
+         |cand_$qid AS (SELECT a.vec_id FROM asg a JOIN probes_$qid p ON a.cid = p.cid),
+         |top_$qid AS (
+         |  SELECT vec_id, adc FROM (
+         |    SELECT code0.vec_id, round($adcExpr, 6) AS adc
+         |    FROM code0 $codeJoins $qdJoins
+         |    JOIN cand_$qid ON cand_$qid.vec_id = code0.vec_id)
+         |  ORDER BY adc, vec_id LIMIT $PqTopK)""".stripMargin
+    }.mkString(",\n")
+    val union = BatchAnchors.map { case (qid, _) =>
+      s"SELECT '$qid' AS qid, vec_id AS id, adc FROM top_$qid"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |pqemb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |${pqCtesBody("pqemb")},
+       |$perAnchor
+       |$union
+       |ORDER BY qid, adc, id""".stripMargin
+  }
+
   /** q_postings_topk — the persisted inverted-index serving path
     * ([[graft.llm.InvertedIndex]], the text-retrieval counterpart of
     * q_ivfpq_recall's vector layout): postings written `bucket=…`
@@ -1462,6 +1539,7 @@ object QueriesQuality {
     "q_index_asof" -> qIndexAsof,
     "q_postings_batch" -> qPostingsBatch,
     "q_phrase_search" -> qPhraseSearch,
+    "q_ivfpq_batch" -> qIvfPqBatch,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1494,6 +1572,7 @@ object QueriesQuality {
     "q_index_asof" -> qIndexAsofSql,
     "q_postings_batch" -> qPostingsBatchSql,
     "q_phrase_search" -> qPhraseSearchSql,
+    "q_ivfpq_batch" -> qIvfPqBatchSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -202,6 +202,53 @@ object IvfPq {
       probedCodes(spark, path, cents, query, nProbe, asOfGen),
       col("id"), col("codes"), pqCents, query, topK)
 
+  /** Batched ANN serving — the vector twin of
+    * [[graft.llm.InvertedIndex.bm25TopKBatch]]: score a whole batch of
+    * query vectors in ONE scan of the UNION of their probed clusters
+    * instead of one scan per query. Each stored code row fans out only
+    * to the queries whose probe set contains its cluster (a
+    * batch-sized broadcast of (qid, ADC table, probe set) triples —
+    * m × k doubles per query, request-sized by construction), scores
+    * with the same 6-dp ADC arithmetic as [[serve]], and takes top-k
+    * per query through a qid-partitioned rank window (each partition ≤
+    * that query's candidate set, never the corpus). Per query the
+    * results are EXACTLY [[serve]]'s — batching changes cost, never an
+    * answer (spec-pinned). At 100 TB this is how an ANN endpoint
+    * amortizes partition reads across concurrent queries.
+    */
+  def serveBatch(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      queries: Seq[(String, Array[Double])], nProbe: Int, topK: Int,
+      asOfGen: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "query batch must be non-empty")
+    val m = pqCents.length
+    val qinfo: Array[(String, Array[Array[Double]], Set[Int])] =
+      queries.map { case (qid, q) =>
+        (qid, ProductQuant.adcTable(q, pqCents),
+          probeOrder(cents, q, nProbe).toSet)
+      }.toArray
+    val union = qinfo.flatMap(_._3).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(qinfo)
+    val kernel = udf { (cluster: Int, cs: Seq[Int]) =>
+      bc.value.iterator.filter(_._3.contains(cluster)).map {
+        case (qid, t, _) =>
+          var adc = 0.0
+          var j = 0
+          while (j < m) { adc += t(j)(cs(j)); j += 1 }
+          (qid, math.floor(adc * 1e6 + 0.5) / 1e6)
+      }.toSeq
+    }
+    val rows = liveRows(spark, path, spark.read.parquet(path)
+      .where(col("cluster").isin(union: _*)), asOfGen)
+    rows
+      .select(col("id"), explode(kernel(col("cluster"), col("codes"))).as("qa"))
+      .select(col("qa._1").as("qid"), col("id"), col("qa._2").as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc"), col("id"))))
+      .where(col("rk") <= topK).drop("rk")
+  }
+
   /** Tombstone-debt compaction policy, the vector twin of
     * [[graft.llm.InvertedIndex.compactIfNeeded]]: compact when
     * tombstoned ids reach `maxDeadFrac` of stored rows. The row count

@@ -85,6 +85,19 @@ object ProductQuant {
       math.floor(d * 1e6 + 0.5) / 1e6
     }
 
+  /** The full m × k ADC lookup table for `query` against `cents` — the
+    * per-query constant every ADC serve broadcasts ([[adcFromCodes]]
+    * builds it internally; batched serving builds one per query).
+    */
+  def adcTable(query: Array[Double],
+      cents: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    require(query.length == m * sub, "query dim mismatch")
+    Array.tabulate(m)(j =>
+      distTable(query.slice(j * sub, (j + 1) * sub), cents(j)))
+  }
+
   /** Exact squared-L2 top-k against `query` — the recall baseline for
     * [[adcTopK]]: same 6-dp distance rounding, same id tie-break, one
     * narrow kernel pass + TakeOrderedAndProject.
@@ -159,10 +172,7 @@ object ProductQuant {
       cents: Array[Array[Array[Double]]], query: Array[Double],
       topK: Int): DataFrame = {
     val m = cents.length
-    val sub = cents(0)(0).length
-    require(query.length == m * sub, "query dim mismatch")
-    val table: Array[Array[Double]] = Array.tabulate(m)(j =>
-      distTable(query.slice(j * sub, (j + 1) * sub), cents(j)))
+    val table = adcTable(query, cents)
     val bcT = df.sparkSession.sparkContext.broadcast(table)
     val kernel = udf { (cs: Seq[Int]) =>
       var adc = 0.0

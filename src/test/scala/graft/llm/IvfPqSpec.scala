@@ -166,6 +166,29 @@ class IvfPqSpec extends SparkSpec {
       !deletes.select("vec_id").collect().map(_.getLong(0)).toSet(id)))
   }
 
+  test("batched ANN serving equals per-query serve row-for-row") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    val anchors = Seq(3L, 11L, 29L).map { vid =>
+      s"q$vid" -> emb.where(col("vec_id") === vid).select("embedding")
+        .head().getSeq[Float](0).toArray.map(_.toDouble)
+    }
+    val batch = IvfPq.serveBatch(spark, idx, cents, pqCents, anchors,
+      nProbe = 3, topK = 15)
+      .collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("adc")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (p._2, p._1)).toSeq)
+      .toMap
+    for ((qid, q) <- anchors) {
+      val single = IvfPq.serve(spark, idx, cents, pqCents, q,
+        nProbe = 3, topK = 15)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+      assert(batch(qid) === single, s"batch result for $qid drifted")
+    }
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

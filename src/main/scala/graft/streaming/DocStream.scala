@@ -115,6 +115,28 @@ object DocStream {
       graft.llm.InvertedIndex.append(batch, col("doc_id"), col("text"), path)
     }
 
+  /** One change-feed row for [[postingsFeedSink]]: `op` is "upsert" or
+    * "delete" ([[graft.llm.InvertedIndex.applyChangeFeed]]'s contract).
+    */
+  final case class FeedOp(doc_id: Long, text: String, op: String)
+
+  /** The CRUD streaming twin of [[postingsDeltaSink]]: each micro-batch
+    * is a (doc_id, text, op) CHANGE FEED applied through
+    * [[graft.llm.InvertedIndex.applyChangeFeed]] — upserts replace
+    * their previous version via the generation ordering, deletes
+    * tombstone, both delta-sized, no rebuild ever. The well-formed-feed
+    * contract (at most one op per id) applies PER MICRO-BATCH; across
+    * batches the generation ordering makes the last batch win, which is
+    * exactly a CDC stream's semantics. Same `_applied` replay guard and
+    * at-least-once caveat as [[postingsDeltaSink]].
+    */
+  def postingsFeedSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.InvertedIndex.applyChangeFeed(batch, col("doc_id"),
+        col("text"), col("op"), path)
+    }
+
   /** The vector-index twin of [[postingsDeltaSink]]: merge each
     * micro-batch of (vec_id, embedding) rows into a persisted IVF-PQ
     * layout via [[graft.llm.IvfPq.append]], encoding against the FROZEN

@@ -255,6 +255,64 @@ class DocStreamSpec extends SparkSpec {
       "replayed batch 0 must not double-append")
   }
 
+  test("streaming change-feed sink: upserts and deletes across micro-batches, last batch wins") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val streamed = java.nio.file.Files.createTempDirectory("idx_feed").toString
+    val reb = java.nio.file.Files.createTempDirectory("idx_feed_reb").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), streamed, nBuckets = 16)
+
+    // batch 1: rewrite ids ≡ 0 mod 4, delete ids ≡ 1 mod 4;
+    // batch 2: re-rewrite a subset of the SAME upserted ids (last wins)
+    def rows(df: org.apache.spark.sql.DataFrame, op: String, suffix: String) =
+      df.orderBy("doc_id").collect()
+        .map(r => DocStream.FeedOp(r.getLong(0),
+          if (op == "upsert") r.getString(1) + suffix else "", op)).toSeq
+    val b1 = rows(docs.where(pmod(col("doc_id"), lit(4)) === 0), "upsert", " zfeedone") ++
+      rows(docs.where(pmod(col("doc_id"), lit(4)) === 1), "delete", "")
+    val b2 = rows(docs.where(pmod(col("doc_id"), lit(8)) === 0), "upsert", " zfeedtwo")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocStream.FeedOp]
+    // the one-op-per-id contract holds PER micro-batch; b1 and b2 touch
+    // the same mod-8 ids, so they must land in separate batches — a
+    // checkpointed AvailableNow run per feed wave guarantees that (and
+    // exercises restart-continued batchIds through the replay guard)
+    val ckpt = java.nio.file.Files.createTempDirectory("idx_feed_ckpt").toString
+    def run(): Unit = {
+      val q = mem.toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(DocStream.postingsFeedSink(streamed))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    mem.addData(b1)
+    run()
+    mem.addData(b2)
+    run()
+
+    // after compacting, the index equals a fresh build over the merged
+    // corpus: deletes gone, mod-8 docs carry batch 2's text (last wins),
+    // the other mod-4 docs carry batch 1's
+    InvertedIndex.compact(spark, streamed)
+    val merged = docs.where(pmod(col("doc_id"), lit(4)) =!= 1)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(8)) === 0, concat(col("text"), lit(" zfeedtwo")))
+          .when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(" zfeedone")))
+          .otherwise(col("text")).as("text"))
+    InvertedIndex.write(merged, col("doc_id"), col("text"), reb, nBuckets = 16)
+    assert(InvertedIndex.readStats(spark, streamed) ===
+      InvertedIndex.readStats(spark, reb))
+    def serve(p: String, t: Seq[String]) =
+      InvertedIndex.bm25TopK(spark, p, t, topK = 100)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    for (t <- Seq(Seq("scan", "filter"), Seq("zfeedone"), Seq("zfeedtwo")))
+      assert(serve(streamed, t) === serve(reb, t), s"drift for $t")
+  }
+
   test("streaming vector-delta sink converges to the batch-built IVF-PQ index") {
     implicit val s = spark
     import s.implicits._

@@ -1386,6 +1386,51 @@ object QueriesQuality {
        |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q_index_stats — the index's segment-info describe
+    * ([[graft.llm.InvertedIndex.describe]]) after the SAME change feed
+    * as q_index_upsert, WITHOUT compacting: n_docs/sum_dl are the
+    * Lucene-stale post-append scalars (original corpus + upserted
+    * versions; deletes not yet subtracted), gen is the feed's two
+    * maintenance steps, and n_tombstoned counts every touched id. The
+    * oracle recomputes all of it from the raw corpus + feed arithmetic
+    * in DuckDB — append's exact integer-double stats maintenance
+    * becomes a hash-checked fact.
+    */
+  val qIndexStats: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(s, dir)
+    val out = TempDirs.create("graft_postings_stats")
+    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = PostingsBuckets)
+    val upserts = docs
+      .where(pmod(col("doc_id"), lit(10)) === 0 &&
+        pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"),
+        lit("upsert").as("op"))
+    val deletes = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+    InvertedIndex.applyChangeFeed(upserts.unionByName(deletes),
+      col("doc_id"), col("text"), col("op"), out)
+    InvertedIndex.describe(s, out)
+  }
+
+  val qIndexStatsSql: String = {
+    def dlOf(textExpr: String): String =
+      s"""CASE WHEN length(trim($textExpr)) = 0 THEN 0
+         |     ELSE len(regexp_split_to_array(trim(lower($textExpr)), '\\s+')) END::DOUBLE""".stripMargin
+    s"""WITH dl AS (SELECT doc_id, ${dlOf("text")} AS dl FROM documents),
+       |ups AS (SELECT doc_id, ${dlOf("text || ' updated'")} AS dl
+       |        FROM documents WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3),
+       |del AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)
+       |SELECT
+       |  ((SELECT count(*) FROM dl) + (SELECT count(*) FROM ups))::DOUBLE AS n_docs,
+       |  ((SELECT coalesce(sum(dl), 0) FROM dl)
+       |    + (SELECT coalesce(sum(dl), 0) FROM ups))::DOUBLE AS sum_dl,
+       |  $PostingsBuckets AS n_buckets,
+       |  2::BIGINT AS gen,
+       |  ((SELECT count(*) FROM ups) + (SELECT count(*) FROM del))::BIGINT AS n_tombstoned""".stripMargin
+  }
+
   /** q_hash_classifier — the learned-quality-gate apply step
     * ([[graft.llm.HashClassifier]]): every document scored by a hashed
     * linear model over its tokens (hashing-trick buckets from the
@@ -1540,6 +1585,7 @@ object QueriesQuality {
     "q_postings_batch" -> qPostingsBatch,
     "q_phrase_search" -> qPhraseSearch,
     "q_ivfpq_batch" -> qIvfPqBatch,
+    "q_index_stats" -> qIndexStats,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1573,6 +1619,7 @@ object QueriesQuality {
     "q_postings_batch" -> qPostingsBatchSql,
     "q_phrase_search" -> qPhraseSearchSql,
     "q_ivfpq_batch" -> qIvfPqBatchSql,
+    "q_index_stats" -> qIndexStatsSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -466,6 +466,25 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** One-row metadata describe of the index at `path` — the segment-info
+    * view an operator dashboards: corpus scalars from the sidecar's
+    * newest generation, current generation, and the tombstone debt.
+    * All sidecar-sized reads; the postings themselves are never
+    * scanned. Driver-checked (q_index_stats) against a DuckDB
+    * recomputation from the raw corpus + feed — which is what makes the
+    * exact-arithmetic claim about append's stats maintenance a
+    * hash-checked fact rather than a comment.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val st = readStats(spark, path)
+    val gen = readGen(spark, path)
+    val dead = tombstones(spark, path)
+      .map(_.select("doc_id").distinct().count()).getOrElse(0L)
+    Seq((st.nDocs, st.sumDl, st.nBuckets, gen, dead))
+      .toDF("n_docs", "sum_dl", "n_buckets", "gen", "n_tombstoned")
+  }
+
   /** Tombstone-debt compaction policy: compact when the tombstoned-id
     * count reaches `maxDeadFrac` of the indexed documents — the
     * Lucene/Iceberg maintenance loop (deletes accumulate cheaply, a

@@ -302,6 +302,12 @@ class InvertedIndexSpec extends SparkSpec {
       col("doc_id"))
     assert(!InvertedIndex.compactIfNeeded(spark, idx, maxDeadFrac = 0.1))
     assert(new java.io.File(idx, "_tombstones").exists())
+    // describe reflects the debt and the sidecar scalars without a scan
+    val d = InvertedIndex.describe(spark, idx).head()
+    assert(d.getAs[Long]("n_tombstoned") ===
+      docs.where(pmod(col("doc_id"), lit(100)) === 0).count())
+    assert(d.getAs[Double]("n_docs") === InvertedIndex.readStats(spark, idx).nDocs)
+    assert(d.getAs[Long]("gen") === 1L)
     // delete another ~25%: past the threshold → compacts, clears debt
     InvertedIndex.delete(spark, idx,
       docs.where(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),

@@ -1386,6 +1386,39 @@ object QueriesQuality {
        |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q_ivfpq_stats — the vector index's segment-info describe
+    * ([[graft.llm.IvfPq.describe]]) after an incremental build (90%
+    * write + 10% append, q_ivfpq_incr's discipline) and a delete wave:
+    * stored rows, populated cluster partitions, generation, tombstone
+    * debt. The oracle computes rows/deletes from corpus arithmetic and
+    * the populated-cluster count from the SAME coarse-assignment CTEs
+    * q_kmeans pins — so the on-disk partition population is checked
+    * against the model's own assignment, not against the engine.
+    */
+  val qIvfPqStats: Q = (s, dir) => {
+    import graft.llm.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val pqCents = pqCentsOf(s, dir)
+    val out = TempDirs.create("graft_ivfpq_stats")
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+      col("vec_id"), col("embedding"), cents, pqCents, out)
+    IvfPq.append(emb.where(pmod(col("vec_id"), lit(10)) === 0),
+      col("vec_id"), col("embedding"), cents, pqCents, out)
+    IvfPq.delete(s, out, emb.where(pmod(col("vec_id"), lit(13)) === 0)
+      .select("vec_id"), col("vec_id"))
+    IvfPq.describe(s, out)
+  }
+
+  val qIvfPqStatsSql: String =
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1)
+       |SELECT
+       |  (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+       |  (SELECT count(DISTINCT cid) FROM asg)::BIGINT AS n_clusters,
+       |  2::BIGINT AS gen,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id % 13 = 0)::BIGINT AS n_tombstoned""".stripMargin
+
   /** q_index_stats — the index's segment-info describe
     * ([[graft.llm.InvertedIndex.describe]]) after the SAME change feed
     * as q_index_upsert, WITHOUT compacting: n_docs/sum_dl are the
@@ -1586,6 +1619,7 @@ object QueriesQuality {
     "q_phrase_search" -> qPhraseSearch,
     "q_ivfpq_batch" -> qIvfPqBatch,
     "q_index_stats" -> qIndexStats,
+    "q_ivfpq_stats" -> qIvfPqStats,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1620,6 +1654,7 @@ object QueriesQuality {
     "q_phrase_search" -> qPhraseSearchSql,
     "q_ivfpq_batch" -> qIvfPqBatchSql,
     "q_index_stats" -> qIndexStatsSql,
+    "q_ivfpq_stats" -> qIvfPqStatsSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -249,6 +249,26 @@ object IvfPq {
       .where(col("rk") <= topK).drop("rk")
   }
 
+  /** One-row segment-info describe of the vector index — the twin of
+    * [[graft.llm.InvertedIndex.describe]]: stored code rows (a
+    * metadata-only parquet count), populated cluster partitions (a
+    * partition-column distinct, satisfied from the file listing),
+    * current generation, tombstone debt. Driver-checked
+    * (q_ivfpq_stats) against corpus arithmetic + the shared coarse
+    * assignment CTEs.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(path)
+    val rows = idx.count()
+    val nClusters = idx.select("cluster").distinct().count()
+    val gen = readGen(spark, path)
+    val dead = tombstones(spark, path)
+      .map(_.select("id").distinct().count()).getOrElse(0L)
+    Seq((rows, nClusters, gen, dead))
+      .toDF("n_rows", "n_clusters", "gen", "n_tombstoned")
+  }
+
   /** Tombstone-debt compaction policy, the vector twin of
     * [[graft.llm.InvertedIndex.compactIfNeeded]]: compact when
     * tombstoned ids reach `maxDeadFrac` of stored rows. The row count

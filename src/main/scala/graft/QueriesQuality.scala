@@ -1386,6 +1386,59 @@ object QueriesQuality {
        |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q_ivfpq_filtered — attribute-filtered ANN serving
+    * ([[graft.llm.IvfPq.serveFiltered]], the RAG/ACL case): top-20 by
+    * ADC among ONLY label-2 vectors, the allowed-id set semi-joined
+    * onto the probed code rows BEFORE any scoring. The oracle is the
+    * q_ivfpq_recall candidate pipeline with the label predicate joined
+    * into the candidate set — filtered serving must equal filtering
+    * the candidates, never re-rank them.
+    */
+  val FilterLabel = 2
+
+  val qIvfPqFiltered: Q = (s, dir) => {
+    import graft.llm.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val pqCents = pqCentsOf(s, dir)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val out = TempDirs.create("graft_ivfpq_filt")
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
+    IvfPq.serveFiltered(s, out, cents, pqCents, anchorV,
+      nProbe = IvfNProbe, topK = PqTopK,
+      allowed = emb.where(col("label") === FilterLabel), id = col("vec_id"))
+      .select(col("id"), col("adc"))
+      .orderBy(col("adc"), col("id"))
+  }
+
+  val qIvfPqFilteredSql: String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd$j ON qd$j.cid = code$j.cid").mkString(" ")
+    val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |pqemb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |${pqCtesBody("pqemb")},
+       |qv AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $PqAnchor),
+       |cd AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv),
+       |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand AS (SELECT a.vec_id FROM asg a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = $FilterLabel)
+       |SELECT code0.vec_id AS id, round($adcExpr, 6) AS adc
+       |FROM code0 $codeJoins $qdJoins
+       |JOIN cand ON cand.vec_id = code0.vec_id
+       |ORDER BY adc, id LIMIT $PqTopK""".stripMargin
+  }
+
   /** q_ivfpq_stats — the vector index's segment-info describe
     * ([[graft.llm.IvfPq.describe]]) after an incremental build (90%
     * write + 10% append, q_ivfpq_incr's discipline) and a delete wave:
@@ -1418,6 +1471,43 @@ object QueriesQuality {
        |  (SELECT count(DISTINCT cid) FROM asg)::BIGINT AS n_clusters,
        |  2::BIGINT AS gen,
        |  (SELECT count(*) FROM embeddings WHERE vec_id % 13 = 0)::BIGINT AS n_tombstoned""".stripMargin
+
+  /** q_index_merge — Lucene-style segment merging across
+    * independently-built indexes ([[graft.llm.InvertedIndex.merge]]):
+    * two disjoint half-corpus indexes (built separately, one carrying a
+    * pending tombstone wave) merge into one serving index — index-sized
+    * union of LIVE rows, no re-tokenization, exact merged stats
+    * recomputed compact-style. The oracle is a fresh build over the
+    * union of the two halves minus the tombstoned docs: merge must
+    * equal build, deletes applied.
+    */
+  val qIndexMerge: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val docs = Tables.documents(s, dir)
+    val a = TempDirs.create("graft_postings_mrg_a")
+    val b = TempDirs.create("graft_postings_mrg_b")
+    val dst = TempDirs.create("graft_postings_mrg")
+    InvertedIndex.write(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), a, nBuckets = PostingsBuckets)
+    InvertedIndex.write(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), b, nBuckets = PostingsBuckets)
+    // half B carries pending deletes: merge must apply them
+    InvertedIndex.delete(s, b,
+      docs.where(pmod(col("doc_id"), lit(9)) === 5).select("doc_id"),
+      col("doc_id"))
+    InvertedIndex.merge(s, Seq(a, b), dst)
+    InvertedIndex.bm25TopK(s, dst, IncrTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  // merge ≡ build over the union minus tombstoned docs (9k+5 is odd for
+  // even k offsets... the predicate below is exactly the ids half B
+  // tombstoned that exist in half B: doc_id % 9 = 5 AND doc_id % 2 = 1;
+  // even ids matching %9=5 live in half A and were never tombstoned there
+  val qIndexMergeSql: String = QueriesCurate.bm25OracleSql(
+    IncrTerms, 20,
+    docFilter = "NOT (doc_id % 9 = 5 AND doc_id % 2 = 1)")
 
   /** q_index_stats — the index's segment-info describe
     * ([[graft.llm.InvertedIndex.describe]]) after the SAME change feed
@@ -1620,6 +1710,8 @@ object QueriesQuality {
     "q_ivfpq_batch" -> qIvfPqBatch,
     "q_index_stats" -> qIndexStats,
     "q_ivfpq_stats" -> qIvfPqStats,
+    "q_ivfpq_filtered" -> qIvfPqFiltered,
+    "q_index_merge" -> qIndexMerge,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1655,6 +1747,8 @@ object QueriesQuality {
     "q_ivfpq_batch" -> qIvfPqBatchSql,
     "q_index_stats" -> qIndexStatsSql,
     "q_ivfpq_stats" -> qIvfPqStatsSql,
+    "q_ivfpq_filtered" -> qIvfPqFilteredSql,
+    "q_index_merge" -> qIndexMergeSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

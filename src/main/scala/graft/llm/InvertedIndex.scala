@@ -466,6 +466,41 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** Merge several indexes into one at `dst` — Lucene segment merging
+    * across independently-built indexes (federated builds: per-source,
+    * per-day, per-tenant indexes unified for serving). Index-sized, no
+    * corpus scan, no re-tokenization: each source's LIVE rows (its
+    * tombstones applied) union into one bucket-partitioned rewrite —
+    * bucket functions agree by construction because every index uses
+    * the same `xxhash64(term) % nBuckets` column, which is why equal
+    * bucket counts are required. Exact merged stats recompute from the
+    * written relation exactly as [[compact]] does (the sentinel
+    * discipline makes postings complete over documents), so sources
+    * with pending deletes merge to correct scalars even though their
+    * own sidecars were Lucene-stale. Contract: source doc-id sets are
+    * disjoint (the same contract as [[append]]); sources must agree on
+    * positional-ness. Returns the merged (nDocs, avgdl).
+    */
+  def merge(spark: SparkSession, sources: Seq[String],
+      dst: String): (Double, Double) = {
+    require(sources.nonEmpty, "need at least one source index")
+    val stats = sources.map(readStats(spark, _))
+    require(stats.map(_.nBuckets).distinct.size == 1,
+      s"bucket counts differ: ${stats.map(_.nBuckets).mkString(", ")}")
+    require(sources.map(isPositional(spark, _)).distinct.size == 1,
+      "cannot merge positional and non-positional indexes")
+    val live = sources.map(p => liveRows(spark, p, spark.read.parquet(p)))
+    live.reduce(_ unionByName _)
+      .drop("gen").withColumn("gen", lit(0L))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dst)
+    val d = spark.read.parquet(dst).select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    val st = Stats(d.getDouble(0), d.getDouble(1), stats.head.nBuckets)
+    writeStats(spark, dst, st, gen = 0L)
+    (st.nDocs, st.avgdl)
+  }
+
   /** One-row metadata describe of the index at `path` — the segment-info
     * view an operator dashboards: corpus scalars from the sidecar's
     * newest generation, current generation, and the tombstone debt.

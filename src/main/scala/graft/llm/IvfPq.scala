@@ -202,6 +202,28 @@ object IvfPq {
       probedCodes(spark, path, cents, query, nProbe, asOfGen),
       col("id"), col("codes"), pqCents, query, topK)
 
+  /** Filtered ANN serving — the RAG/ACL production case: top-`topK`
+    * among ONLY the ids in `allowed` (a filtered dimension scan — by
+    * label, tenant, licence, freshness…). The filter semi-joins the
+    * probed code rows BEFORE any ADC scoring, so disallowed rows cost
+    * a join probe, never a kernel evaluation, and Catalyst/AQE picks a
+    * broadcast automatically when the allowed set is small. This is
+    * post-filtering relative to the probe: a highly selective filter
+    * can underfill k from nProbe clusters — the standard IVF tradeoff;
+    * callers raise nProbe, exactly as they would in any ANN store.
+    */
+  def serveFiltered(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      query: Array[Double], nProbe: Int, topK: Int,
+      allowed: DataFrame, id: Column,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val ok = allowed.select(id.cast("long").as("id")).distinct()
+    ProductQuant.adcFromCodes(
+      probedCodes(spark, path, cents, query, nProbe, asOfGen)
+        .join(ok, Seq("id"), "left_semi"),
+      col("id"), col("codes"), pqCents, query, topK)
+  }
+
   /** Batched ANN serving — the vector twin of
     * [[graft.llm.InvertedIndex.bm25TopKBatch]]: score a whole batch of
     * query vectors in ONE scan of the UNION of their probed clusters

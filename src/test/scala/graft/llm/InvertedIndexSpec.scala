@@ -380,6 +380,44 @@ class InvertedIndexSpec extends SparkSpec {
     assert(serve() === expected)
   }
 
+  test("merge of disjoint indexes equals a fresh build; source tombstones apply; guards hold") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val a = java.nio.file.Files.createTempDirectory("invidx_mrg_a").toString
+    val b = java.nio.file.Files.createTempDirectory("invidx_mrg_b").toString
+    val dst = java.nio.file.Files.createTempDirectory("invidx_mrg").toString
+    val reb = java.nio.file.Files.createTempDirectory("invidx_mrg_reb").toString
+    InvertedIndex.write(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), a, nBuckets = 8)
+    InvertedIndex.write(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), b, nBuckets = 8)
+    InvertedIndex.delete(spark, b,
+      docs.where(pmod(col("doc_id"), lit(5)) === 1).select("doc_id"),
+      col("doc_id"))
+    InvertedIndex.merge(spark, Seq(a, b), dst)
+    // ≡ fresh build over union minus B's applicable tombstones (odd %5=1)
+    val survivors = docs.where(
+      !(pmod(col("doc_id"), lit(5)) === 1 && pmod(col("doc_id"), lit(2)) === 1))
+    InvertedIndex.write(survivors, col("doc_id"), col("text"), reb, nBuckets = 8)
+    assert(InvertedIndex.readStats(spark, dst) ===
+      InvertedIndex.readStats(spark, reb))
+    def serve(p: String) = InvertedIndex.bm25TopK(spark, p, terms, topK = 50)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(serve(dst) === serve(reb))
+    // guards: bucket-count mismatch and positional mixing refuse loudly
+    val c16 = java.nio.file.Files.createTempDirectory("invidx_mrg_c").toString
+    InvertedIndex.write(docs.limit(10), col("doc_id"), col("text"), c16, nBuckets = 16)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.merge(spark, Seq(a, c16), dst + "_x")
+    }
+    val pos = java.nio.file.Files.createTempDirectory("invidx_mrg_p").toString
+    InvertedIndex.write(docs.limit(10), col("doc_id"), col("text"), pos,
+      nBuckets = 8, positions = true)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.merge(spark, Seq(a, pos), dst + "_y")
+    }
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

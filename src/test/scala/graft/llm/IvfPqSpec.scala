@@ -189,6 +189,23 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("filtered serving equals filtering the unfiltered candidates, never re-ranks") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_filt").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    val allowed = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val okIds = allowed.select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = IvfPq.serveFiltered(spark, idx, cents, pqCents, anchor,
+      nProbe = 4, topK = 10, allowed = allowed, id = col("vec_id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    // reference: unfiltered serve over ALL candidates, filtered after
+    val ref = IvfPq.serve(spark, idx, cents, pqCents, anchor,
+      nProbe = 4, topK = 1000000)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc")))
+      .filter(p => okIds(p._1)).sortBy(p => (p._2, p._1)).take(10).toSeq
+    assert(got === ref && got.nonEmpty)
+    assert(got.forall(p => okIds(p._1)))
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

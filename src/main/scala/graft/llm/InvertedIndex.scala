@@ -156,9 +156,16 @@ object InvertedIndex {
   def readGen(spark: SparkSession, path: String): Long =
     statsRow(spark, path, None).getAs[Long]("gen")
 
+  /** The observed (n_docs, sum_dl). A write that ran ZERO tasks (an
+    * empty delta — e.g. a deletes-only change feed's append half)
+    * never fires the observation listener, so the metric map can be
+    * missing its keys entirely; an empty relation's true counts are
+    * exactly (0, 0), so default rather than crash the CDC path.
+    */
   private def observed(obs: Observation): (Double, Double) = {
     val m = obs.get
-    (m("n_docs").asInstanceOf[Double], m("sum_dl").asInstanceOf[Double])
+    (m.getOrElse("n_docs", 0.0).asInstanceOf[Double],
+      m.getOrElse("sum_dl", 0.0).asInstanceOf[Double])
   }
 
   /** Build the index under `path` in one corpus scan. Returns

@@ -418,6 +418,25 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("deletes-only change feed: the empty append half is a clean no-op") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_delonly").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 2)
+    // a zero-task write never fires the Observation listener — the CDC
+    // path must treat the missing metrics as the (0, 0) they mean
+    val feed = Seq((1L, "", "delete")).toDF("doc_id", "text", "op")
+    InvertedIndex.applyChangeFeed(feed, col("doc_id"), col("text"),
+      col("op"), idx)
+    val ids = InvertedIndex.bm25TopK(spark, idx, Seq("b"), topK = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(ids === Set(2L))
+    // scalars stay Lucene-stale (no docs added, none subtracted yet)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(2.0, 4.0, 2))
+    InvertedIndex.compact(spark, idx)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(1.0, 2.0, 2))
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

@@ -327,8 +327,12 @@ object InvertedIndex {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     // exact survivor stats off the rewritten (index-sized) relation:
-    // one row per (doc, dl) thanks to the sentinel discipline
-    val d = spark.read.parquet(tmp).select("doc_id", "dl").distinct()
+    // one row per (doc, dl) thanks to the sentinel discipline. Explicit
+    // schema: a compact that tombstoned EVERY doc writes an empty
+    // directory, and schema inference would fail where count() = 0 is
+    // the true answer.
+    val d = spark.read.schema(survivors.schema).parquet(tmp)
+      .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
     writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets),
       gen = 0L)
@@ -497,11 +501,15 @@ object InvertedIndex {
     require(sources.map(isPositional(spark, _)).distinct.size == 1,
       "cannot merge positional and non-positional indexes")
     val live = sources.map(p => liveRows(spark, p, spark.read.parquet(p)))
-    live.reduce(_ unionByName _)
+    val merged = live.reduce(_ unionByName _)
       .drop("gen").withColumn("gen", lit(0L))
+    merged
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dst)
-    val d = spark.read.parquet(dst).select("doc_id", "dl").distinct()
+    // explicit schema: all-tombstoned sources merge to an empty
+    // directory, where inference would fail and count() = 0 is right
+    val d = spark.read.schema(merged.schema).parquet(dst)
+      .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
     val st = Stats(d.getDouble(0), d.getDouble(1), stats.head.nBuckets)
     writeStats(spark, dst, st, gen = 0L)

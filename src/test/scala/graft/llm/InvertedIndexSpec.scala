@@ -437,6 +437,19 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(1.0, 2.0, 2))
   }
 
+  test("compacting an all-tombstoned index yields an empty index with (0, 0) stats") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_delall").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 2)
+    InvertedIndex.delete(spark, idx, docs.select("doc_id"), col("doc_id"))
+    // schema inference has no files to look at here; the explicit-schema
+    // read makes count() = 0 the answer instead of an AnalysisException
+    val (n, avg) = InvertedIndex.compact(spark, idx)
+    assert(n === 0.0 && avg === 0.0)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(0.0, 0.0, 2))
+  }
+
   test("writer and reader share one bucket function column") {
     import spark.implicits._
     // same term → same bucket via the shared column, for any bucket count

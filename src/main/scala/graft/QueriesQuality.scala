@@ -1472,6 +1472,88 @@ object QueriesQuality {
        |  2::BIGINT AS gen,
        |  (SELECT count(*) FROM embeddings WHERE vec_id % 13 = 0)::BIGINT AS n_tombstoned""".stripMargin
 
+  /** q_retrieval_eval — the evaluation harness every retrieval
+    * deployment runs: MRR and nDCG@20 of the SERVED ranking (the
+    * persisted index's BM25 top-20) against a deterministic binary
+    * relevance set: a doc is relevant iff it contains the exact PHRASE
+    * "slow hash batch" — deliberately STRICTER than the ranker's
+    * bag-of-words model, so the metrics measure something real (how
+    * well term-level BM25 surfaces phrase-level matches) instead of
+    * saturating at 1.0. Rank positions come from a window over the ≤20
+    * post-limit served rows (PlanAudit allowlisted with that size
+    * proof); the ideal DCG is a driver-side ≤20-term scalar. log2 is
+    * computed as ln/ln(2) in BOTH engines — the same cross-engine ln
+    * discipline BM25's idf already relies on.
+    */
+  val qRetrievalEval: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val out = TempDirs.create("graft_postings_eval")
+    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = PostingsBuckets)
+    val served = InvertedIndex.bm25TopK(s, out, PhraseTerms, topK = 20)
+    val rel = docs
+      .select(col("doc_id"),
+        graft.llm.TextStats.tokens(lower(col("text"))).as("toks"))
+      .where(expr("size(toks) >= 3") && expr(
+        s"size(filter(sequence(0, size(toks) - 3), i -> " +
+          s"toks[i] = '${PhraseTerms(0)}' AND toks[i+1] = '${PhraseTerms(1)}' " +
+          s"AND toks[i+2] = '${PhraseTerms(2)}')) > 0"))
+      .select(col("doc_id").as("rid"))
+    val nRel = rel.count() // ONE driver scalar from a bounded agg
+    val idcg = (1 to math.min(nRel, 20L).toInt)
+      .map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    val ranked = served
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .join(rel, col("id") === col("rid"), "left")
+      .withColumn("r", when(col("rid").isNotNull, 1.0).otherwise(0.0))
+    val dcg = sum(col("r") / (log(col("pos") + 1.0) / math.log(2.0)))
+    ranked.agg(
+      round(coalesce(max(when(col("r") === 1.0, lit(1.0) / col("pos"))),
+        lit(0.0)), 4).as("mrr"),
+      round(
+        if (idcg == 0.0) lit(0.0) else coalesce(dcg / idcg, lit(0.0)),
+        4).as("ndcg"))
+      .select(lit(20).as("k"), lit(nRel).as("n_relevant"),
+        col("mrr"), col("ndcg"))
+  }
+
+  val qRetrievalEvalSql: String = {
+    val conds = PhraseTerms.zipWithIndex
+      .map { case (t, i) => s"t$i.tok = '$t'" }.mkString(" AND ")
+    s"""WITH topk AS (
+       |SELECT doc_id, score FROM (
+       |${QueriesCurate.bm25OracleSql(PhraseTerms, 20)}
+       |) AS bm
+       |),
+       |ranked AS (SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS pos FROM topk),
+       |toksrel AS (SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS tok,
+       |    unnest(range(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)))) AS ord
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |rel AS (SELECT DISTINCT t0.doc_id
+       |  FROM toksrel t0
+       |  JOIN toksrel t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+       |  JOIN toksrel t2 ON t2.doc_id = t0.doc_id AND t2.ord = t0.ord + 2
+       |  WHERE $conds),
+       |nrel AS (SELECT count(*)::BIGINT AS n FROM rel),
+       |idcg AS (SELECT sum(1.0 / (ln(i + 1) / ln(2))) AS v
+       |  FROM (SELECT unnest(range(1,
+       |    least((SELECT n FROM nrel), 20) + 1)) AS i)),
+       |j AS (SELECT ranked.pos,
+       |    CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS r
+       |  FROM ranked LEFT JOIN rel USING (doc_id))
+       |SELECT 20 AS k, (SELECT n FROM nrel) AS n_relevant,
+       |  round(coalesce(max(CASE WHEN r = 1.0 THEN 1.0 / pos END), 0), 4) AS mrr,
+       |  round(CASE WHEN (SELECT n FROM nrel) = 0 THEN 0
+       |    ELSE coalesce(sum(r / (ln(pos + 1) / ln(2)))
+       |           / (SELECT v FROM idcg), 0) END, 4) AS ndcg
+       |FROM j""".stripMargin
+  }
+
   /** q_index_merge — Lucene-style segment merging across
     * independently-built indexes ([[graft.llm.InvertedIndex.merge]]):
     * two disjoint half-corpus indexes (built separately, one carrying a
@@ -1712,6 +1794,7 @@ object QueriesQuality {
     "q_ivfpq_stats" -> qIvfPqStats,
     "q_ivfpq_filtered" -> qIvfPqFiltered,
     "q_index_merge" -> qIndexMerge,
+    "q_retrieval_eval" -> qRetrievalEval,
     "q_hash_classifier" -> qHashClassifier,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
@@ -1749,6 +1832,7 @@ object QueriesQuality {
     "q_ivfpq_stats" -> qIvfPqStatsSql,
     "q_ivfpq_filtered" -> qIvfPqFilteredSql,
     "q_index_merge" -> qIndexMergeSql,
+    "q_retrieval_eval" -> qRetrievalEvalSql,
     "q_hash_classifier" -> qHashClassifierSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -31,7 +31,8 @@ object PlanAudit {
     "q_vocab",      // rank over ≤16 post-limit vocab rows (Vocab.build)
     "q_token_ids",  // same vocab rank window feeding the broadcast join
     "q_hybrid_rrf", // two rank windows, each over a 20-row post-limit list
-    "q_zipf"        // rank + cumsum over ≤50 post-limit vocab rows
+    "q_zipf",       // rank + cumsum over ≤50 post-limit vocab rows
+    "q_retrieval_eval" // rank over the ≤20 post-limit served rows
   )
 
   /** Pinned per-query shuffle counts (tools/plan_baseline.json). A

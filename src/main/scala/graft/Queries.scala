@@ -311,7 +311,7 @@ object Queries {
       |  'Point' AS gtype
       |FROM customer ORDER BY c_custkey""".stripMargin
 
-  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ QueriesQuality.all ++ QueriesMeta.all ++ Map(
+  def all: Map[String, Q] = QueriesLlm.all ++ QueriesPipeline.all ++ QueriesCurate.all ++ QueriesQuality.all ++ QueriesMeta.all ++ QueriesSketch.all ++ Map(
     "q_geojson_roundtrip" -> qGeojsonRoundtrip,
     "q_geo_bbox_agg" -> qGeoBboxAgg,
     "q_extract_bbox" -> qExtractBbox,
@@ -326,7 +326,7 @@ object Queries {
     "q_bbox_cells" -> qBboxCells
   )
 
-  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ QueriesQuality.oracles ++ QueriesMeta.oracles ++ Map(
+  def oracles: Map[String, String] = QueriesLlm.oracles ++ QueriesPipeline.oracles ++ QueriesCurate.oracles ++ QueriesQuality.oracles ++ QueriesMeta.oracles ++ QueriesSketch.oracles ++ Map(
     "q_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "q_geo_bbox_agg" -> qGeoBboxAggSql,
     "q_extract_bbox" -> qExtractBboxSql,

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{Sketches, TextStats}
+
+/** Portable-sketch operators as driver queries ([[graft.llm.Sketches]]):
+  * KMV distinct-count, Count-Min heavy-hitter counts, a Bloom seen-key
+  * gate, and binned quantile estimates. Unusually for sketches, every
+  * query here is HASH-checked against DuckDB — the sketches are defined
+  * over the portable md5-prefix hash, so the oracle reproduces the
+  * sketch arithmetic itself (estimates, collision overcounts, membership
+  * verdicts), not just an exact companion answer. Each query pairs the
+  * sketch with its exact evaluation arm (true distinct / true counts /
+  * true membership / true quantile): the arm is the grading harness, and
+  * at production scale only the sketch side runs.
+  */
+object QueriesSketch {
+
+  import Queries.Q
+
+  val KmvK = 256
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsProbes = 12
+  val BloomHashes = 6
+  val BloomBits = 2048
+  val QBins = 64
+  val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Word bigrams of `text` as an array (lowercased, whitespace
+    * tokenization shared with the vocab/TF-IDF kernels); < 2 tokens →
+    * empty. Column algebra only — explode stays codegen-adjacent.
+    */
+  private def bigrams(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = TextStats.tokens(lower(text))
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** q_kmv_distinct — per-group distinct-count estimation (KMV, k=256)
+    * of `l_orderkey` by `l_returnflag`, graded against the exact
+    * distinct count: (grp, est_distinct, exact_distinct, rel_err). The
+    * sketch arm shuffles only (group, 60-bit hash) pairs; the exact arm
+    * is the evaluation harness.
+    */
+  val qKmvDistinct: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val est = Sketches.kmvDistinct(li, col("l_returnflag"), col("l_orderkey"), KmvK)
+    val ex = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct("l_orderkey").as("exact_distinct"))
+    est.join(ex, "grp")
+      .select(col("grp"), col("est_distinct"), col("exact_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy("grp")
+  }
+
+  val qKmvDistinctSql: String =
+    s"""WITH vals AS (
+      |  SELECT DISTINCT l_returnflag AS grp,
+      |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk,
+      |    count(*) OVER (PARTITION BY grp) AS n_d
+      |  FROM vals),
+      |kth AS (SELECT grp, h, n_d FROM ranked WHERE rk = LEAST($KmvK, n_d)),
+      |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_distinct
+      |       FROM lineitem GROUP BY 1),
+      |est AS (
+      |  SELECT grp,
+      |    CASE WHEN n_d < $KmvK THEN n_d::DOUBLE
+      |         ELSE round(${KmvK - 1}.0 / (h::DOUBLE / 1152921504606846976.0), 3)
+      |    END AS est_distinct
+      |  FROM kth)
+      |SELECT e.grp, e.est_distinct, x.exact_distinct,
+      |  round(abs(e.est_distinct - x.exact_distinct::DOUBLE)
+      |    / x.exact_distinct::DOUBLE, 4) AS rel_err
+      |FROM est e JOIN ex x USING (grp) ORDER BY grp""".stripMargin
+
+  /** q_cms_heavy — Count-Min sketch (d=4, w=256) over the corpus word-
+    * bigram stream (916 distinct grams at sf0.01 → real collisions),
+    * probed at the 12 most frequent grams: (rk, gram, true_cnt, est_cnt,
+    * overcount). overcount ≥ 0 always — CMS only overcounts — and the
+    * oracle pins the exact collision arithmetic. The cell build is the
+    * streaming shape: explode ×4 then ONE map-side-combined groupBy to
+    * ≤ d·w rows; the exact top-12 is the evaluation arm.
+    */
+  val qCmsHeavy: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .select(explode(bigrams(col("text"))).as("gram"))
+    val cells = Sketches.cmsCells(grams, col("gram"), CmsDepth, CmsWidth)
+    val probes = grams.groupBy("gram").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("gram")).limit(CmsProbes)
+      // rank over the ≤ 12 post-limit rows (driver-bounded, not data-sized)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("true_cnt").desc, col("gram")))
+          .cast("long"))
+    Sketches.cmsEstimate(probes, col("gram"), cells, CmsDepth, CmsWidth)
+      .select(col("rk"), col("gram"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy("rk")
+  }
+
+  val qCmsHeavySql: String =
+    s"""WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS gram
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      |seeds AS (SELECT unnest(range($CmsDepth)) AS seed),
+      |cells AS (
+      |  SELECT seed,
+      |    ('0x' || substr(md5(seed::VARCHAR || ':' || gram), 1, 15))::BIGINT % $CmsWidth AS bucket,
+      |    count(*) AS total
+      |  FROM bg CROSS JOIN seeds GROUP BY 1, 2),
+      |truth AS (SELECT gram, count(*) AS true_cnt FROM bg GROUP BY gram),
+      |probes AS (
+      |  SELECT gram, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, gram) AS rk
+      |  FROM truth ORDER BY true_cnt DESC, gram LIMIT $CmsProbes),
+      |est AS (
+      |  SELECT p.rk, p.gram, p.true_cnt, min(c.total) AS est_cnt
+      |  FROM probes p CROSS JOIN seeds s
+      |  JOIN cells c ON c.seed = s.seed
+      |    AND c.bucket = ('0x' || substr(md5(s.seed::VARCHAR || ':' || p.gram), 1, 15))::BIGINT % $CmsWidth
+      |  GROUP BY 1, 2, 3)
+      |SELECT rk, gram, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+      |FROM est ORDER BY rk""".stripMargin
+
+  /** q_bloom_gate — the seen-URL gate of an incremental crawl, with the
+    * sketch's own verdicts under test: a Bloom filter (m=2048, k=6) is
+    * built over the previously-ingested keys (docs with doc_id % 4 ≠ 0)
+    * and probed with EVERY key; per language: probe count, true
+    * membership, Bloom hits, false positives (the re-fetch cost of the
+    * gate) and false negatives (pinned at zero — the Bloom guarantee).
+    * Truth is by construction (doc_id % 4), so the only joins are the
+    * broadcast of the ≤ m-row bit relation.
+    */
+  val qBloomGate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      concat(col("source"), lit("/"), col("doc_id").cast("string")).as("url"))
+    val build = docs.where(col("doc_id") % 4 =!= 0)
+    val bits = Sketches.bloomBits(build, col("url"), BloomHashes, BloomBits)
+    Sketches.bloomProbe(docs, col("url"), bits, BloomHashes, BloomBits)
+      .withColumn("seen", col("doc_id") % 4 =!= 0)
+      .groupBy("lang").agg(
+        count(lit(1)).as("probes"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("true_seen"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("bloom_hit") && !col("seen"), 1L).otherwise(0L)).as("false_pos"),
+        sum(when(col("seen") && !col("bloom_hit"), 1L).otherwise(0L)).as("false_neg"))
+      .orderBy("lang")
+  }
+
+  val qBloomGateSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang, source || '/' || doc_id::VARCHAR AS url
+      |  FROM documents),
+      |seeds AS (SELECT unnest(range($BloomHashes)) AS seed),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(seed::VARCHAR || ':' || url), 1, 15))::BIGINT % $BloomBits AS pos
+      |  FROM docs CROSS JOIN seeds WHERE doc_id % 4 <> 0),
+      |ph AS (
+      |  SELECT d.doc_id, d.lang, count(b.pos) AS nhit
+      |  FROM docs d CROSS JOIN seeds s
+      |  LEFT JOIN bits b
+      |    ON b.pos = ('0x' || substr(md5(s.seed::VARCHAR || ':' || d.url), 1, 15))::BIGINT % $BloomBits
+      |  GROUP BY 1, 2),
+      |v AS (SELECT lang, (nhit = $BloomHashes) AS hit, (doc_id % 4 <> 0) AS seen
+      |      FROM ph)
+      |SELECT lang, count(*) AS probes,
+      |  sum(CASE WHEN seen THEN 1 ELSE 0 END)::BIGINT AS true_seen,
+      |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS bloom_hits,
+      |  sum(CASE WHEN hit AND NOT seen THEN 1 ELSE 0 END)::BIGINT AS false_pos,
+      |  sum(CASE WHEN seen AND NOT hit THEN 1 ELSE 0 END)::BIGINT AS false_neg
+      |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q_quantile_sketch — p25/p50/p75/p90/p99 of document length via the
+    * 64-bin equi-width sketch, graded against the exact type-1 quantile:
+    * (q, est_q, exact_q, abs_err). The sketch reduces the corpus to
+    * ≤ 64 bin counts; the exact arm runs on the distinct-length
+    * histogram (domain-bounded). Estimate error is bounded by one bin
+    * width — visible in abs_err.
+    */
+  val qQuantileSketch: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val est = Sketches.binnedQuantiles(docs, col("n_chars"), QBins, Quantiles)
+    val ex = Sketches.exactQuantiles(docs, col("n_chars"), Quantiles)
+    est.join(ex, "q")
+      .select(col("q"), col("est_q"), col("exact_q"),
+        round(abs(col("est_q") - col("exact_q").cast("double")), 4).as("abs_err"))
+      .orderBy("q")
+  }
+
+  val qQuantileSketchSql: String =
+    s"""WITH stats AS (
+      |  SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx,
+      |    count(*)::BIGINT AS n FROM documents),
+      |binned AS (
+      |  SELECT CASE WHEN mx = mn THEN 0
+      |    ELSE LEAST(floor((n_chars::DOUBLE - mn) / ((mx - mn) / $QBins.0))::BIGINT, ${QBins - 1})
+      |    END AS bin,
+      |    count(*)::BIGINT AS cnt
+      |  FROM documents CROSS JOIN stats GROUP BY 1),
+      |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM binned),
+      |qs AS (SELECT unnest([${Quantiles.mkString(", ")}]::DOUBLE[]) AS q),
+      |est AS (
+      |  SELECT q.q,
+      |    CASE WHEN s.mx = s.mn THEN round(s.mn, 4)
+      |    ELSE round(s.mn + ((s.mx - s.mn) / $QBins.0) *
+      |      (c.bin::DOUBLE + (q.q * s.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE), 4)
+      |    END AS est_q
+      |  FROM qs q CROSS JOIN stats s
+      |  JOIN cum c ON c.cum >= q.q * s.n::DOUBLE
+      |    AND (c.cum - c.cnt)::DOUBLE < q.q * s.n::DOUBLE),
+      |hv AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+      |hcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM hv),
+      |ex AS (
+      |  SELECT q.q, min(h.v) AS exact_q
+      |  FROM qs q CROSS JOIN stats s
+      |  JOIN hcum h ON h.cum >= ceil(q.q * s.n::DOUBLE)
+      |  GROUP BY 1)
+      |SELECT e.q, e.est_q, x.exact_q,
+      |  round(abs(e.est_q - x.exact_q::DOUBLE), 4) AS abs_err
+      |FROM est e JOIN ex x ON e.q = x.q ORDER BY e.q""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_kmv_distinct" -> qKmvDistinct,
+    "q_cms_heavy" -> qCmsHeavy,
+    "q_bloom_gate" -> qBloomGate,
+    "q_quantile_sketch" -> qQuantileSketch)
+
+  val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_cms_heavy" -> qCmsHeavySql,
+    "q_bloom_gate" -> qBloomGateSql,
+    "q_quantile_sketch" -> qQuantileSketchSql)
+}

@@ -1,0 +1,253 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-portable one-pass sketches: KMV distinct-count, Count-Min
+  * frequency, and Bloom membership — the bounded-memory summaries a
+  * 100-TB curation pipeline persists BESIDE a dataset (cardinality per
+  * shard, heavy-hitter tokens, seen-URL gates) so later stages, possibly
+  * running on a different engine, can probe them without rescanning the
+  * corpus.
+  *
+  * Contrast with the transient gates the pipeline already uses
+  * internally ([[Incremental]] builds `spark.util.sketch.BloomFilter`,
+  * a JVM-private binary): everything here is defined over a PORTABLE
+  * hash — the first 60 bits of `md5(value)` — so the identical sketch is
+  * computable from ANSI SQL in any engine, which is also what lets the
+  * DuckDB oracle pin the sketch arithmetic itself (estimates, collision
+  * overcounts, false-positive verdicts), not just a downstream exact
+  * result.
+  *
+  * Scale shape, per sketch:
+  *  - KMV: one `distinct` on (group, hash) — map-side combined, shuffles
+  *    64-bit hashes, never values — then a per-GROUP window over the
+  *    distinct relation. Nothing global; estimate state is k longs/group.
+  *  - CMS: a narrow map explodes each item into `depth` (seed, bucket)
+  *    cells and ONE map-side-combined groupBy reduces to ≤ depth×width
+  *    rows, independent of corpus size — the streaming-CMS update order
+  *    never materializes per-item counts.
+  *  - Bloom: build reduces keys to ≤ `bits` distinct positions (the bit
+  *    set IS the relation — what you'd persist); probing broadcasts it.
+  *    [[bloomProbeSet]] is the serving kernel: the bit set collected
+  *    (bounded by `bits` by construction) into a broadcast BitSet and
+  *    probed as a NARROW map — zero shuffle on the probe stream.
+  */
+object Sketches {
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5 over the
+    * value's canonical STRING form (so integer columns hash identically
+    * to the oracle's `x::VARCHAR`), as a non-negative long. DuckDB twin:
+    * `('0x' || substr(md5(x::VARCHAR), 1, 15))::BIGINT`. Defined for
+    * string and integer inputs; float canonical forms differ across
+    * engines — stringify floats yourself before hashing.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 2^60 as a double (exact): h60 / H60Denom is uniform on [0, 1). */
+  val H60Denom: Double = 1152921504606846976.0d
+
+  /** KMV (k-minimum-values) distinct-count estimate per group:
+    * (grp, est_distinct). With n ≥ k distinct hashes the estimate is
+    * (k−1)/r_k where r_k is the k-th smallest normalized hash; with
+    * n < k the sketch holds every distinct hash and the estimate is
+    * exactly n (the unsaturated branch). Standard error ≈ 1/√k.
+    *
+    * The k-th smallest hash is found in two ranking levels so that
+    * parallelism never collapses to the GROUP count (a per-group window
+    * over the full distinct relation serializes each group into one
+    * task — measured 5× slower at sf1): first a rank within (group,
+    * physical partition) keeps only k candidates per partition — the k
+    * global minima always survive any partitioning — then the per-group
+    * window ranks the ≤ k·P survivors. A production refresh loop would
+    * additionally pre-filter `h < r_k_prev · slack` from the previous
+    * epoch's sketch; correctness never depends on either prune.
+    */
+  def kmvDistinct(df: DataFrame, grp: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashes = df.select(grp.as("grp"), h60(value).as("h")).distinct()
+    val local = Window.partitionBy("grp", "_p").orderBy("h")
+    val pruned = hashes
+      .withColumn("_p", spark_partition_id())
+      .withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .select(col("grp"), col("h"))
+    // the survivor count stands in for the true distinct count on both
+    // sides of the saturation test: below k nothing was pruned (each
+    // partition held < k rows of the group), so _ns == n exactly; at or
+    // above k at least the k global minima survive, so _ns >= k and only
+    // the k-th hash matters
+    pruned
+      .select(col("grp"), col("h"),
+        row_number().over(Window.partitionBy("grp").orderBy("h")).as("_rk"),
+        count(lit(1)).over(Window.partitionBy("grp")).as("_ns"))
+      .where(col("_rk") === least(lit(k), col("_ns")))
+      .select(col("grp"),
+        when(col("_ns") < k, col("_ns").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (col("h").cast("double") / lit(H60Denom)), 3))
+          .as("est_distinct"))
+  }
+
+  private def seedCol(seed: Column, item: Column): Column =
+    h60(concat(seed.cast("string"), lit(":"), item))
+
+  /** Count-Min cell table — (seed, bucket, total), ≤ depth×width rows —
+    * from a stream of items. One narrow explode (×depth) plus one
+    * map-side-combined aggregation; per-partition state is bounded by
+    * the cell count, never the item cardinality.
+    */
+  def cmsCells(items: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "CMS needs depth >= 1, width >= 2")
+    items
+      .select(item.as("_it"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select(col("seed"), (seedCol(col("seed"), col("_it")) % width).as("bucket"))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("total"))
+  }
+
+  /** Point-query the sketch: each probe row gains `est_cnt` =
+    * min over seeds of its cell counter — ≥ the true count always
+    * (counters only ever overcount). `cells` is broadcast (≤ depth×width
+    * rows); the probe relation is exploded ×depth then regrouped on its
+    * key, so estimation cost scales with the probe set, not the corpus.
+    */
+  def cmsEstimate(probes: DataFrame, probe: Column, cells: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val keyed = probes.withColumn("_pk", probe)
+    val pos = keyed
+      .select(col("*"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("bucket", seedCol(col("seed"), col("_pk")) % width)
+    pos.join(broadcast(cells), Seq("seed", "bucket"))
+      .groupBy(keyed.columns.map(col).toIndexedSeq: _*)
+      .agg(min("total").as("est_cnt"))
+      .drop("_pk")
+  }
+
+  /** Bloom bit set as a relation: the ≤ `bits` distinct positions lit by
+    * `hashes` independent position functions over the build keys. This
+    * IS the persistable artifact — m bits of portable state no matter
+    * how many keys built it.
+    */
+  def bloomBits(keys: DataFrame, key: Column, hashes: Int, bits: Int): DataFrame = {
+    require(hashes >= 1 && bits >= 2, "Bloom needs hashes >= 1, bits >= 2")
+    keys
+      .select(key.as("_bk"),
+        explode(sequence(lit(0), lit(hashes - 1))).as("seed"))
+      .select((seedCol(col("seed"), col("_bk")) % bits).as("pos"))
+      .distinct()
+  }
+
+  /** Membership verdicts via a broadcast join against the bit relation:
+    * each probe row gains `bloom_hit` — true iff all `hashes` positions
+    * are lit (no false negatives, by construction). The probe stream is
+    * exploded ×hashes and regrouped on its own columns; the bit relation
+    * broadcasts.
+    */
+  def bloomProbe(probes: DataFrame, key: Column, bitsDf: DataFrame,
+      hashes: Int, bits: Int): DataFrame = {
+    val keyed = probes.withColumn("_pk", key)
+    val pos = keyed
+      .select(col("*"), explode(sequence(lit(0), lit(hashes - 1))).as("seed"))
+      .withColumn("pos", seedCol(col("seed"), col("_pk")) % bits)
+    pos.join(broadcast(bitsDf.withColumn("_lit", lit(1))), Seq("pos"), "left")
+      .groupBy(keyed.columns.map(col).toIndexedSeq: _*)
+      .agg((count(col("_lit")) === hashes).as("bloom_hit"))
+      .drop("_pk")
+  }
+
+  /** Serving-path twin of [[bloomProbe]]: the bit relation — bounded by
+    * `bits` BY CONSTRUCTION (bloomBits emits distinct positions modulo
+    * `bits`), which is what justifies the collect — becomes a broadcast
+    * BitSet probed in a narrow map: zero shuffle, zero explode, O(hashes)
+    * per row. BloomSketchSpec pins bit-identical verdicts against the
+    * join formulation. The UDF is the right tool here: the kernel is six
+    * BitSet lookups against broadcast state, and its algebra twin above
+    * stays the oracle surface.
+    */
+  def bloomProbeSet(probes: DataFrame, key: Column, bitsDf: DataFrame,
+      hashes: Int, bits: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val lit0 = bitsDf.select(col("pos").cast("int")).collect().map(_.getInt(0))
+    val bs = spark.sparkContext.broadcast(scala.collection.immutable.BitSet(lit0: _*))
+    val hit = udf { (k: String) =>
+      val set = bs.value
+      (0 until hashes).forall { seed =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$k".getBytes("UTF-8"))
+        // first 15 hex chars = high 60 bits of the first 8 digest bytes
+        val h = java.lang.Long.parseUnsignedLong(
+          d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+        set((h % bits).toInt)
+      }
+    }
+    probes.withColumn("bloom_hit", hit(key.cast("string")))
+  }
+
+  /** Binned quantile estimates — the two-aggregation sketch behind
+    * "p50/p99 document length" dashboards at corpus scale: pass 1 is a
+    * 3-scalar (min, max, n) aggregate; pass 2 reduces the corpus to
+    * ≤ `nBins` equi-width bin counts (map-side combined); the quantile
+    * arithmetic (cumulative counts + linear interpolation inside the
+    * target bin) then runs on that bounded relation only. Estimate error
+    * is bounded by one bin width. Output: (q, est_q) per requested
+    * quantile, `est_q` rounded to 4 dp.
+    *
+    * The global cumulative window and the stats cross join both run over
+    * bounded relations (≤ nBins rows; one row) — allowlisted in
+    * PlanAudit with those size proofs.
+    */
+  def binnedQuantiles(df: DataFrame, value: Column, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && qs.nonEmpty, "need nBins >= 2 and at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.agg(
+      min(value).cast("double").as("mn"),
+      max(value).cast("double").as("mx"),
+      count(lit(1)).as("n"))
+    val binned = df.crossJoin(broadcast(stats))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((value.cast("double") - col("mn")) /
+              ((col("mx") - col("mn")) / nBins.toDouble)).cast("long"),
+            lit((nBins - 1).toLong)))
+          .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    val qdf = qs.toDF("q")
+    qdf.crossJoin(broadcast(stats))
+      .join(cum,
+        col("cum") >= col("q") * col("n").cast("double") &&
+        (col("cum") - col("cnt")).cast("double") < col("q") * col("n").cast("double"))
+      .select(col("q"),
+        when(col("mx") === col("mn"), round(col("mn"), 4))
+          .otherwise(round(
+            col("mn") + ((col("mx") - col("mn")) / nBins.toDouble) *
+              (col("bin").cast("double") +
+                (col("q") * col("n").cast("double") -
+                  (col("cum") - col("cnt")).cast("double")) /
+                col("cnt").cast("double")), 4))
+          .as("est_q"))
+  }
+
+  /** Exact type-1 quantiles (the evaluation arm that grades the sketch):
+    * value at rank ceil(q·n) via a cumulative window over the
+    * DISTINCT-VALUE histogram — bounded by the value domain, not the
+    * row count (document lengths, token counts and the like have
+    * domains in the thousands at any corpus size). Output: (q, exact_q).
+    */
+  def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.agg(count(lit(1)).as("n"))
+    val hv = df.groupBy(value.as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+    qs.toDF("q").crossJoin(broadcast(n))
+      .join(hv, col("cum") >= ceil(col("q") * col("n").cast("double")))
+      .groupBy("q").agg(min("v").as("exact_q"))
+  }
+}

@@ -24,7 +24,8 @@ object PlanAudit {
     "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
     "q_ivfpq_recall",  // crossJoins of three ONE-row aggregates (overlap × candidates × total)
     "q_ivfpq_incr",    // same serving report as q_ivfpq_recall (one-row aggregates)
-    "q_ivfpq_rerank"   // crossJoins of four ONE-row aggregates (two overlaps × candidates × total)
+    "q_ivfpq_rerank",  // crossJoins of four ONE-row aggregates (two overlaps × candidates × total)
+    "q_quantile_sketch" // ONE-row stats cross joins + range joins of the 5-quantile literal against ≤64 bin rows / the domain-bounded length histogram
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input
@@ -32,7 +33,9 @@ object PlanAudit {
     "q_token_ids",  // same vocab rank window feeding the broadcast join
     "q_hybrid_rrf", // two rank windows, each over a 20-row post-limit list
     "q_zipf",       // rank + cumsum over ≤50 post-limit vocab rows
-    "q_retrieval_eval" // rank over the ≤20 post-limit served rows
+    "q_retrieval_eval", // rank over the ≤20 post-limit served rows
+    "q_cms_heavy",     // rank over the ≤12 post-limit probe rows
+    "q_quantile_sketch" // cumsums over the ≤64-bin and domain-bounded histograms
   )
 
   /** Pinned per-query shuffle counts (tools/plan_baseline.json). A

@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Portable-sketch kernels: KMV's two branches and error bound, CMS's
+  * one-sided error, Bloom's no-false-negative guarantee plus the
+  * bit-identical serving twin, and the binned quantile estimator's
+  * bin-width error bound.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV: unsaturated sketch (n < k) reports the exact distinct count") {
+    val df = (1 to 40).map(i => ("g", i % 10)).toDF("grp", "v")
+    val out = Sketches.kmvDistinct(df, col("grp"), col("v"), k = 64).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(1) === 10.0)
+  }
+
+  test("KMV: saturated estimate lands within 4/sqrt(k) of the truth") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i)).toDF("grp", "v")
+    val k = 256
+    val est = Sketches.kmvDistinct(df, col("grp"), col("v"), k)
+      .collect().head.getDouble(1)
+    val relErr = math.abs(est - n) / n.toDouble
+    assert(relErr < 4.0 / math.sqrt(k), s"KMV off by $relErr (est $est vs $n)")
+  }
+
+  test("KMV: groups are sketched independently") {
+    val df = ((1 to 100).map(i => ("a", i)) ++ (1 to 7).map(i => ("b", i)))
+      .toDF("grp", "v")
+    val out = Sketches.kmvDistinct(df, col("grp"), col("v"), k = 512)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") === 100.0 && out("b") === 7.0)
+  }
+
+  private val zipfy: Seq[String] =
+    (1 to 60).flatMap(i => Seq.fill(61 - i)(s"tok$i"))
+
+  test("CMS: estimates never undercount, and a wide sketch is exact") {
+    val items = zipfy.toDF("it")
+    val truth = items.groupBy($"it").agg(count(lit(1)).as("true_cnt"))
+
+    // narrow sketch: collisions certain (60 keys into 16 buckets)
+    val narrow = Sketches.cmsCells(items, col("it"), depth = 3, width = 16)
+    val estN = Sketches.cmsEstimate(truth, col("it"), narrow, 3, 16).collect()
+    estN.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("true_cnt"),
+        s"CMS undercounted ${r.getAs[String]("it")}")
+    }
+
+    // wide sketch: collision-free, so every estimate is exact
+    val wide = Sketches.cmsCells(items, col("it"), depth = 4, width = 65536)
+    val estW = Sketches.cmsEstimate(truth, col("it"), wide, 4, 65536).collect()
+    estW.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") === r.getAs[Long]("true_cnt"))
+    }
+  }
+
+  test("Bloom: no false negatives, and the BitSet serving twin matches the join form") {
+    val build = (1 to 300).map(i => s"key$i").toDF("k")
+    val probes = (1 to 600).map(i => s"key$i").toDF("k")
+    val bits = Sketches.bloomBits(build, col("k"), hashes = 6, bits = 4096)
+
+    val joined = Sketches.bloomProbe(probes, col("k"), bits, 6, 4096)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Boolean]("bloom_hit")).toMap
+    // every built key must hit
+    (1 to 300).foreach(i => assert(joined(s"key$i"), s"false negative on key$i"))
+    // unseen keys mostly miss (filter sized for ~2% fp at 300 keys)
+    val fp = (301 to 600).count(i => joined(s"key$i"))
+    assert(fp < 60, s"$fp false positives out of 300 — filter badly undersized?")
+
+    val served = Sketches.bloomProbeSet(probes, col("k"), bits, 6, 4096)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Boolean]("bloom_hit")).toMap
+    assert(served === joined, "BitSet kernel diverged from the join formulation")
+  }
+
+  test("binned quantiles: estimates within one bin width; exact arm is type-1") {
+    val vals = (1 to 1000).map(v => Tuple1(v.toLong)).toDF("v")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.binnedQuantiles(vals, col("v"), nBins = 50, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val ex = Sketches.exactQuantiles(vals, col("v"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val binWidth = 999.0 / 50.0
+    qs.foreach { q =>
+      // type-1 exact: value at rank ceil(q*n) over 1..1000
+      assert(ex(q) === math.ceil(q * 1000).toLong)
+      assert(math.abs(est(q) - ex(q)) <= binWidth + 1e-9,
+        s"q=$q est ${est(q)} vs exact ${ex(q)} beyond one bin width")
+    }
+  }
+
+  test("binned quantiles: constant column degenerates to the constant") {
+    val vals = Seq.fill(20)(Tuple1(7L)).toDF("v")
+    val out = Sketches.binnedQuantiles(vals, col("v"), nBins = 8, Seq(0.5, 0.99))
+      .collect().map(_.getDouble(1))
+    assert(out.length === 2 && out.forall(_ === 7.0))
+  }
+}

@@ -93,8 +93,13 @@ object QueriesSketch {
   val qCmsHeavy: Q = (s, dir) => {
     val grams = Tables.documents(s, dir)
       .select(explode(bigrams(col("text"))).as("gram"))
-    val cells = Sketches.cmsCells(grams, col("gram"), CmsDepth, CmsWidth)
-    val probes = grams.groupBy("gram").agg(count(lit(1)).as("true_cnt"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("true_cnt"))
+    // the eval arm materializes exact counts anyway, so the cells fold
+    // them (depth hashes per DISTINCT gram, not per occurrence); a
+    // counts-free stream would use cmsCells instead
+    val cells = Sketches.cmsCellsFromCounts(counts, col("gram"),
+      col("true_cnt"), CmsDepth, CmsWidth)
+    val probes = counts
       .orderBy(col("true_cnt").desc, col("gram")).limit(CmsProbes)
       // rank over the ≤ 12 post-limit rows (driver-bounded, not data-sized)
       .withColumn("rk",

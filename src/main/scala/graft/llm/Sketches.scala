@@ -108,6 +108,25 @@ object Sketches {
       .groupBy("seed", "bucket").agg(count(lit(1)).as("total"))
   }
 
+  /** [[cmsCells]] from a pre-aggregated (item, count) relation: when a
+    * frequency table already exists (an evaluation harness computes one
+    * anyway), folding counts hashes each DISTINCT item `depth` times
+    * instead of each occurrence — at sf0.1 that is 3.7 k md5 calls in
+    * place of 1.6 M (the totals are identical by construction). Streams
+    * with unbounded item cardinality should still use [[cmsCells]],
+    * which never materializes per-item counts.
+    */
+  def cmsCellsFromCounts(counts: DataFrame, item: Column, cnt: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "CMS needs depth >= 1, width >= 2")
+    counts
+      .select(item.as("_it"), cnt.as("_c"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select(col("seed"), (seedCol(col("seed"), col("_it")) % width).as("bucket"),
+        col("_c"))
+      .groupBy("seed", "bucket").agg(sum("_c").as("total"))
+  }
+
   /** Point-query the sketch: each probe row gains `est_cnt` =
     * min over seeds of its cell counter — ≥ the true count always
     * (counters only ever overcount). `cells` is broadcast (≤ depth×width

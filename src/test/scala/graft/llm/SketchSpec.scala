@@ -59,6 +59,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS: cells folded from a counts relation equal the streamed cells") {
+    val items = zipfy.toDF("it")
+    val counts = items.groupBy($"it").agg(count(lit(1)).as("cnt"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("seed"), r.getAs[Long]("bucket")) -> r.getAs[Long]("total")
+    val streamed = Sketches.cmsCells(items, col("it"), 3, 16)
+      .collect().map(key).toMap
+    val folded = Sketches.cmsCellsFromCounts(counts, col("it"), col("cnt"), 3, 16)
+      .collect().map(key).toMap
+    assert(folded === streamed)
+  }
+
   test("Bloom: no false negatives, and the BitSet serving twin matches the join form") {
     val build = (1 to 300).map(i => s"key$i").toDF("k")
     val probes = (1 to 600).map(i => s"key$i").toDF("k")

@@ -279,7 +279,10 @@ object QueriesCurate {
     * query terms before any shuffle; N and avgdl are the only corpus-
     * wide state (two scalars).
     */
-  val Bm25Terms = Seq("spark", "window", "merge")
+  // lazy: QueriesLlm's initializer reads this while ITS initializer is
+  // read by qQualityFilterSql below — entering the object graph from
+  // QueriesCurate (as a spec may) would otherwise observe a null Seq
+  lazy val Bm25Terms = Seq("spark", "window", "merge")
 
   val qBm25: Q = (s, dir) =>
     graft.llm.Bm25.topDocs(Tables.documents(s, dir), col("doc_id"),
@@ -344,6 +347,58 @@ object QueriesCurate {
       |       WHEN substr(md5(doc_id::VARCHAR), 1, $d) < '$h9' THEN 'val'
       |       ELSE 'test' END AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_leak_split — CONTAMINATION-SAFE train/val/test split: the routing
+    * key is the near-dup COMPONENT label (q_dedup_components' graph, the
+    * memoized fit), not the document id, so every member of a dup
+    * cluster lands in the same bucket — a near-copy of a training doc
+    * can never leak into the eval split, the failure mode a plain
+    * per-doc hash split (q_split) cannot rule out. Singletons (no dup
+    * edge) route by their own id — for them cluster == doc_id. Scale
+    * shape: one join of the corpus against the (bounded) label relation,
+    * then the same narrow hash-gate as q_split; the labels are the
+    * propagation the dedup stage already ran.
+    */
+  val qLeakSplit: Q = (s, dir) => {
+    val comps = QueriesLlm.componentsOf(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("bucket",
+        graft.llm.Mixing.splitBucket(col("cluster"), SplitBuckets))
+      .orderBy("doc_id")
+  }
+
+  val qLeakSplitSql: String = {
+    val h8 = graft.llm.Mixing.rateToHex(0.8)
+    val h9 = graft.llm.Mixing.rateToHex(0.9)
+    val d = graft.llm.Mixing.HexDigits
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS s
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |        / greatest(1, len(list_distinct(list_concat(a.s, b.s)))) >= 0.7),
+      |und AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM und
+      |  UNION
+      |  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |  coalesce(c.component, d.doc_id) AS cluster,
+      |  CASE WHEN substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, $d) < '$h8' THEN 'train'
+      |       WHEN substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, $d) < '$h9' THEN 'val'
+      |       ELSE 'test' END AS bucket
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
   }
 
   /** q_seq_split — max-length training-sequence preparation: every
@@ -888,6 +943,7 @@ object QueriesCurate {
     "q_event_convert" -> qEventConvert,
     "q_bm25" -> qBm25,
     "q_split" -> qSplit,
+    "q_leak_split" -> qLeakSplit,
     "q_seq_split" -> qSeqSplit,
     "q_shuffle_pack" -> qShufflePack,
     "q_shuffle_order" -> qShuffleOrder,
@@ -920,6 +976,7 @@ object QueriesCurate {
     "q_event_convert" -> qEventConvertSql,
     "q_bm25" -> qBm25Sql,
     "q_split" -> qSplitSql,
+    "q_leak_split" -> qLeakSplitSql,
     "q_seq_split" -> qSeqSplitSql,
     "q_shuffle_pack" -> qShufflePackSql,
     "q_shuffle_order" -> qShuffleOrderSql,

@@ -205,6 +205,27 @@ object Sketches {
     probes.withColumn("bloom_hit", hit(key.cast("string")))
   }
 
+  /** Merge independently-built CMS cell tables (cell-wise sum) — the
+    * property that makes the sketch usable at 100 TB: each shard
+    * sketches its own slice, the ≤ depth×width cell tables union here,
+    * and the merged sketch is IDENTICAL to one built over the whole
+    * corpus (sums commute; SketchSpec pins it). Same contract for
+    * [[bloomMerge]] (bit-set union) and KMV (union the per-shard
+    * distinct-hash relations and re-rank — distinct-of-union is the
+    * global distinct, so [[kmvDistinct]] over the union IS the merge).
+    */
+  def cmsMerge(cells: Seq[DataFrame]): DataFrame = {
+    require(cells.nonEmpty, "nothing to merge")
+    cells.reduce(_ unionByName _)
+      .groupBy("seed", "bucket").agg(sum("total").as("total"))
+  }
+
+  /** Merge Bloom bit relations built with the same (hashes, bits). */
+  def bloomMerge(bitSets: Seq[DataFrame]): DataFrame = {
+    require(bitSets.nonEmpty, "nothing to merge")
+    bitSets.reduce(_ unionByName _).distinct()
+  }
+
   /** Binned quantile estimates — the two-aggregation sketch behind
     * "p50/p99 document length" dashboards at corpus scale: pass 1 is a
     * 3-scalar (min, max, n) aggregate; pass 2 reduces the corpus to

@@ -71,6 +71,26 @@ class SketchSpec extends SparkSpec {
     assert(folded === streamed)
   }
 
+  test("merge: per-shard CMS and Bloom sketches compose to the whole-corpus sketch") {
+    val all = zipfy.zipWithIndex.map { case (it, i) => (it, i % 3) }.toDF("it", "shard")
+    def cellKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("seed"), r.getAs[Long]("bucket")) -> r.getAs[Long]("total")
+
+    val shardCells = (0 until 3).map(sh =>
+      Sketches.cmsCells(all.where($"shard" === sh), col("it"), 3, 16))
+    val merged = Sketches.cmsMerge(shardCells).collect().map(cellKey).toMap
+    val global = Sketches.cmsCells(all, col("it"), 3, 16).collect().map(cellKey).toMap
+    assert(merged === global)
+
+    val shardBits = (0 until 3).map(sh =>
+      Sketches.bloomBits(all.where($"shard" === sh), col("it"), 4, 512))
+    val mergedBits = Sketches.bloomMerge(shardBits)
+      .collect().map(_.getAs[Long]("pos")).toSet
+    val globalBits = Sketches.bloomBits(all, col("it"), 4, 512)
+      .collect().map(_.getAs[Long]("pos")).toSet
+    assert(mergedBits === globalBits)
+  }
+
   test("Bloom: no false negatives, and the BitSet serving twin matches the join form") {
     val build = (1 to 300).map(i => s"key$i").toDF("k")
     val probes = (1 to 600).map(i => s"key$i").toDF("k")

@@ -220,6 +220,27 @@ object Sketches {
       .groupBy("seed", "bucket").agg(sum("total").as("total"))
   }
 
+  /** Serve a log-structured CMS layout: streaming maintenance appends
+    * each micro-batch's ≤ depth×width cell table under `path`
+    * ([[graft.streaming.DocStream.cmsCellsSink]]), and the whole-stream
+    * sketch is the cell-wise fold at read time — cmsMerge as a scan, no
+    * read-modify-write cycle on the hot path, compaction-free because
+    * the log grows by one bounded cell table per batch. Empty/absent
+    * layout → empty cells (the sketch of nothing).
+    */
+  def cmsRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("seed", IntegerType), StructField("bucket", LongType),
+      StructField("total", LongType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+      .groupBy("seed", "bucket").agg(sum("total").as("total"))
+  }
+
   /** Merge Bloom bit relations built with the same (hashes, bits). */
   def bloomMerge(bitSets: Seq[DataFrame]): DataFrame = {
     require(bitSets.nonEmpty, "nothing to merge")

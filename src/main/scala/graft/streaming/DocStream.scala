@@ -152,6 +152,22 @@ object DocStream {
         cents, pqCents, path)
     }
 
+  /** Streaming sketch maintenance: each micro-batch's items are reduced
+    * to their ≤ depth×width CMS cell table and APPENDED under `path` —
+    * the log-structured twin of [[graft.llm.Sketches.cmsCells]], folded
+    * back to the whole-stream sketch by [[graft.llm.Sketches.cmsRead]]
+    * (cell-wise sums commute, so append order and batch boundaries are
+    * irrelevant; batch ≡ stream is spec-pinned). Same `_applied` replay
+    * guard and at-least-once caveat as the index sinks.
+    */
+  def cmsCellsSink(path: String, itemCol: String, depth: Int,
+      width: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Sketches.cmsCells(batch, col(itemCol), depth, width)
+        .write.mode("append").parquet(path)
+    }
+
   /** Replay guard shared by the index sinks: run `body` only if this
     * batchId has no `_applied` marker yet, then mark it — through the
     * index path's own Hadoop filesystem (the path may be

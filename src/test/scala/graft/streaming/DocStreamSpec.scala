@@ -6,7 +6,15 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+object DocStreamSpec {
+  /** One sketch-stream item (top-level so spark.implicits can derive an
+    * Encoder — local case classes have no stable TypeTag).
+    */
+  final case class Item(item: String)
+}
+
 class DocStreamSpec extends SparkSpec {
+  import DocStreamSpec.Item
 
   private def corpus(n: Int): Seq[DocStream.Doc] = {
     val docs = Tables.documents(spark, sf)
@@ -17,6 +25,38 @@ class DocStreamSpec extends SparkSpec {
     // plant near-dups: same text + a short tail, ids offset by 1e6
     docs.toSeq ++ docs.map(d =>
       DocStream.Doc(d.doc_id + 1000000L, d.text + " near duplicate tail"))
+  }
+
+  test("streaming CMS cell sink: folded log equals the batch sketch; replay is a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      .where(length(col("item")) > 0)
+      .collect().map(r => Item(r.getString(0))).toSeq
+    val (w1, w2) = all.splitAt(all.size / 2)
+    val path = java.nio.file.Files.createTempDirectory("cms_log").toString
+
+    val mem = MemoryStream[Item]
+    mem.addData(w1)
+    val sink = DocStream.cmsCellsSink(path, "item", depth = 3, width = 64)
+    val q = mem.toDF().writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    sink(w2.toDF(), 1000L) // second wave, distinct batch id
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("seed"), r.getAs[Long]("bucket")) -> r.getAs[Long]("total")
+    val folded = Sketches.cmsRead(spark, path).collect().map(key).toMap
+    val batch = Sketches.cmsCells(all.toDF(), col("item"), 3, 64)
+      .collect().map(key).toMap
+    assert(folded === batch, "log-structured fold diverged from the batch sketch")
+
+    sink(w2.toDF(), 1000L) // replayed batch: _applied marker must gate it
+    assert(Sketches.cmsRead(spark, path).collect().map(key).toMap === batch,
+      "replayed batch double-counted")
   }
 
   test("streaming quality gate matches the batch filter") {

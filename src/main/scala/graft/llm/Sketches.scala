@@ -247,6 +247,21 @@ object Sketches {
     bitSets.reduce(_ unionByName _).distinct()
   }
 
+  /** [[cmsRead]]'s Bloom twin: fold a log of appended per-batch bit
+    * relations ([[graft.streaming.DocStream.bloomBitsSink]]) into the
+    * whole-stream bit set — distinct-union commutes, so append order
+    * and batch boundaries are irrelevant. Absent layout → no bits lit.
+    */
+  def bloomRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("pos", LongType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path).distinct()
+  }
+
   /** Binned quantile estimates — the two-aggregation sketch behind
     * "p50/p99 document length" dashboards at corpus scale: pass 1 is a
     * 3-scalar (min, max, n) aggregate; pass 2 reduces the corpus to

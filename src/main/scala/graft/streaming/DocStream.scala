@@ -168,6 +168,20 @@ object DocStream {
         .write.mode("append").parquet(path)
     }
 
+  /** [[cmsCellsSink]]'s Bloom twin: append each micro-batch's ≤ bits-row
+    * lit-position relation; [[graft.llm.Sketches.bloomRead]] folds the
+    * log by distinct-union. The streaming seen-key gate: the filter
+    * stays fresh as the crawl streams in, with no rebuild and no
+    * read-modify-write. Same `_applied` guard as the other sinks.
+    */
+  def bloomBitsSink(path: String, keyCol: String, hashes: Int,
+      bits: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Sketches.bloomBits(batch, col(keyCol), hashes, bits)
+        .write.mode("append").parquet(path)
+    }
+
   /** Replay guard shared by the index sinks: run `body` only if this
     * batchId has no `_applied` marker yet, then mark it — through the
     * index path's own Hadoop filesystem (the path may be

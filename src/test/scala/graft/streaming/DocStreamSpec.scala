@@ -59,6 +59,35 @@ class DocStreamSpec extends SparkSpec {
       "replayed batch double-counted")
   }
 
+  test("streaming Bloom bit sink: folded log equals the batch bit set") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 400).map(i => Item(s"url$i"))
+    val (w1, w2) = keys.splitAt(200)
+    val path = java.nio.file.Files.createTempDirectory("bloom_log").toString
+
+    val mem = MemoryStream[Item]
+    mem.addData(w1)
+    val sink = DocStream.bloomBitsSink(path, "item", hashes = 5, bits = 4096)
+    val q = mem.toDF().writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    sink(w2.toDF(), 1000L)
+
+    val folded = Sketches.bloomRead(spark, path)
+      .collect().map(_.getAs[Long]("pos")).toSet
+    val batch = Sketches.bloomBits(keys.toDF(), col("item"), 5, 4096)
+      .collect().map(_.getAs[Long]("pos")).toSet
+    assert(folded === batch)
+    // a streamed-in key must be a hit against the folded bits
+    val hit = Sketches.bloomProbe(Seq(Item("url1")).toDF(), col("item"),
+      Sketches.bloomRead(spark, path), 5, 4096)
+      .collect().head.getAs[Boolean]("bloom_hit")
+    assert(hit, "seen key missed against the folded filter")
+  }
+
   test("streaming quality gate matches the batch filter") {
     implicit val s = spark
     import s.implicits._

@@ -65,9 +65,17 @@ object Sketches {
     * additionally pre-filter `h < r_k_prev · slack` from the previous
     * epoch's sketch; correctness never depends on either prune.
     */
-  def kmvDistinct(df: DataFrame, grp: Column, value: Column, k: Int): DataFrame = {
+  def kmvDistinct(df: DataFrame, grp: Column, value: Column, k: Int): DataFrame =
+    kmvFromHashes(df.select(grp.as("grp"), h60(value).as("h")).distinct(), k)
+
+  /** [[kmvDistinct]]'s tail, reusable over any distinct (grp, h) hash
+    * relation — in particular the distinct UNION of per-shard/per-batch
+    * [[kmvHashes]] sketches (KMV merges exactly: a global k-minimum is a
+    * k-minimum of whichever shard holds it, so per-shard top-k pruning
+    * never loses one).
+    */
+  def kmvFromHashes(hashes: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val hashes = df.select(grp.as("grp"), h60(value).as("h")).distinct()
     val local = Window.partitionBy("grp", "_p").orderBy("h")
     val pruned = hashes
       .withColumn("_p", spark_partition_id())
@@ -89,6 +97,43 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) /
             (col("h").cast("double") / lit(H60Denom)), 3))
           .as("est_distinct"))
+  }
+
+  /** The persistable KMV state: per group, the k smallest distinct
+    * 60-bit value hashes — ≤ k rows per group, string group key for a
+    * stable log schema. Sketch of a shard or micro-batch; fold shards
+    * with distinct-union + [[kmvFromHashes]] (or [[kmvRead]] over a
+    * [[graft.streaming.DocStream.kmvHashesSink]] log).
+    */
+  def kmvHashes(df: DataFrame, grp: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashes = df.select(grp.cast("string").as("grp"), h60(value).as("h")).distinct()
+    val local = Window.partitionBy("grp", "_p").orderBy("h")
+    hashes
+      .withColumn("_p", spark_partition_id())
+      .withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .select(col("grp"), col("h"))
+      .withColumn("_rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .where(col("_rk") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Fold a log of appended per-batch [[kmvHashes]] relations into the
+    * whole-stream estimate: distinct-union (a value seen in two batches
+    * contributes one hash) then the shared tail. Absent layout → no
+    * groups.
+    */
+  def kmvRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("h", LongType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else kmvFromHashes(spark.read.schema(schema).parquet(path).distinct(), k)
   }
 
   private def seedCol(seed: Column, item: Column): Column =
@@ -132,6 +177,9 @@ object Sketches {
     * (counters only ever overcount). `cells` is broadcast (≤ depth×width
     * rows); the probe relation is exploded ×depth then regrouped on its
     * key, so estimation cost scales with the probe set, not the corpus.
+    * Probe ROWS must be distinct (the regroup is on all probe columns —
+    * duplicate rows would collapse); same precondition for
+    * [[bloomProbe]].
     */
   def cmsEstimate(probes: DataFrame, probe: Column, cells: DataFrame,
       depth: Int, width: Int): DataFrame = {
@@ -181,7 +229,7 @@ object Sketches {
     * `bits` BY CONSTRUCTION (bloomBits emits distinct positions modulo
     * `bits`), which is what justifies the collect — becomes a broadcast
     * BitSet probed in a narrow map: zero shuffle, zero explode, O(hashes)
-    * per row. BloomSketchSpec pins bit-identical verdicts against the
+    * per row. SketchSpec pins bit-identical verdicts against the
     * join formulation. The UDF is the right tool here: the kernel is six
     * BitSet lookups against broadcast state, and its algebra twin above
     * stays the oracle surface.

@@ -182,6 +182,20 @@ object DocStream {
         .write.mode("append").parquet(path)
     }
 
+  /** The KMV twin of [[cmsCellsSink]]: append each micro-batch's
+    * per-group k-minimum hash relation (≤ k rows per group);
+    * [[graft.llm.Sketches.kmvRead]] folds by distinct-union + re-rank
+    * (per-batch pruning never loses a global k-minimum). Streaming
+    * cardinality tracking with bounded state per batch.
+    */
+  def kmvHashesSink(path: String, grpCol: String, valueCol: String,
+      k: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Sketches.kmvHashes(batch, col(grpCol), col(valueCol), k)
+        .write.mode("append").parquet(path)
+    }
+
   /** Replay guard shared by the index sinks: run `body` only if this
     * batchId has no `_applied` marker yet, then mark it — through the
     * index path's own Hadoop filesystem (the path may be

@@ -36,6 +36,21 @@ class SketchSpec extends SparkSpec {
     assert(out("a") === 100.0 && out("b") === 7.0)
   }
 
+  test("KMV: per-shard hash sketches fold to the whole-corpus estimate") {
+    val df = (1 to 3000).map(i => ("g", i, i % 4)).toDF("grp", "v", "shard")
+    val k = 128
+    val shardHashes = (0 until 4).map(sh =>
+      Sketches.kmvHashes(df.where($"shard" === sh), col("grp"), col("v"), k))
+    shardHashes.foreach(h => assert(h.count() <= k))
+    val folded = Sketches.kmvFromHashes(
+      shardHashes.reduce(_ unionByName _).distinct(), k)
+      .collect().head.getDouble(1)
+    val global = Sketches.kmvDistinct(
+      df.select(col("grp"), col("v").cast("string").as("v")), col("grp"), col("v"), k)
+      .collect().head.getDouble(1)
+    assert(folded === global, s"merged KMV $folded != global $global")
+  }
+
   private val zipfy: Seq[String] =
     (1 to 60).flatMap(i => Seq.fill(61 - i)(s"tok$i"))
 

@@ -20,6 +20,8 @@ object QueriesSketch {
   import Queries.Q
 
   val KmvK = 256
+  val HllP = 8
+  val OverlapK = 256
   val CmsDepth = 4
   val CmsWidth = 256
   val CmsProbes = 12
@@ -81,6 +83,141 @@ object QueriesSketch {
       |  round(abs(e.est_distinct - x.exact_distinct::DOUBLE)
       |    / x.exact_distinct::DOUBLE, 4) AS rel_err
       |FROM est e JOIN ex x USING (grp) ORDER BY grp""".stripMargin
+
+  /** q_hll_distinct — the register-based twin of q_kmv_distinct:
+    * HyperLogLog (p=8 → 256 registers) distinct customers per order
+    * priority, graded against the exact count: (grp, est_distinct,
+    * exact_distinct, rel_err). The sketch arm reduces the scan to ≤ 256
+    * (register, max-rank) rows per group via one map-side-combined
+    * aggregation; the harmonic mean runs in exact integer arithmetic so
+    * the oracle pins the estimate bit-for-bit (see
+    * [[graft.llm.Sketches.hllFromRegisters]]).
+    */
+  val qHllDistinct: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val est = Sketches.hllDistinct(o, col("o_orderpriority"), col("o_custkey"), HllP)
+    val ex = o.groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct("o_custkey").as("exact_distinct"))
+    est.join(ex, "grp")
+      .select(col("grp"), col("est_distinct"), col("exact_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy("grp")
+  }
+
+  val qHllDistinctSql: String = {
+    val sb = 60 - HllP
+    val m = 1 << HllP
+    val num = Sketches.hllNumerator(HllP)
+    s"""WITH h AS (
+      |  SELECT o_orderpriority AS grp,
+      |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |regs AS (
+      |  SELECT grp, h >> $sb AS reg,
+      |    CASE WHEN h % ${1L << sb} = 0 THEN ${sb + 1}
+      |         ELSE ${sb + 1} - length(ltrim(bin(h % ${1L << sb}), '0'))
+      |    END AS rho
+      |  FROM h),
+      |mx AS (SELECT grp, reg, max(rho) AS mx FROM regs GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT grp,
+      |    (sum(1::BIGINT << (${sb + 1} - mx))
+      |      + ($m - count(*)) * ${1L << (sb + 1)})::BIGINT AS s,
+      |    $m - count(*) AS v
+      |  FROM mx GROUP BY 1),
+      |est AS (
+      |  SELECT grp,
+      |    CASE WHEN $num / s::DOUBLE <= ${2.5 * m} AND v > 0
+      |         THEN round($m.0 * ln($m.0 / v::DOUBLE), 3)
+      |         ELSE round($num / s::DOUBLE, 3) END AS est_distinct
+      |  FROM agg),
+      |ex AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+      |       FROM orders GROUP BY 1)
+      |SELECT e.grp, e.est_distinct, x.exact_distinct,
+      |  round(abs(e.est_distinct - x.exact_distinct::DOUBLE)
+      |    / x.exact_distinct::DOUBLE, 4) AS rel_err
+      |FROM est e JOIN ex x USING (grp) ORDER BY grp""".stripMargin
+  }
+
+  /** q_kmv_overlap — pairwise vocabulary overlap between the 20 document
+    * sources FROM THEIR KMV SKETCHES (k=256 over distinct word tokens),
+    * graded against the exact Jaccard: (src_a, src_b, est_jaccard,
+    * exact_jaccard, abs_err), one row per unordered pair. The corpus is
+    * scanned once to build 20 sketches of ≤ k hashes; the 190-pair
+    * overlap matrix then costs pairs × k regardless of corpus size —
+    * the way source-similarity dashboards stay affordable at 100 TB.
+    * The exact arm (distinct token-source self-join) is the evaluation
+    * harness.
+    */
+  val qKmvOverlap: Q = (s, dir) => {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      .distinct()
+    val sk = Sketches.kmvHashes(st, col("source"), col("tok"), OverlapK)
+    val est = Sketches.kmvOverlap(sk, OverlapK)
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    est
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("est_jaccard"),
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"), 4)
+          .as("exact_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+      .orderBy("src_a", "src_b")
+  }
+
+  val qKmvOverlapSql: String =
+    s"""WITH st AS (
+      |  SELECT DISTINCT source, tok
+      |  FROM (SELECT source,
+      |          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |            x -> len(x) > 0)) AS tok
+      |        FROM documents WHERE length(trim(text)) > 0)),
+      |hs AS (SELECT DISTINCT source AS grp,
+      |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |       FROM st),
+      |sk AS (SELECT grp, h FROM (
+      |         SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      |         FROM hs) WHERE rk <= $OverlapK),
+      |pairs AS (
+      |  SELECT a.grp AS src_a, b.grp AS src_b
+      |  FROM (SELECT DISTINCT grp FROM hs) a
+      |  JOIN (SELECT DISTINCT grp FROM hs) b ON a.grp < b.grp),
+      |u AS (
+      |  SELECT p.src_a, p.src_b, s.h,
+      |    max(CASE WHEN s.grp = p.src_a THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN s.grp = p.src_b THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN sk s ON s.grp IN (p.src_a, p.src_b)
+      |  GROUP BY 1, 2, 3),
+      |ur AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+      |       FROM u),
+      |est AS (
+      |  SELECT src_a, src_b,
+      |    round(sum(in_a * in_b)::DOUBLE / count(*)::DOUBLE, 4) AS est_jaccard
+      |  FROM ur WHERE rk <= $OverlapK GROUP BY 1, 2),
+      |sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.src_a, p.src_b,
+      |    round(COALESCE(i.i, 0)::DOUBLE
+      |      / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE, 4) AS exact_jaccard
+      |  FROM pairs p
+      |  JOIN sizes sa ON sa.source = p.src_a
+      |  JOIN sizes sb ON sb.source = p.src_b
+      |  LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b)
+      |SELECT e.src_a, e.src_b, e.est_jaccard, x.exact_jaccard,
+      |  round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
+      |FROM est e JOIN ex x USING (src_a, src_b) ORDER BY src_a, src_b""".stripMargin
 
   /** q_cms_heavy — Count-Min sketch (d=4, w=256) over the corpus word-
     * bigram stream (916 distinct grams at sf0.01 → real collisions),
@@ -239,12 +376,16 @@ object QueriesSketch {
 
   val all: Map[String, Q] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_hll_distinct" -> qHllDistinct,
+    "q_kmv_overlap" -> qKmvOverlap,
     "q_cms_heavy" -> qCmsHeavy,
     "q_bloom_gate" -> qBloomGate,
     "q_quantile_sketch" -> qQuantileSketch)
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_hll_distinct" -> qHllDistinctSql,
+    "q_kmv_overlap" -> qKmvOverlapSql,
     "q_cms_heavy" -> qCmsHeavySql,
     "q_bloom_gate" -> qBloomGateSql,
     "q_quantile_sketch" -> qQuantileSketchSql)

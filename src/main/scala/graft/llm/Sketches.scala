@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Engine-portable one-pass sketches: KMV distinct-count, Count-Min
-  * frequency, and Bloom membership — the bounded-memory summaries a
+/** Engine-portable one-pass sketches: KMV distinct-count (+ pairwise
+  * set overlap), HyperLogLog registers, Count-Min frequency, and Bloom
+  * membership — the bounded-memory summaries a
   * 100-TB curation pipeline persists BESIDE a dataset (cardinality per
   * shard, heavy-hitter tokens, seen-URL gates) so later stages, possibly
   * running on a different engine, can probe them without rescanning the
@@ -134,6 +135,134 @@ object Sketches {
     if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else kmvFromHashes(spark.read.schema(schema).parquet(path).distinct(), k)
+  }
+
+  /** HyperLogLog register relation — (grp, reg, mx), ≤ 2^p rows per
+    * group — the industry-standard register sketch beside [[kmvHashes]]:
+    * the top p bits of the 60-bit portable hash pick a register, and the
+    * register keeps the maximum rank (position of the highest set bit,
+    * counted from the top) of the remaining 60−p bits. One map-side-
+    * combined groupBy reduces the corpus to bounded state; registers
+    * MERGE BY MAX — commutative and idempotent, so per-shard sketches,
+    * streaming micro-batch logs, and replayed batches all fold to the
+    * identical whole-corpus sketch.
+    *
+    * The rank is `(60−p+1) − bit_length(suffix)` via the binary-string
+    * form `length(ltrim(bin(x), '0'))` — portable: Spark and DuckDB both
+    * print minimal binary (no leading zeros), so the oracle reproduces
+    * the register arithmetic exactly.
+    */
+  def hllRegisters(df: DataFrame, grp: Column, value: Column, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, "HLL needs 7 <= p <= 16 (alpha formula assumes m >= 128)")
+    val suffixBits = 60 - p
+    df.select(grp.cast("string").as("grp"), h60(value).as("_h"))
+      .select(col("grp"),
+        shiftright(col("_h"), suffixBits).as("reg"),
+        (col("_h") % (1L << suffixBits)).as("_sfx"))
+      .select(col("grp"), col("reg"),
+        when(col("_sfx") === 0, lit(suffixBits + 1))
+          .otherwise(lit(suffixBits + 1) - length(ltrim(bin(col("_sfx")), "0")))
+          .as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("mx"))
+  }
+
+  /** Estimate (grp, est_distinct) from a register relation — a direct
+    * [[hllRegisters]] output or any unioned log of them (the leading
+    * per-register max-fold makes both cases identical). The harmonic
+    * mean runs in EXACT integer arithmetic — Σ 2^(S−M_j) as a long
+    * (S = 60−p+1; ≤ 2^61, order-independent) — so the raw-branch double
+    * is bit-identical across engines; the only transcendental is the
+    * small-range linear-counting `ln`, whose 2^p−1 possible values were
+    * checked ≥ 3.8e-7 from every 3-dp rounding boundary (cross-engine
+    * ulp differences are ~1e-11). Standard error ≈ 1.04/√(2^p).
+    */
+  def hllFromRegisters(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, "HLL needs 7 <= p <= 16")
+    val m = 1 << p
+    val scale = 60 - p + 1
+    val num = hllNumerator(p)
+    regs.groupBy("grp", "reg").agg(max("mx").as("mx"))
+      .groupBy("grp").agg(
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - mx)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << scale)).as("_sum"),
+        (lit(m.toLong) - count(lit(1))).as("_v"))
+      .select(col("grp"),
+        when(lit(num) / col("_sum").cast("double") <= lit(2.5 * m) && col("_v") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")), 3))
+          .otherwise(round(lit(num) / col("_sum").cast("double"), 3))
+          .as("est_distinct"))
+  }
+
+  /** α_m · m² · 2^(60−p+1): the raw-estimate numerator, computed ONCE
+    * here so the Spark plan and any SQL oracle can inline the identical
+    * double literal (shortest-roundtrip decimal re-parses exactly).
+    */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 60 - p + 1)
+  }
+
+  /** Per-group HLL distinct-count estimate: (grp, est_distinct). */
+  def hllDistinct(df: DataFrame, grp: Column, value: Column, p: Int): DataFrame =
+    hllFromRegisters(hllRegisters(df, grp, value, p), p)
+
+  /** Merge independently-built register relations (per-register max) —
+    * same shard-merge contract as [[cmsMerge]]/[[bloomMerge]].
+    */
+  def hllMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "nothing to merge")
+    regs.reduce(_ unionByName _).groupBy("grp", "reg").agg(max("mx").as("mx"))
+  }
+
+  /** [[kmvRead]]'s HLL twin: fold a log of appended per-batch
+    * [[hllRegisters]] relations
+    * ([[graft.streaming.DocStream.hllRegistersSink]]) into whole-stream
+    * estimates. Absent layout → no groups.
+    */
+  def hllRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      p: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("reg", LongType),
+      StructField("mx", IntegerType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      hllFromRegisters(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), p)
+    else hllFromRegisters(spark.read.schema(schema).parquet(path), p)
+  }
+
+  /** Pairwise Jaccard estimates between groups FROM THEIR KMV SKETCHES —
+    * (src_a, src_b, est_jaccard) for every unordered group pair. The
+    * union sketch of a pair is the k smallest hashes of the two sketches'
+    * distinct union (a k-minimum of the union survives in at least one
+    * side's sketch), and the estimate is the fraction of those union
+    * minima present in BOTH sides — exact when both sketches are
+    * unsaturated. This is the sketch-resident overlap matrix: cost is
+    * pairs × k no matter the corpus size; the corpus is touched only by
+    * the one scan that built `hashes` ([[kmvHashes]] — ≤ k rows/group).
+    */
+  def kmvOverlap(hashes: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val grps = hashes.select(col("grp")).distinct()
+    val pairs = grps.as("ga").join(grps.as("gb"), col("ga.grp") < col("gb.grp"))
+      .select(col("ga.grp").as("src_a"), col("gb.grp").as("src_b"))
+    val la = broadcast(pairs).join(hashes.withColumnRenamed("grp", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val lb = broadcast(pairs).join(hashes.withColumnRenamed("grp", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    la.unionByName(lb)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .where(col("_rk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(round(sum(col("in_a") * col("in_b")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("est_jaccard"))
   }
 
   private def seedCol(seed: Column, item: Column): Column =

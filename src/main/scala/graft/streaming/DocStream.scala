@@ -196,6 +196,20 @@ object DocStream {
         .write.mode("append").parquet(path)
     }
 
+  /** [[kmvHashesSink]]'s HLL twin: append each micro-batch's ≤ 2^p-row
+    * per-group register relation; [[graft.llm.Sketches.hllRead]] folds
+    * the log by per-register MAX — commutative and idempotent, so append
+    * order, batch boundaries, and even a replayed batch (beyond the
+    * `_applied` guard) cannot change the folded sketch.
+    */
+  def hllRegistersSink(path: String, grpCol: String, valueCol: String,
+      p: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Sketches.hllRegisters(batch, col(grpCol), col(valueCol), p)
+        .write.mode("append").parquet(path)
+    }
+
   /** Replay guard shared by the index sinks: run `body` only if this
     * batchId has no `_applied` marker yet, then mark it — through the
     * index path's own Hadoop filesystem (the path may be

@@ -51,6 +51,76 @@ class SketchSpec extends SparkSpec {
     assert(folded === global, s"merged KMV $folded != global $global")
   }
 
+  test("HLL: small cardinality takes the linear-counting branch accurately") {
+    val df = (1 to 2000).map(i => ("g", i % 100)).toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, col("grp"), col("v"), p = 8)
+      .collect().head.getDouble(1)
+    // 100 distinct into 256 registers: raw estimate <= 2.5m, V > 0 → LC.
+    // LC std error at λ = n/m ≈ 0.39 is ~6% of n; this deterministic hash
+    // realization lands at 10.9%, i.e. within 2σ — bound at 3σ.
+    val relErr = math.abs(est - 100.0) / 100.0
+    assert(relErr < 0.2, s"HLL linear counting off by $relErr (est $est vs 100)")
+  }
+
+  test("HLL: saturated estimate lands within 4 sigma of the truth") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i)).toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, col("grp"), col("v"), p = 8)
+      .collect().head.getDouble(1)
+    val relErr = math.abs(est - n) / n.toDouble
+    assert(relErr < 4 * 1.04 / 16.0, s"HLL off by $relErr (est $est vs $n)")
+  }
+
+  test("HLL: register relation is bounded and groups are independent") {
+    val df = ((1 to 3000).map(i => ("a", i)) ++ (1 to 50).map(i => ("b", i)))
+      .toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, col("grp"), col("v"), p = 8)
+    val perGrp = regs.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGrp("a") <= 256 && perGrp("b") <= 256)
+    val out = Sketches.hllFromRegisters(regs, p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // group b alone is tiny → linear counting is near-exact there
+    assert(math.abs(out("b") - 50.0) / 50.0 < 0.1, s"group b est ${out("b")}")
+    assert(math.abs(out("a") - 3000.0) / 3000.0 < 4 * 1.04 / 16.0)
+  }
+
+  test("HLL: per-shard register sketches fold to the whole-corpus estimate") {
+    val df = (1 to 4000).map(i => ("g", i, i % 4)).toDF("grp", "v", "shard")
+    val shardRegs = (0 until 4).map(sh =>
+      Sketches.hllRegisters(df.where($"shard" === sh), col("grp"), col("v"), p = 8))
+    val folded = Sketches.hllFromRegisters(Sketches.hllMerge(shardRegs), p = 8)
+      .collect().head.getDouble(1)
+    val global = Sketches.hllDistinct(df, col("grp"), col("v"), p = 8)
+      .collect().head.getDouble(1)
+    assert(folded === global, s"merged HLL $folded != global $global")
+  }
+
+  test("KMV overlap: unsaturated sketches give the exact pairwise Jaccard") {
+    // a = 1..60, b = 31..90 (overlap 30/90), c = 1..30 (c ⊂ a)
+    val df = ((1 to 60).map(i => ("a", i)) ++ (31 to 90).map(i => ("b", i)) ++
+      (1 to 30).map(i => ("c", i))).toDF("grp", "v")
+    val hashes = Sketches.kmvHashes(df, col("grp"), col("v"), k = 256)
+    val out = Sketches.kmvOverlap(hashes, k = 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) === math.rint(30.0 / 90.0 * 1e4) / 1e4)
+    assert(out(("a", "c")) === 0.5)   // 30 / 60
+    assert(out(("b", "c")) === 0.0)   // disjoint
+  }
+
+  test("KMV overlap: saturated estimate tracks the true Jaccard") {
+    // two 4000-element sets sharing 2000 → J = 2000/6000 = 1/3
+    val df = ((1 to 4000).map(i => ("a", i)) ++ (2001 to 6000).map(i => ("b", i)))
+      .toDF("grp", "v")
+    val k = 256
+    val est = Sketches.kmvOverlap(Sketches.kmvHashes(df, col("grp"), col("v"), k), k)
+      .collect().head.getDouble(2)
+    assert(math.abs(est - 1.0 / 3.0) < 4.0 / math.sqrt(k),
+      s"overlap estimate $est vs 0.333")
+  }
+
   private val zipfy: Seq[String] =
     (1 to 60).flatMap(i => Seq.fill(61 - i)(s"tok$i"))
 

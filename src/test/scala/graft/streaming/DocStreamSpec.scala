@@ -117,6 +117,36 @@ class DocStreamSpec extends SparkSpec {
     assert(folded === batch, "folded KMV log diverged from the batch sketch")
   }
 
+  test("streaming HLL register sink: folded log matches the batch estimate") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(200)
+      .collect().map(r => DocStream.Doc(r.getLong(0), r.getString(1))).toSeq
+    val (w1, w2) = docs.splitAt(100)
+    val path = java.nio.file.Files.createTempDirectory("hll_log").toString
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("g", pmod(col("doc_id"), lit(2)).cast("string"))
+
+    val mem = MemoryStream[DocStream.Doc]
+    mem.addData(w1)
+    val sink = DocStream.hllRegistersSink(path, "g", "doc_id", p = 8)
+    val q = grouped(mem.toDF()).writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    sink(grouped(w2.toDF()), 1000L)
+    // replay the second batch: the _applied guard plus max-fold both make it a no-op
+    sink(grouped(w2.toDF()), 1000L)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val folded = toMap(Sketches.hllRead(spark, path, 8))
+    val batch = toMap(Sketches.hllDistinct(grouped(docs.toDF()), col("g"), col("doc_id"), 8))
+    assert(folded === batch, "folded HLL register log diverged from the batch sketch")
+  }
+
   test("streaming quality gate matches the batch filter") {
     implicit val s = spark
     import s.implicits._

@@ -29,6 +29,7 @@ object QueriesSketch {
   val BloomBits = 2048
   val QBins = 64
   val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+  val SampleK = 5
 
   /** Word bigrams of `text` as an array (lowercased, whitespace
     * tokenization shared with the vocab/TF-IDF kernels); < 2 tokens →
@@ -219,6 +220,31 @@ object QueriesSketch {
       |  round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
       |FROM est e JOIN ex x USING (src_a, src_b) ORDER BY src_a, src_b""".stripMargin
 
+  /** q_consistent_sample — deterministic bottom-k-by-hash holdout
+    * ([[graft.llm.Sketches.bottomKSample]], k=5 per source): the eval
+    * rows are a pure function of doc_id, so the IDENTICAL sample comes
+    * back from any engine, partitioning, or rerun, shards fold (global
+    * bottom-k = bottom-k of shard bottom-ks), and membership is sticky
+    * as the corpus grows — reproducible holdouts with no persisted
+    * sample list. The oracle reproduces the hash rank directly.
+    */
+  val qConsistentSample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Sketches.bottomKSample(d, col("source"), col("doc_id"), SampleK)
+      .select(col("source"), col("doc_id"), col("lang"))
+      .orderBy("source", "doc_id")
+  }
+
+  val qConsistentSampleSql: String =
+    s"""WITH ranked AS (
+      |  SELECT source, doc_id, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+      |        doc_id::VARCHAR) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id, lang FROM ranked WHERE rk <= $SampleK
+      |ORDER BY source, doc_id""".stripMargin
+
   /** q_cms_heavy — Count-Min sketch (d=4, w=256) over the corpus word-
     * bigram stream (916 distinct grams at sf0.01 → real collisions),
     * probed at the 12 most frequent grams: (rk, gram, true_cnt, est_cnt,
@@ -378,6 +404,7 @@ object QueriesSketch {
     "q_kmv_distinct" -> qKmvDistinct,
     "q_hll_distinct" -> qHllDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
+    "q_consistent_sample" -> qConsistentSample,
     "q_cms_heavy" -> qCmsHeavy,
     "q_bloom_gate" -> qBloomGate,
     "q_quantile_sketch" -> qQuantileSketch)
@@ -386,6 +413,7 @@ object QueriesSketch {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_consistent_sample" -> qConsistentSampleSql,
     "q_cms_heavy" -> qCmsHeavySql,
     "q_bloom_gate" -> qBloomGateSql,
     "q_quantile_sketch" -> qQuantileSketchSql)

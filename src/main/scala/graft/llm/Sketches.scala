@@ -265,6 +265,39 @@ object Sketches {
         count(lit(1)).cast("double"), 4).as("est_jaccard"))
   }
 
+  /** Deterministic bottom-k-by-hash sample per group — KMV with payload:
+    * the input rows whose key's portable hash ranks among the group's k
+    * smallest. The SAMPLE IS A SKETCH: membership is a pure function of
+    * the key, so the identical rows come back from any engine, any
+    * partitioning, and any rerun; a global bottom-k is the bottom-k of
+    * shard bottom-ks (mergeable — sample shards independently, fold);
+    * and as the corpus grows a sampled row leaves only when k smaller
+    * hashes arrive — the sticky property that keeps eval holdouts
+    * reproducible across snapshots without persisting a sample list
+    * (bottom-k of a subset ⊇ the superset's bottom-k restricted to it).
+    * Two-level ranking as in [[kmvHashes]] keeps parallelism above the
+    * group count. `key` must be unique within each group (use the
+    * primary id): the rank's tie-break is the key's string form, so
+    * uniqueness is what makes the order total and the per-partition
+    * prune exact.
+    */
+  def bottomKSample(df: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val keyed = df
+      .withColumn("_bg", grp.cast("string"))
+      .withColumn("_bh", h60(key))
+      .withColumn("_bk", key.cast("string"))
+      .withColumn("_p", spark_partition_id())
+    val local = Window.partitionBy("_bg", "_p").orderBy("_bh", "_bk")
+    keyed
+      .withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_bg").orderBy("_bh", "_bk")))
+      .where(col("_rk") <= k)
+      .drop("_bg", "_bh", "_bk", "_p", "_lrk", "_rk")
+  }
+
   private def seedCol(seed: Column, item: Column): Column =
     h60(concat(seed.cast("string"), lit(":"), item))
 

@@ -121,6 +121,42 @@ class SketchSpec extends SparkSpec {
       s"overlap estimate $est vs 0.333")
   }
 
+  test("bottom-k sample: invariant under repartitioning") {
+    val df = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sketches.bottomKSample(d, col("src"), col("id"), k = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = ids(df)
+    assert(base.groupBy(_._1).forall(_._2.size == 7))
+    assert(ids(df.repartition(17)) === base)
+    assert(ids(df.repartition(1)) === base)
+  }
+
+  test("bottom-k sample: global sample equals the fold of shard samples") {
+    val df = (1 to 600).map(i => (s"s${i % 2}", i.toLong, i % 4)).toDF("src", "id", "shard")
+    val shardSamples = (0 until 4).map(sh =>
+      Sketches.bottomKSample(df.where($"shard" === sh), col("src"), col("id"), k = 9))
+    val folded = Sketches.bottomKSample(
+      shardSamples.reduce(_ unionByName _), col("src"), col("id"), k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val global = Sketches.bottomKSample(df, col("src"), col("id"), k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(folded === global, "shard-folded sample diverged from the global sample")
+  }
+
+  test("bottom-k sample: membership is sticky across corpus growth") {
+    // every sampled row of the big corpus that exists in the subset must
+    // also be sampled in the subset (holdouts never churn on growth)
+    val big = (1 to 800).map(i => ("g", i.toLong)).toDF("src", "id")
+    val sub = big.where($"id" % 3 =!= 0)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sketches.bottomKSample(d, col("src"), col("id"), k = 11)
+        .collect().map(_.getLong(1)).toSet
+    val fromBig = ids(big).filter(_ % 3 != 0)
+    assert(fromBig.subsetOf(ids(sub)),
+      s"rows ${fromBig -- ids(sub)} left the sample when the corpus shrank")
+  }
+
   private val zipfy: Seq[String] =
     (1 to 60).flatMap(i => Seq.fill(61 - i)(s"tok$i"))
 

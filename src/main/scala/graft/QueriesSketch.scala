@@ -245,6 +245,125 @@ object QueriesSketch {
       |SELECT source, doc_id, lang FROM ranked WHERE rk <= $SampleK
       |ORDER BY source, doc_id""".stripMargin
 
+  /** q_sketch_drift — snapshot-over-snapshot content drift per language
+    * computed FROM PERSISTED SKETCHES: snapshot B is the q_merge_upsert
+    * change feed applied to `documents` (≈10% of ids deleted, ≈10%
+    * rewritten, ≈10% re-inserted under new ids), each snapshot is
+    * reduced once to its ≤ k-hash KMV content sketch per lang, and the
+    * drift report — distinct-content estimates for both snapshots plus
+    * their Jaccard ([[graft.llm.Sketches.kmvJaccardAcross]]) — folds
+    * sketches only. Output: (grp, est_distinct_a, est_distinct_b,
+    * est_jaccard, exact_jaccard, abs_err); the exact arm (distinct
+    * content-hash sets joined per lang) is the evaluation harness — at
+    * production scale only the sketch fold runs, against sketches the
+    * ingest of each snapshot already persisted.
+    */
+  val qSketchDrift: Q = (s, dir) => {
+    val a = Tables.documents(s, dir)
+    val deletes = a.where(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("op", lit("delete"))
+    val updates = a.where(pmod(col("doc_id"), lit(10)) === 1)
+      .withColumn("text", concat(lit("updated "), col("text")))
+      .withColumn("op", lit("upsert"))
+    val inserts = a.where(pmod(col("doc_id"), lit(10)) === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("op", lit("upsert"))
+    val b = graft.llm.Snapshot.applyChanges(
+      a, deletes.unionByName(updates).unionByName(inserts), "doc_id", "op")
+    val skA = Sketches.kmvHashes(a, col("lang"), col("text"), KmvK)
+    val skB = Sketches.kmvHashes(b, col("lang"), col("text"), KmvK)
+    val estA = Sketches.kmvFromHashes(skA, KmvK)
+      .withColumnRenamed("est_distinct", "est_distinct_a")
+    val estB = Sketches.kmvFromHashes(skB, KmvK)
+      .withColumnRenamed("est_distinct", "est_distinct_b")
+    val est = Sketches.kmvJaccardAcross(skA, skB, KmvK)
+    // exact arm over the same distinct content-hash sets (identical md5
+    // collisions on both engines, so hash sets and text sets agree)
+    val da = a.select(col("lang").cast("string").as("grp"),
+      Sketches.h60(col("text")).as("h")).distinct()
+    val db = b.select(col("lang").cast("string").as("grp"),
+      Sketches.h60(col("text")).as("h")).distinct()
+    val na = da.groupBy("grp").agg(count(lit(1)).as("na"))
+    val nb = db.groupBy("grp").agg(count(lit(1)).as("nb"))
+    val ii = da.join(db, Seq("grp", "h")).groupBy("grp").agg(count(lit(1)).as("i"))
+    val exact = na.join(nb, "grp").join(ii, Seq("grp"), "left")
+      .select(col("grp"),
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"), 4)
+          .as("exact_jaccard"))
+    estA.join(estB, "grp").join(est, "grp").join(exact, "grp")
+      .select(col("grp"), col("est_distinct_a"), col("est_distinct_b"),
+        col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 4).as("abs_err"))
+      .orderBy("grp")
+  }
+
+  val qSketchDriftSql: String =
+    s"""WITH changes AS (
+      |  SELECT doc_id, 'delete' AS op, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert', 'updated ' || text, lang FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'upsert', text, lang FROM documents WHERE doc_id % 10 = 2),
+      |merged AS (
+      |  SELECT d.lang, d.text FROM documents d
+      |  LEFT JOIN (SELECT DISTINCT doc_id FROM changes) c USING (doc_id)
+      |  WHERE c.doc_id IS NULL
+      |  UNION ALL
+      |  SELECT lang, text FROM changes WHERE op = 'upsert'),
+      |da AS (SELECT DISTINCT lang AS grp,
+      |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+      |db AS (SELECT DISTINCT lang AS grp,
+      |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM merged),
+      |ska AS (SELECT grp, h FROM (
+      |          SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      |          FROM da) WHERE rk <= $KmvK),
+      |skb AS (SELECT grp, h FROM (
+      |          SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      |          FROM db) WHERE rk <= $KmvK),
+      |esta AS (
+      |  SELECT grp,
+      |    CASE WHEN n_d < $KmvK THEN n_d::DOUBLE
+      |         ELSE round(${KmvK - 1}.0 / (h::DOUBLE / 1152921504606846976.0), 3)
+      |    END AS est_distinct_a
+      |  FROM (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk,
+      |          count(*) OVER (PARTITION BY grp) AS n_d FROM ska)
+      |  WHERE rk = LEAST($KmvK, n_d)),
+      |estb AS (
+      |  SELECT grp,
+      |    CASE WHEN n_d < $KmvK THEN n_d::DOUBLE
+      |         ELSE round(${KmvK - 1}.0 / (h::DOUBLE / 1152921504606846976.0), 3)
+      |    END AS est_distinct_b
+      |  FROM (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk,
+      |          count(*) OVER (PARTITION BY grp) AS n_d FROM skb)
+      |  WHERE rk = LEAST($KmvK, n_d)),
+      |u AS (
+      |  SELECT grp, h,
+      |    max(in_a) AS in_a, max(in_b) AS in_b
+      |  FROM (SELECT grp, h, 1 AS in_a, 0 AS in_b FROM ska
+      |        UNION ALL
+      |        SELECT grp, h, 0, 1 FROM skb)
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT grp,
+      |    round(sum(in_a * in_b)::DOUBLE / count(*)::DOUBLE, 4) AS est_jaccard
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM u)
+      |  WHERE rk <= $KmvK GROUP BY 1),
+      |ex AS (
+      |  SELECT na.grp,
+      |    round(COALESCE(ii.i, 0)::DOUBLE
+      |      / (na.na + nb.nb - COALESCE(ii.i, 0))::DOUBLE, 4) AS exact_jaccard
+      |  FROM (SELECT grp, count(*) AS na FROM da GROUP BY 1) na
+      |  JOIN (SELECT grp, count(*) AS nb FROM db GROUP BY 1) nb USING (grp)
+      |  LEFT JOIN (SELECT a.grp, count(*) AS i FROM da a
+      |             JOIN db b ON a.grp = b.grp AND a.h = b.h GROUP BY 1) ii
+      |    USING (grp))
+      |SELECT a.grp, a.est_distinct_a, b.est_distinct_b, e.est_jaccard,
+      |  x.exact_jaccard,
+      |  round(abs(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
+      |FROM esta a JOIN estb b USING (grp) JOIN est e USING (grp)
+      |JOIN ex x USING (grp) ORDER BY grp""".stripMargin
+
   /** q_cms_heavy — Count-Min sketch (d=4, w=256) over the corpus word-
     * bigram stream (916 distinct grams at sf0.01 → real collisions),
     * probed at the 12 most frequent grams: (rk, gram, true_cnt, est_cnt,
@@ -405,6 +524,7 @@ object QueriesSketch {
     "q_hll_distinct" -> qHllDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
     "q_consistent_sample" -> qConsistentSample,
+    "q_sketch_drift" -> qSketchDrift,
     "q_cms_heavy" -> qCmsHeavy,
     "q_bloom_gate" -> qBloomGate,
     "q_quantile_sketch" -> qQuantileSketch)
@@ -414,6 +534,7 @@ object QueriesSketch {
     "q_hll_distinct" -> qHllDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_consistent_sample" -> qConsistentSampleSql,
+    "q_sketch_drift" -> qSketchDriftSql,
     "q_cms_heavy" -> qCmsHeavySql,
     "q_bloom_gate" -> qBloomGateSql,
     "q_quantile_sketch" -> qQuantileSketchSql)

@@ -265,6 +265,30 @@ object Sketches {
         count(lit(1)).cast("double"), 4).as("est_jaccard"))
   }
 
+  /** Per-group Jaccard estimate between TWO snapshots' KMV sketches —
+    * (grp, est_jaccard), one row per group present in either sketch
+    * (one-sided groups estimate 0). Same estimator as [[kmvOverlap]] —
+    * the k smallest of the two sketches' distinct union are the union's
+    * own k-minima, and the estimate is the fraction present in both —
+    * but paired by EQUAL group across relations rather than cross-group
+    * within one. This is how snapshot-over-snapshot drift dashboards
+    * (content churn per shard/language) run at 100 TB: each snapshot is
+    * scanned once at ingest to persist its ≤ k-hash sketches, and every
+    * later comparison folds sketches only.
+    */
+  def kmvJaccardAcross(hashesA: DataFrame, hashesB: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val ta = hashesA.select(col("grp"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val tb = hashesB.select(col("grp"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    ta.unionByName(tb)
+      .groupBy("grp", "h").agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("_rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .where(col("_rk") <= k)
+      .groupBy("grp")
+      .agg(round(sum(col("in_a") * col("in_b")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("est_jaccard"))
+  }
+
   /** Deterministic bottom-k-by-hash sample per group — KMV with payload:
     * the input rows whose key's portable hash ranks among the group's k
     * smallest. The SAMPLE IS A SKETCH: membership is a pure function of

@@ -121,6 +121,32 @@ class SketchSpec extends SparkSpec {
       s"overlap estimate $est vs 0.333")
   }
 
+  test("KMV cross-snapshot Jaccard: exact when unsaturated, 0 for one-sided groups") {
+    // grp g: A = 1..50, B = 26..75 → J = 25/75; grp only_a exists in A alone
+    val a = ((1 to 50).map(i => ("g", i)) ++ (1 to 10).map(i => ("only_a", i)))
+      .toDF("grp", "v")
+    val b = (26 to 75).map(i => ("g", i)).toDF("grp", "v")
+    val k = 256
+    val out = Sketches.kmvJaccardAcross(
+      Sketches.kmvHashes(a, col("grp"), col("v"), k),
+      Sketches.kmvHashes(b, col("grp"), col("v"), k), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("g") === math.rint(25.0 / 75.0 * 1e4) / 1e4)
+    assert(out("only_a") === 0.0)
+  }
+
+  test("KMV cross-snapshot Jaccard: saturated estimate tracks the truth") {
+    // 4000-element snapshots sharing 3000 → J = 3000/5000 = 0.6
+    val a = (1 to 4000).map(i => ("g", i)).toDF("grp", "v")
+    val b = (1001 to 5000).map(i => ("g", i)).toDF("grp", "v")
+    val k = 256
+    val est = Sketches.kmvJaccardAcross(
+      Sketches.kmvHashes(a, col("grp"), col("v"), k),
+      Sketches.kmvHashes(b, col("grp"), col("v"), k), k)
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 0.6) < 4.0 / math.sqrt(k), s"drift estimate $est vs 0.6")
+  }
+
   test("bottom-k sample: invariant under repartitioning") {
     val df = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
     def ids(d: org.apache.spark.sql.DataFrame) =

@@ -544,6 +544,83 @@ object Sketches {
           .as("est_q"))
   }
 
+  /** Fixed-grid histogram cells — (bin, cnt), ≤ nBins rows — over a
+    * caller-pinned [lo, hi) domain, values clamped into the edge bins.
+    * This is [[binnedQuantiles]]'s STREAMING form: because the bin edges
+    * are pinned rather than derived from a global (min, max) pass, cells
+    * MERGE BY SUM — per-shard histograms, micro-batch logs
+    * ([[graft.streaming.DocStream.fixedBinsSink]]), and replayed reads
+    * all fold to the whole-corpus histogram, the property the
+    * data-dependent grid cannot have. Production pins the domain from
+    * the first snapshot's stats (doc lengths, token counts — domains
+    * that drift slowly); clamping makes outliers visible as edge-bin
+    * mass rather than errors.
+    */
+  def fixedBins(df: DataFrame, value: Column, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    val w = (hi - lo) / nBins
+    df.select(
+      greatest(lit(0L), least(lit((nBins - 1).toLong),
+        floor((value.cast("double") - lo) / w).cast("long"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge independently-built fixed-grid cell relations (bin-wise sum)
+    * — same shard-merge contract as [[cmsMerge]]. All inputs must share
+    * the (lo, hi, nBins) grid.
+    */
+  def binsMerge(bins: Seq[DataFrame]): DataFrame = {
+    require(bins.nonEmpty, "nothing to merge")
+    bins.reduce(_ unionByName _).groupBy("bin").agg(sum("cnt").as("cnt"))
+  }
+
+  /** [[cmsRead]]'s histogram twin: fold a log of appended per-batch
+    * [[fixedBins]] relations into the whole-stream histogram. Absent
+    * layout → empty histogram.
+    */
+  def binsRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bin", LongType), StructField("cnt", LongType)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile estimates — (q, est_q), 4 dp — from a fixed-grid cell
+    * relation (direct [[fixedBins]] output, a [[binsMerge]] fold, or a
+    * [[binsRead]] log): cumulative counts plus linear interpolation
+    * inside the target bin, the same arithmetic as [[binnedQuantiles]]'
+    * tail. Error is bounded by one bin width PROVIDED the data lay
+    * inside [lo, hi] (clamped outliers widen the edge bins' claim). All
+    * relations here are bounded by nBins; no data → no rows.
+    */
+  def quantilesFromBins(bins: DataFrame, lo: Double, hi: Double, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && hi > lo && qs.nonEmpty,
+      "need nBins >= 2, hi > lo, and at least one quantile")
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / nBins
+    val n = bins.agg(sum("cnt").as("n")).where(col("n").isNotNull)
+    val cum = bins.withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    qs.toDF("q").crossJoin(broadcast(n))
+      .join(cum,
+        col("cum") >= col("q") * col("n").cast("double") &&
+        (col("cum") - col("cnt")).cast("double") < col("q") * col("n").cast("double"))
+      .select(col("q"),
+        round(lit(lo) + lit(w) *
+          (col("bin").cast("double") +
+            (col("q") * col("n").cast("double") -
+              (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")), 4)
+          .as("est_q"))
+  }
+
   /** Exact type-1 quantiles (the evaluation arm that grades the sketch):
     * value at rank ceil(q·n) via a cumulative window over the
     * DISTINCT-VALUE histogram — bounded by the value domain, not the

@@ -210,6 +210,21 @@ object DocStream {
         .write.mode("append").parquet(path)
     }
 
+  /** [[cmsCellsSink]]'s histogram twin: append each micro-batch's
+    * ≤ nBins-row fixed-grid cell relation over the caller-pinned
+    * [lo, hi) domain; [[graft.llm.Sketches.binsRead]] folds the log by
+    * bin-wise SUM, and [[graft.llm.Sketches.quantilesFromBins]] serves
+    * live quantile dashboards from the fold — no read-modify-write on
+    * the hot path, log growth bounded by nBins per batch.
+    */
+  def fixedBinsSink(path: String, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Sketches.fixedBins(batch, col(valueCol), lo, hi, nBins)
+        .write.mode("append").parquet(path)
+    }
+
   /** Replay guard shared by the index sinks: run `body` only if this
     * batchId has no `_applied` marker yet, then mark it — through the
     * index path's own Hadoop filesystem (the path may be

@@ -147,6 +147,39 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 0.6) < 4.0 / math.sqrt(k), s"drift estimate $est vs 0.6")
   }
 
+  test("fixed-grid histogram: shard cells fold to the global histogram; outliers clamp") {
+    val df = ((1 to 900).map(i => (i.toDouble, i % 3)) ++
+      Seq((-50.0, 0), (5000.0, 1))).toDF("v", "shard")
+    val lo = 0.0; val hi = 1000.0; val nBins = 50
+    val global = Sketches.fixedBins(df, col("v"), lo, hi, nBins)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = Sketches.binsMerge((0 until 3).map(sh =>
+      Sketches.fixedBins(df.where($"shard" === sh), col("v"), lo, hi, nBins)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === global, "shard-folded histogram diverged from the global one")
+    assert(global.keySet.max <= 49 && global.keySet.min >= 0)
+    // bin 0 = [0,20): in-range 1..19 plus the clamped -50; bin 49 =
+    // [980,1000): nothing in range (max value 900), only the clamped 5000
+    assert(global(0L) === 20L)
+    assert(global(49L) === 1L)
+  }
+
+  test("fixed-grid quantiles: estimates within one bin width of the exact quantile") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val lo = 0.0; val hi = 1000.0; val nBins = 50
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val bins = Sketches.fixedBins(df, col("v"), lo, hi, nBins)
+    val est = Sketches.quantilesFromBins(bins, lo, hi, nBins, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = Sketches.exactQuantiles(df, col("v"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val w = (hi - lo) / nBins
+    qs.foreach { q =>
+      assert(math.abs(est(q) - exact(q)) <= w,
+        s"q=$q est ${est(q)} vs exact ${exact(q)} (bin width $w)")
+    }
+  }
+
   test("bottom-k sample: invariant under repartitioning") {
     val df = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
     def ids(d: org.apache.spark.sql.DataFrame) =

@@ -147,6 +147,41 @@ class DocStreamSpec extends SparkSpec {
     assert(folded === batch, "folded HLL register log diverged from the batch sketch")
   }
 
+  test("streaming fixed-bin histogram sink: folded log serves the batch quantiles") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(200)
+      .collect().map(r => DocStream.Doc(r.getLong(0), r.getString(1))).toSeq
+    val (w1, w2) = docs.splitAt(100)
+    val path = java.nio.file.Files.createTempDirectory("bins_log").toString
+    val (lo, hi, nBins) = (0.0, 4000.0, 40)
+    def withLen(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("len", length(col("text")).cast("double"))
+
+    val mem = MemoryStream[DocStream.Doc]
+    mem.addData(w1)
+    val sink = DocStream.fixedBinsSink(path, "len", lo, hi, nBins)
+    val q = withLen(mem.toDF()).writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    sink(withLen(w2.toDF()), 1000L)
+    // replayed batch: the _applied guard makes it a no-op (sums would drift)
+    sink(withLen(w2.toDF()), 1000L)
+
+    def qmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val qs = Seq(0.5, 0.9)
+    val folded = qmap(Sketches.quantilesFromBins(
+      Sketches.binsRead(spark, path), lo, hi, nBins, qs))
+    val batch = qmap(Sketches.quantilesFromBins(
+      Sketches.fixedBins(withLen(docs.toDF()), col("len"), lo, hi, nBins),
+      lo, hi, nBins, qs))
+    assert(folded === batch, "folded histogram log diverged from the batch histogram")
+  }
+
   test("streaming quality gate matches the batch filter") {
     implicit val s = spark
     import s.implicits._

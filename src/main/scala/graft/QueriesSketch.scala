@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.llm.{Sketches, TextStats}
+import graft.llm.{Drift, Sketches, TextStats}
 
 /** Portable-sketch operators as driver queries ([[graft.llm.Sketches]]):
   * KMV distinct-count, Count-Min heavy-hitter counts, a Bloom seen-key
@@ -30,6 +30,9 @@ object QueriesSketch {
   val QBins = 64
   val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
   val SampleK = 5
+  val HistLo = 0.0
+  val HistHi = 4000.0
+  val HistBins = 40
 
   /** Word bigrams of `text` as an array (lowercased, whitespace
     * tokenization shared with the vocab/TF-IDF kernels); < 2 tokens →
@@ -364,6 +367,68 @@ object QueriesSketch {
       |FROM esta a JOIN estb b USING (grp) JOIN est e USING (grp)
       |JOIN ex x USING (grp) ORDER BY grp""".stripMargin
 
+  /** q_hist_drift — distribution-shift gate over HISTOGRAM SKETCHES
+    * ([[graft.llm.Drift.psiFromBins]]): the n_chars histogram of the
+    * q_sketch_drift snapshots (B = A with ≈10% of ids deleted, ≈10%
+    * rewritten +8 chars, ≈10% re-inserted) on a pinned [0, 4000)×40
+    * grid, compared by Laplace-smoothed PSI. Each corpus is reduced
+    * ONCE to ≤ 40 bin counts; the PSI is arithmetic over 80 integers —
+    * the shape of a per-ingest drift check at 100 TB, where the
+    * reference histogram is a persisted artifact and only the delta
+    * snapshot is ever scanned. Output: one row per bin with both
+    * counts, smoothed shares, the bin's term, and the grid PSI.
+    */
+  val qHistDrift: Q = (s, dir) => {
+    val a = Tables.documents(s, dir)
+    val deletes = a.where(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("op", lit("delete"))
+    val updates = a.where(pmod(col("doc_id"), lit(10)) === 1)
+      .withColumn("n_chars", col("n_chars") + 8)
+      .withColumn("op", lit("upsert"))
+    val inserts = a.where(pmod(col("doc_id"), lit(10)) === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("op", lit("upsert"))
+    val b = graft.llm.Snapshot.applyChanges(
+      a, deletes.unionByName(updates).unionByName(inserts), "doc_id", "op")
+    val refBins = Sketches.fixedBins(a, col("n_chars"), HistLo, HistHi, HistBins)
+    val liveBins = Sketches.fixedBins(b, col("n_chars"), HistLo, HistHi, HistBins)
+    Drift.psiFromBins(refBins, liveBins, HistBins).orderBy("bin")
+  }
+
+  val qHistDriftSql: String = {
+    val top = HistBins - 1
+    val smooth = 0.5 * HistBins
+    val w = (HistHi - HistLo) / HistBins
+    s"""WITH changes AS (
+      |  SELECT doc_id, 'delete' AS op, n_chars FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert', n_chars + 8 FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'upsert', n_chars FROM documents WHERE doc_id % 10 = 2),
+      |merged AS (
+      |  SELECT d.n_chars FROM documents d
+      |  LEFT JOIN (SELECT DISTINCT doc_id FROM changes) c USING (doc_id)
+      |  WHERE c.doc_id IS NULL
+      |  UNION ALL
+      |  SELECT n_chars FROM changes WHERE op = 'upsert'),
+      |rb AS (SELECT GREATEST(0, LEAST($top, floor((n_chars - $HistLo) / $w)))::BIGINT AS bin,
+      |         count(*) AS cnt FROM documents GROUP BY 1),
+      |lb AS (SELECT GREATEST(0, LEAST($top, floor((n_chars - $HistLo) / $w)))::BIGINT AS bin,
+      |         count(*) AS cnt FROM merged GROUP BY 1),
+      |grid AS (SELECT bin FROM range(0, $HistBins) t(bin)),
+      |nr AS (SELECT COALESCE(sum(cnt), 0) AS n_ref FROM rb),
+      |nl AS (SELECT COALESCE(sum(cnt), 0) AS n_live FROM lb),
+      |j AS (
+      |  SELECT g.bin, COALESCE(rb.cnt, 0) AS cnt_ref, COALESCE(lb.cnt, 0) AS cnt_live,
+      |    (COALESCE(lb.cnt, 0) + 0.5) / (nl.n_live + $smooth) AS p,
+      |    (COALESCE(rb.cnt, 0) + 0.5) / (nr.n_ref + $smooth) AS q
+      |  FROM grid g LEFT JOIN rb USING (bin) LEFT JOIN lb USING (bin), nr, nl),
+      |t AS (SELECT *, round((p - q) * ln(p / q), 6) AS term FROM j),
+      |tot AS (SELECT round(sum(term), 4) AS psi FROM t)
+      |SELECT bin, cnt_ref, cnt_live, round(p, 6) AS p, round(q, 6) AS q, term, psi
+      |FROM t, tot ORDER BY bin""".stripMargin
+  }
+
   /** q_cms_heavy — Count-Min sketch (d=4, w=256) over the corpus word-
     * bigram stream (916 distinct grams at sf0.01 → real collisions),
     * probed at the 12 most frequent grams: (rk, gram, true_cnt, est_cnt,
@@ -525,6 +590,7 @@ object QueriesSketch {
     "q_kmv_overlap" -> qKmvOverlap,
     "q_consistent_sample" -> qConsistentSample,
     "q_sketch_drift" -> qSketchDrift,
+    "q_hist_drift" -> qHistDrift,
     "q_cms_heavy" -> qCmsHeavy,
     "q_bloom_gate" -> qBloomGate,
     "q_quantile_sketch" -> qQuantileSketch)
@@ -535,6 +601,7 @@ object QueriesSketch {
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_consistent_sample" -> qConsistentSampleSql,
     "q_sketch_drift" -> qSketchDriftSql,
+    "q_hist_drift" -> qHistDriftSql,
     "q_cms_heavy" -> qCmsHeavySql,
     "q_bloom_gate" -> qBloomGateSql,
     "q_quantile_sketch" -> qQuantileSketchSql)

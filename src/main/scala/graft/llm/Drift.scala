@@ -22,6 +22,45 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** PSI between two fixed-grid HISTOGRAM SKETCHES on the same
+    * (lo, hi, nBins) grid — (bin, cnt_ref, cnt_live, p, q, term, psi):
+    * per-bin Laplace-smoothed shares, each bin's drift contribution
+    * (6 dp), and the grid total (4 dp, repeated per row). Both inputs
+    * are ≤ nBins-row cell relations ([[Sketches.fixedBins]] directly, a
+    * [[Sketches.binsMerge]] fold, or a [[Sketches.binsRead]] log fold),
+    * so the monitor NEVER touches either corpus: ingest persists one
+    * bounded histogram per snapshot/micro-batch, and every later
+    * distribution-shift check — batch snapshot-over-snapshot or a
+    * streaming gate against a frozen reference — is arithmetic over
+    * 2·nBins integers. Everything here (grid densify, one-row totals,
+    * the broadcast joins) is bounded by nBins by construction.
+    */
+  def psiFromBins(ref: DataFrame, live: DataFrame, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val grid = (0 until nBins).map(_.toLong).toDF("bin")
+    val nr = ref.agg(coalesce(sum("cnt"), lit(0L)).as("n_ref"))
+    val nl = live.agg(coalesce(sum("cnt"), lit(0L)).as("n_live"))
+    val half = lit(0.5)
+    val smooth = lit(0.5 * nBins)
+    val joined = grid
+      .join(broadcast(ref.withColumnRenamed("cnt", "cnt_ref")), Seq("bin"), "left")
+      .join(broadcast(live.withColumnRenamed("cnt", "cnt_live")), Seq("bin"), "left")
+      .withColumn("cnt_ref", coalesce(col("cnt_ref"), lit(0L)))
+      .withColumn("cnt_live", coalesce(col("cnt_live"), lit(0L)))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nl))
+      .withColumn("p", (col("cnt_live") + half) / (col("n_live") + smooth))
+      .withColumn("q", (col("cnt_ref") + half) / (col("n_ref") + smooth))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+    val total = joined.agg(round(sum("term"), 4).as("psi"))
+    joined.crossJoin(broadcast(total))
+      .select(col("bin"), col("cnt_ref"), col("cnt_live"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        col("term"), col("psi"))
+  }
+
   /** Per-(source, bin) PSI report: one row per source × bin with the
     * smoothed shares, the bin's drift contribution (6 dp), and the
     * source's PSI total (4 dp). `feature` must be integral-valued.

@@ -26,7 +26,8 @@ object PlanAudit {
     "q_ivfpq_incr",    // same serving report as q_ivfpq_recall (one-row aggregates)
     "q_ivfpq_rerank",  // crossJoins of four ONE-row aggregates (two overlaps × candidates × total)
     "q_quantile_sketch", // ONE-row stats cross joins + range joins of the 5-quantile literal against ≤64 bin rows / the domain-bounded length histogram
-    "q_kmv_overlap"    // the DISTINCT-GROUPS (20 sources) `<` self-join building the pair matrix — |groups|² rows by definition, independent of corpus size; appears once per tagged branch (×2)
+    "q_kmv_overlap",   // the DISTINCT-GROUPS (20 sources) `<` self-join building the pair matrix — |groups|² rows by definition, independent of corpus size; appears once per tagged branch (×2)
+    "q_hist_drift"     // crossJoins of ONE-row totals (n_ref, n_live, psi) against the ≤40-bin grid
   )
   private val allowedGlobalWindow = Set(
     "q_embed_topk", // rank over 20 post-limit rows, not data-sized input

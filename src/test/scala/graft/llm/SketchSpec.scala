@@ -180,6 +180,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogram PSI: identical sketches score exactly zero") {
+    val df = (1 to 500).map(_.toDouble).toDF("v")
+    val bins = Sketches.fixedBins(df, col("v"), 0.0, 500.0, 25)
+    val rows = Drift.psiFromBins(bins, bins, 25).collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getAs[Double]("term") === 0.0))
+    assert(rows.head.getAs[Double]("psi") === 0.0)
+  }
+
+  test("histogram PSI: a shifted distribution crosses the 0.25 alert line") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val live = (1 to 1000).map(i => i.toDouble + 400.0).toDF("v")
+    val (lo, hi, n) = (0.0, 1500.0, 30)
+    val psi = Drift.psiFromBins(
+      Sketches.fixedBins(ref, col("v"), lo, hi, n),
+      Sketches.fixedBins(live, col("v"), lo, hi, n), n)
+      .collect().head.getAs[Double]("psi")
+    assert(psi > 0.25, s"shifted PSI $psi should exceed the alert threshold")
+  }
+
   test("bottom-k sample: invariant under repartitioning") {
     val df = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
     def ids(d: org.apache.spark.sql.DataFrame) =

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-pass-per-snapshot persistence of the whole portable sketch family
+  * BESIDE a corpus — the artifact [[Sketches]]' header promises: ingest
+  * scans the snapshot once (cached across the five bounded aggregations)
+  * and leaves summaries that every later stage — another engine
+  * included — probes without rescanning the data. Layout under `path/`:
+  *
+  *   - `kmv/`   (grp, h)            — k smallest content hashes per group
+  *   - `hll/`   (grp, reg, mx)      — HyperLogLog registers per group
+  *   - `cms/`   (seed, bucket, total) — Count-Min cells over an item stream
+  *   - `bloom/` (pos)               — Bloom bit positions over a key
+  *   - `bins/`  (bin, cnt)          — fixed-grid histogram of a numeric col
+  *   - `_meta/` one row: every sketch parameter + provenance stamps
+  *
+  * The readers are the existing log folds ([[Sketches.kmvRead]],
+  * [[Sketches.hllRead]], [[Sketches.cmsRead]], [[Sketches.bloomRead]],
+  * [[Sketches.binsRead]] pointed at the subdirectories): a sidecar is a
+  * valid ONE-ELEMENT log, so batch sidecars and streaming sink logs
+  * ([[graft.streaming.DocStream]]) are interchangeable at read time, and
+  * two snapshots' sidecars feed the drift reports
+  * ([[Sketches.kmvJaccardAcross]], [[Drift.psiFromBins]]) directly.
+  *
+  * Scale shape: one cached corpus scan; each write is a bounded relation
+  * (≤ k·groups, ≤ 2^p·groups, ≤ depth×width, ≤ bits, ≤ nBins rows) so
+  * the sidecar's size is independent of corpus size.
+  */
+object SketchSidecar {
+
+  /** Which column feeds each sketch, plus the family parameters.
+    * `grp`/`content` feed KMV and HLL (distinct-content cardinality and
+    * overlap per group); `items` is an ARRAY column (tokens, bigrams —
+    * wrap a scalar in `array(...)`) exploded here to feed the CMS
+    * frequency cells; `key` feeds the Bloom gate; `value` feeds the
+    * histogram over [lo, hi)×nBins.
+    */
+  final case class Conf(
+      grp: Column, content: Column, items: Column, key: Column, value: Column,
+      lo: Double, hi: Double, nBins: Int = 64,
+      kmvK: Int = 256, hllP: Int = 8,
+      cmsDepth: Int = 4, cmsWidth: Int = 256,
+      bloomHashes: Int = 6, bloomBits: Int = 2048)
+
+  def kmvPath(path: String) = s"$path/kmv"
+  def hllPath(path: String) = s"$path/hll"
+  def cmsPath(path: String) = s"$path/cms"
+  def bloomPath(path: String) = s"$path/bloom"
+  def binsPath(path: String) = s"$path/bins"
+
+  /** Write the five sketches plus `_meta` under `path` (overwrite). The
+    * input is persisted for the duration so the corpus is read from
+    * storage once, not five times.
+    */
+  def write(df: DataFrame, path: String, conf: Conf): Unit = {
+    val cached = df.persist()
+    try {
+      Sketches.kmvHashes(cached, conf.grp, conf.content, conf.kmvK)
+        .write.mode("overwrite").parquet(kmvPath(path))
+      Sketches.hllRegisters(cached, conf.grp, conf.content, conf.hllP)
+        .write.mode("overwrite").parquet(hllPath(path))
+      Sketches.cmsCells(cached.select(explode(conf.items).as("_item")),
+          col("_item"), conf.cmsDepth, conf.cmsWidth)
+        .write.mode("overwrite").parquet(cmsPath(path))
+      Sketches.bloomBits(cached, conf.key, conf.bloomHashes, conf.bloomBits)
+        .write.mode("overwrite").parquet(bloomPath(path))
+      Sketches.fixedBins(cached, conf.value, conf.lo, conf.hi, conf.nBins)
+        .write.mode("overwrite").parquet(binsPath(path))
+      writeMeta(df.sparkSession, path, conf)
+    } finally { cached.unpersist(); () }
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, conf: Conf): Unit = {
+    import spark.implicits._
+    Seq((conf.kmvK, conf.hllP, conf.cmsDepth, conf.cmsWidth,
+        conf.bloomHashes, conf.bloomBits, conf.lo, conf.hi, conf.nBins,
+        graft.tools.Provenance.commit, graft.tools.Provenance.generatedAtUtc))
+      .toDF("kmv_k", "hll_p", "cms_depth", "cms_width",
+        "bloom_hashes", "bloom_bits", "lo", "hi", "n_bins",
+        "_commit", "_generated_at_utc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The `_meta` row — sketch parameters and provenance — so a reader
+    * can fold a sidecar without out-of-band knowledge of k/p/grid.
+    */
+  def readMeta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$path/_meta").head()
+}

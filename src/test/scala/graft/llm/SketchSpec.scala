@@ -236,6 +236,41 @@ class SketchSpec extends SparkSpec {
       s"rows ${fromBig -- ids(sub)} left the sample when the corpus shrank")
   }
 
+  test("sketch sidecar: every persisted sketch folds to the direct batch sketch") {
+    val df = (1 to 400).map(i =>
+      (s"g${i % 3}", s"content $i", Seq(s"tok${i % 25}", s"tok${(i + 1) % 25}"),
+        i.toLong, (i % 900).toDouble))
+      .toDF("grp", "content", "toks", "id", "len")
+    val path = java.nio.file.Files.createTempDirectory("sidecar").toString
+    val conf = SketchSidecar.Conf(
+      grp = col("grp"), content = col("content"), items = col("toks"),
+      key = col("id"), value = col("len"), lo = 0.0, hi = 1000.0, nBins = 20)
+    SketchSidecar.write(df, path, conf)
+
+    def kmvMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kmvMap(Sketches.kmvRead(spark, SketchSidecar.kmvPath(path), conf.kmvK)) ===
+      kmvMap(Sketches.kmvDistinct(df, col("grp"), col("content"), conf.kmvK)))
+    assert(kmvMap(Sketches.hllRead(spark, SketchSidecar.hllPath(path), conf.hllP)) ===
+      kmvMap(Sketches.hllDistinct(df, col("grp"), col("content"), conf.hllP)))
+    def cellSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cellSet(Sketches.cmsRead(spark, SketchSidecar.cmsPath(path))) ===
+      cellSet(Sketches.cmsCells(df.select(explode(col("toks")).as("t")),
+        col("t"), conf.cmsDepth, conf.cmsWidth)))
+    def posSet(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.getLong(0)).toSet
+    assert(posSet(Sketches.bloomRead(spark, SketchSidecar.bloomPath(path))) ===
+      posSet(Sketches.bloomBits(df, col("id"), conf.bloomHashes, conf.bloomBits)))
+    def binMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binMap(Sketches.binsRead(spark, SketchSidecar.binsPath(path))) ===
+      binMap(Sketches.fixedBins(df, col("len"), conf.lo, conf.hi, conf.nBins)))
+    val meta = SketchSidecar.readMeta(spark, path)
+    assert(meta.getAs[Int]("kmv_k") === conf.kmvK)
+    assert(meta.getAs[Int]("n_bins") === conf.nBins)
+    assert(meta.getAs[String]("_generated_at_utc").nonEmpty)
+  }
+
   private val zipfy: Seq[String] =
     (1 to 60).flatMap(i => Seq.fill(61 - i)(s"tok$i"))
 

@@ -182,6 +182,34 @@ class DocStreamSpec extends SparkSpec {
     assert(folded === batch, "folded histogram log diverged from the batch histogram")
   }
 
+  test("streaming drift gate: live histogram fold trips PSI against a frozen reference") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.llm.{Drift, Sketches}
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, nBins) = (0.0, 1500.0, 30)
+    // frozen reference histogram: text lengths uniform over 400..599
+    // (a whole number of 200-cycles, so ref and live share the shape)
+    val refBins = Sketches.fixedBins(
+      (1 to 400).map(i => 400.0 + i % 200).toDF("len"), col("len"), lo, hi, nBins)
+    def run(mkLen: Int => Int): Double = {
+      val docs = (1 to 200).map(i => DocStream.Doc(i.toLong, "x" * mkLen(i)))
+      val path = java.nio.file.Files.createTempDirectory("drift_log").toString
+      val mem = MemoryStream[DocStream.Doc]
+      mem.addData(docs)
+      val sink = DocStream.fixedBinsSink(path, "len", lo, hi, nBins)
+      val q = mem.toDF().withColumn("len", length(col("text")).cast("double"))
+        .writeStream.foreachBatch(sink).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      Drift.psiFromBins(refBins, Sketches.binsRead(spark, path), nBins)
+        .collect().head.getAs[Double]("psi")
+    }
+    val same = run(i => 400 + i % 200)    // in-distribution stream
+    val shifted = run(i => 800 + i % 200) // +400 shift
+    assert(same < 0.05, s"in-distribution stream scored PSI $same")
+    assert(shifted > 0.25, s"shifted stream scored PSI $shifted, below the alert line")
+  }
+
   test("streaming quality gate matches the batch filter") {
     implicit val s = spark
     import s.implicits._

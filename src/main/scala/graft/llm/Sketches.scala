@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * 100-TB curation pipeline persists BESIDE a dataset (cardinality per
   * shard, heavy-hitter tokens, seen-URL gates) so later stages, possibly
   * running on a different engine, can probe them without rescanning the
-  * corpus.
+  * corpus. [[SketchSidecar]] makes that literal: one cached scan writes
+  * the whole family next to a snapshot, and the read-side folds below
+  * treat a sidecar as a one-element log.
   *
   * Contrast with the transient gates the pipeline already uses
   * internally ([[Incremental]] builds `spark.util.sketch.BloomFilter`,

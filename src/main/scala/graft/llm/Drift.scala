@@ -35,8 +35,14 @@ object Drift {
     * 2·nBins integers. Everything here (grid densify, one-row totals,
     * the broadcast joins) is bounded by nBins by construction.
     */
-  def psiFromBins(ref: DataFrame, live: DataFrame, nBins: Int): DataFrame = {
+  def psiFromBins(refRaw: DataFrame, liveRaw: DataFrame, nBins: Int): DataFrame = {
     require(nBins >= 2, "need nBins >= 2")
+    // Defensive fold: inputs may be raw appended sink logs with several
+    // rows per bin (a streaming sink that was never binsRead-folded);
+    // summing here — bounded by nBins — makes any log a valid input
+    // instead of silently double-counting duplicate grid-join rows.
+    val ref = refRaw.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val live = liveRaw.groupBy("bin").agg(sum("cnt").as("cnt"))
     val spark = ref.sparkSession
     import spark.implicits._
     val grid = (0 until nBins).map(_.toLong).toDF("bin")

@@ -50,26 +50,44 @@ object SketchSidecar {
   def bloomPath(path: String) = s"$path/bloom"
   def binsPath(path: String) = s"$path/bins"
 
-  /** Write the five sketches plus `_meta` under `path` (overwrite). The
-    * input is persisted for the duration so the corpus is read from
-    * storage once, not five times.
+  /** Write the five sketches plus `_meta` under `path` (overwrite).
+    * The whole family is STAGED into a sibling temp directory and
+    * swapped into place with a single directory rename, so a reader
+    * never observes a torn sidecar (a failure mid-way through six
+    * independent subdirectory overwrites would otherwise leave a mixed
+    * old/new layout whose stale `_meta` looks consistent). The input is
+    * persisted for the duration so the corpus is read from storage
+    * once, not five times.
     */
   def write(df: DataFrame, path: String, conf: Conf): Unit = {
+    val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
     val cached = df.persist()
     try {
+      val t = tmp.toString
       Sketches.kmvHashes(cached, conf.grp, conf.content, conf.kmvK)
-        .write.mode("overwrite").parquet(kmvPath(path))
+        .write.mode("overwrite").parquet(kmvPath(t))
       Sketches.hllRegisters(cached, conf.grp, conf.content, conf.hllP)
-        .write.mode("overwrite").parquet(hllPath(path))
+        .write.mode("overwrite").parquet(hllPath(t))
       Sketches.cmsCells(cached.select(explode(conf.items).as("_item")),
           col("_item"), conf.cmsDepth, conf.cmsWidth)
-        .write.mode("overwrite").parquet(cmsPath(path))
+        .write.mode("overwrite").parquet(cmsPath(t))
       Sketches.bloomBits(cached, conf.key, conf.bloomHashes, conf.bloomBits)
-        .write.mode("overwrite").parquet(bloomPath(path))
+        .write.mode("overwrite").parquet(bloomPath(t))
       Sketches.fixedBins(cached, conf.value, conf.lo, conf.hi, conf.nBins)
-        .write.mode("overwrite").parquet(binsPath(path))
-      writeMeta(df.sparkSession, path, conf)
-    } finally { cached.unpersist(); () }
+        .write.mode("overwrite").parquet(binsPath(t))
+      writeMeta(spark, t, conf)
+      if (fs.exists(target) && !fs.delete(target, true))
+        sys.error(s"SketchSidecar: could not remove previous sidecar at $path")
+      if (!fs.rename(tmp, target))
+        sys.error(s"SketchSidecar: rename $tmp -> $path failed")
+    } finally {
+      cached.unpersist()
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+    }
   }
 
   private def writeMeta(spark: SparkSession, path: String, conf: Conf): Unit = {

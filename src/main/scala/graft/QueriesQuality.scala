@@ -1678,6 +1678,73 @@ object QueriesQuality {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** q_classifier_train — the TRAINING half of the learned quality gate
+    * (VERDICT r9 item 7; [[graft.llm.HashClassifier.train]]): logistic
+    * weights over the hashed feature space fitted IN-ENGINE with
+    * [[ClassifierIters]] full-batch distributed gradient passes (label:
+    * document contains the token 'data'), from w = 0. The oracle
+    * unrolls the same passes in SQL — per-doc margins and per-bucket
+    * gradients rounded to 6 dp each pass (the q_kmeans determinism
+    * discipline), every other value a pure function of rounded inputs —
+    * so the driver hash-checks the LEARNED weights themselves, not a
+    * placeholder. Scale shape: per pass, one broadcast model join
+    * (≤ 4096 rows), one per-doc and one per-bucket aggregation; the
+    * per-pass collect is model-sized.
+    */
+  val ClassifierIters = 2
+  val ClassifierLr = 10.0
+  val ClassifierLabelTok = "data"
+
+  val qClassifierTrain: Q = (s, dir) => {
+    import graft.llm.HashClassifier
+    val toks = TextStats.tokens(lower(col("text")))
+    HashClassifier.train(Tables.documents(s, dir), col("doc_id"), toks,
+        array_contains(toks, ClassifierLabelTok),
+        iters = ClassifierIters, lr = ClassifierLr)
+      .orderBy("bucket")
+  }
+
+  val qClassifierTrainSql: String = {
+    import graft.llm.HashClassifier.Buckets
+    val nd = "(SELECT n_docs FROM nd)"
+    val iterBlocks = (2 to ClassifierIters).map { t =>
+      val p = t - 1
+      s"""m$t AS (
+         |  SELECT feat.doc_id, round(sum(x * coalesce(w$p.w, 0)), 6) AS m
+         |  FROM feat LEFT JOIN w$p USING (bucket) GROUP BY feat.doc_id),
+         |p$t AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) AS p FROM m$t),
+         |g$t AS (
+         |  SELECT bucket, round(sum((p - y) * x) / $nd, 6) AS g
+         |  FROM feat JOIN p$t USING (doc_id) GROUP BY bucket),
+         |w$t AS (
+         |  SELECT w$p.bucket, round(w$p.w - $ClassifierLr * g$t.g, 6) AS w
+         |  FROM w$p JOIN g$t USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    val iters = if (iterBlocks.isEmpty) "" else s",\n$iterBlocks"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |lab AS (
+       |  SELECT doc_id, list_contains(t, '$ClassifierLabelTok')::INT AS y,
+       |    len(t) AS n
+       |  FROM toks),
+       |ex AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % $Buckets AS bucket
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM ex GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id, bucket, c::DOUBLE / n AS x, y
+       |  FROM cnt JOIN lab USING (doc_id)),
+       |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+       |g1 AS (
+       |  SELECT bucket, round(sum((0.5 - y) * x) / $nd, 6) AS g
+       |  FROM feat GROUP BY bucket),
+       |w1 AS (SELECT bucket, round(0 - $ClassifierLr * g, 6) AS w FROM g1)$iters
+       |SELECT bucket::BIGINT AS bucket, w AS weight FROM w$ClassifierIters
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** q_psi_drift — per-source population-stability-index report
     * ([[graft.llm.Drift]]): each source's document-length distribution
     * (10 fixed 200-char bins over the exact n_chars column) against the
@@ -1796,6 +1863,7 @@ object QueriesQuality {
     "q_index_merge" -> qIndexMerge,
     "q_retrieval_eval" -> qRetrievalEval,
     "q_hash_classifier" -> qHashClassifier,
+    "q_classifier_train" -> qClassifierTrain,
     "q_psi_drift" -> qPsiDrift,
     "q_zorder_layout" -> qZorderLayout,
     "q_jl_project" -> qJlProject,
@@ -1834,6 +1902,7 @@ object QueriesQuality {
     "q_index_merge" -> qIndexMergeSql,
     "q_retrieval_eval" -> qRetrievalEvalSql,
     "q_hash_classifier" -> qHashClassifierSql,
+    "q_classifier_train" -> qClassifierTrainSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_jl_project" -> qJlProjectSql,

@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank fusion for hybrid retrieval — combining a lexical ranking (BM25)
@@ -39,5 +40,30 @@ object Fusion {
       .reduce(_ unionByName _)
       .groupBy("id")
       .agg(sum("contrib").as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+
+  /** SERVE-side hybrid fusion: the lexical arm reads a PERSISTED
+    * [[InvertedIndex]] (bucket-pruned postings + broadcast sidecar
+    * stats — [[InvertedIndex.bm25TopK]]) instead of recomputing BM25
+    * term statistics from the corpus, so a fused request never scans
+    * the documents table — the production shape where the index is
+    * built once per snapshot and every retrieval serves from it.
+    * `dense` is the embedding arm's already-ranked top-k (id, rank).
+    * Serve ≡ direct is the index writer's contract (the layout changes
+    * the cost of a query, never its answer), so this fusion is
+    * score-identical to [[rrf]] over [[Bm25.topDocs]].
+    *
+    * The `row_number` over an unpartitioned window re-ranks a ≤ topK
+    * row list (single-partition by construction — benign at any corpus
+    * size; same pattern as every serve-side re-rank here).
+    */
+  def rrfFromIndex(spark: SparkSession, indexPath: String,
+      queryTerms: Seq[String], topK: Int, dense: DataFrame,
+      k: Int = 60): DataFrame = {
+    val lexical = InvertedIndex.bm25TopK(spark, indexPath, queryTerms, topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select("id", "rank")
+    rrf(Seq(lexical, dense.select("id", "rank")), "id", "rank", k)
   }
 }

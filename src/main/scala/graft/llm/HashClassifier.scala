@@ -120,4 +120,84 @@ object HashClassifier {
   def probWith(spark: SparkSession, tokens: Column,
       weights: Array[Double]): Column =
     lit(1.0) / (lit(1.0) + exp(featMeanWith(spark, tokens, weights) * -3))
+
+  /** The hashed-feature bucket of one token — md5 top-4-bytes mod
+    * [[Buckets]], the derivation [[featMean]]/[[featMeanWith]] share, so
+    * training and serving can never disagree on the feature space.
+    */
+  def bucketOf(token: Column): Column =
+    conv(substring(md5(token.cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % Buckets
+
+  /** TRAIN the hashed logistic model in-engine (VERDICT r9 item 7 —
+    * [[weightsFrom]] previously had only a placeholder table to
+    * consume): full-batch gradient descent, `iters` distributed passes,
+    * from w = 0. Per doc d with mean-pooled hashed features x_d
+    * (x_db = count of tokens hashing to b / n_tokens — EXACTLY
+    * [[featMean]]'s pooling, so learned weights serve through
+    * [[featMeanWith]] unchanged) and 0/1 `label`:
+    *
+    *   m_d = round(Σ_b w_b·x_db, 6);  p_d = 1/(1+e^−m_d)
+    *   w_b ← round(w_b − lr · round(Σ_d (p_d − y_d)·x_db / N, 6), 6)
+    *
+    * Determinism contract (the [[Cluster]] discipline): per-doc margins
+    * and per-bucket gradients are rounded to 6 dp each pass — absorbing
+    * the ~1e-12 summation-order noise of distributed sums — and
+    * everything else is a pure function of rounded values, so unrolled
+    * SQL replays the fit bit-for-bit and the driver can hash-check
+    * LEARNED weights.
+    *
+    * Scale shape: the (doc, bucket, x, y) feature relation is built
+    * once and persisted (token-sized — the data itself); each pass is
+    * a broadcast model join (≤ [[Buckets]] rows) + a per-doc
+    * aggregation + a per-bucket aggregation (≤ Buckets rows after
+    * map-side combine). The per-pass weight collect is model-sized
+    * (≤ Buckets), never data-sized — the standard "broadcast the
+    * model back" loop of distributed batch GD.
+    *
+    * Returns (bucket, weight) for every bucket observed in the corpus,
+    * plus the iteration count baked into the caller's contract.
+    */
+  def train(docs: DataFrame, id: Column, tokens: Column, label: Column,
+      iters: Int = 2, lr: Double = 10.0): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(id.as("_d"), tokens.as("_t"), label.cast("int").as("y"))
+      .where(size(col("_t")) > 0)
+    val feat = base
+      .select(col("_d"), col("y"), size(col("_t")).as("_n"),
+        explode(col("_t")).as("_tok"))
+      .select(col("_d"), col("y"), col("_n"), bucketOf(col("_tok")).as("bucket"))
+      .groupBy("_d", "y", "_n", "bucket")
+      .agg(count(lit(1)).as("_c"))
+      .select(col("_d"), col("y"), col("bucket"),
+        (col("_c").cast("double") / col("_n").cast("double")).as("x"))
+      .persist()
+    try {
+      val nDocs = feat.select(countDistinct("_d")).as[Long].head().toDouble
+      require(nDocs > 0, "train: no non-empty labeled documents")
+      var w = scala.collection.immutable.Map.empty[Long, Double]
+      for (_ <- 1 to iters) {
+        val wDf = if (w.isEmpty) Seq.empty[(Long, Double)].toDF("bucket", "w")
+          else w.toSeq.toDF("bucket", "w")
+        val margins = feat
+          .join(broadcast(wDf), Seq("bucket"), "left")
+          .groupBy("_d")
+          .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))), 6).as("m"))
+          .select(col("_d"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+        val grad = feat.join(margins, "_d")
+          .groupBy("bucket")
+          .agg(round(sum((col("p") - col("y")) * col("x")) / nDocs, 6).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        w = grad.map { case (b, g) =>
+          b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+      w.toSeq.toDF("bucket", "weight")
+    } finally { feat.unpersist(); () }
+  }
 }

@@ -78,6 +78,45 @@ class HashClassifierSpec extends SparkSpec {
     }
   }
 
+  test("train learns the label signal and serves through weightsFrom/probWith") {
+    val toks = TextStats.tokens(lower(col("text")))
+    val docs = graft.Tables.documents(spark, sf)
+    val label = array_contains(toks, "data")
+    val table = HashClassifier.train(docs, col("doc_id"), toks, label,
+      iters = 2, lr = 10.0)
+    // the learned table is bounded by the feature space and the label
+    // token's bucket carries the LARGEST positive weight — the model
+    // actually learned the signal, it isn't noise
+    val weights = table.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weights.size <= HashClassifier.Buckets)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("data".getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    val labelBucket = md % HashClassifier.Buckets
+    assert(weights(labelBucket) === weights.values.max,
+      s"label token's bucket $labelBucket is not the strongest feature")
+    // served through the existing consume path, the learned model beats
+    // chance on its own training labels (sanity, not a benchmark)
+    val w = HashClassifier.weightsFrom(table, col("bucket"), col("weight"))
+    val scored = docs
+      .select(label.cast("int").as("y"),
+        (HashClassifier.featMeanWith(spark, toks, w) > 0).cast("int").as("pred"))
+      .where(size(toks) > 0)
+    val acc = scored.agg(avg((col("y") === col("pred")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.6, s"trained model accuracy $acc is no better than chance")
+  }
+
+  test("train is invariant under repartitioning (6-dp rounding absorbs sum order)") {
+    val toks = TextStats.tokens(lower(col("text")))
+    val docs = graft.Tables.documents(spark, sf)
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      HashClassifier.train(d, col("doc_id"), toks,
+        array_contains(toks, "data"), iters = 2, lr = 10.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fit(docs.repartition(13)) === fit(docs.coalesce(1)))
+  }
+
   test("scoring plans as one narrow projection: no shuffle, no generate") {
     val plan = graft.Tables.documents(spark, sf)
       .select(col("doc_id"),

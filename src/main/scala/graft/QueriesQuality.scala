@@ -292,7 +292,7 @@ object QueriesQuality {
     * fit is deterministic so results are unchanged).
     */
   private val pqMemo = ModelMemo.perSession[Array[Array[Array[Double]]]]
-  private def pqCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Array[Double]]] =
+  private[graft] def pqCentsOf(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqMemo.getOrFit(s, dir)(graft.llm.ProductQuant.fit(
       Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
       m = PqM, k = PqK, iters = PqIters))

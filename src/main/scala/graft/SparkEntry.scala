@@ -20,4 +20,22 @@ object SparkEntry {
     Queries.all
 
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Queries whose TIMED body constructs an on-disk artifact (an
+    * inverted/IVF-PQ index, a z-order or bucketed layout, a GeoJSON
+    * file) before consuming it — full build+serve pipelines, not
+    * serves. Bench splits its totals by this set (total_build /
+    * total_serve) so the serve-side headline stays round-over-round
+    * comparable as maintenance pipelines join the suite (VERDICT r9
+    * item 2). Memoized-artifact queries (q_hybrid_rrf,
+    * q_extract_partitioned) are SERVE: their min-of-N sample reads the
+    * prebuilt artifact.
+    */
+  val buildQueries: Set[String] = Set(
+    "q_zorder_extract", "q_bucketed_join", "q_geojson_roundtrip",
+    "q_ivfpq_recall", "q_ivfpq_rerank", "q_ivfpq_incr", "q_ivfpq_batch",
+    "q_ivfpq_filtered", "q_ivfpq_stats",
+    "q_postings_topk", "q_postings_batch", "q_phrase_search",
+    "q_index_incr", "q_index_delete", "q_index_upsert", "q_index_asof",
+    "q_index_merge", "q_index_stats", "q_retrieval_eval")
 }

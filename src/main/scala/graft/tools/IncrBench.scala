@@ -5,17 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance scaling probe (`IncrBench <sfDir> <bigDir>
   * [deltaDir]`): builds the inverted index and the IVF-PQ layout over a
-  * corpus and over a much larger corpus (e.g. 10× or 100×), then
-  * appends the SAME fixed-size delta
-  * to each and reports wall seconds. The claim under test (VERDICT r8
-  * item 1): full build cost grows with the corpus, append cost is a
-  * function of the DELTA alone — at 100 TB that difference is what makes
-  * an index maintainable at all. The delta is `deltaDir`'s documents /
-  * embeddings (default: the sf0.01 fixtures) with ids offset by 10^9 so
-  * they are new to any corpus.
+  * corpus and over a much larger corpus (e.g. 10× or 100×), then runs
+  * the SAME fixed-size maintenance verbs against each and reports wall
+  * seconds. The claims under test (VERDICT r8 item 1; r9 item 6):
   *
-  * Output: one JSON line with {build,append} seconds per (layout, scale),
-  * min-of-`SPARK_GRAFT_REPS` (default 2); recorded in SCALING.md.
+  *   - full build cost grows with the corpus (one-time, unavoidable);
+  *   - append / change-feed / tombstone-delete cost is a function of
+  *     the DELTA alone — flat as the corpus grows 100×;
+  *   - compact and merge cost is a function of the INDEX (posting rows
+  *     rewritten), never a corpus re-tokenize — they grow with index
+  *     size but stay well under a rebuild.
+  *
+  * At 100 TB that split is what makes an index maintainable at all.
+  * The delta is `deltaDir`'s documents / embeddings (default: the
+  * sf0.01 fixtures) with ids offset by 10^9 so they are new to any
+  * corpus; the change feed is 500 upserts (new ids) + 500 deletes of
+  * existing ids; merge unions the maintained index with a fresh
+  * delta-sized index.
+  *
+  * Output: one JSON line with seconds per (layout, verb, scale).
+  * Build/append are min-of-`SPARK_GRAFT_REPS` (default 2); the
+  * STATEFUL verbs (cdc, delete, compact, merge) time a single run —
+  * a second rep would measure a different index state (re-deleting
+  * spent tombstones, compacting an already-compact index). Recorded in
+  * SCALING.md.
   */
 object IncrBench {
 
@@ -64,6 +77,46 @@ object IncrBench {
       out(s"inv_append_$label") = timed {
         InvertedIndex.append(docDelta, col("doc_id"), col("text"), idx)
       }
+
+      def timed1(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // fixed-size change feed: 500 upserts (ids new to every corpus —
+      // the delta is already offset 1e9, the feed adds another 1e9) +
+      // 500 deletes of existing corpus ids. Cached so the probe times
+      // index maintenance, not delta-source IO.
+      val upserts = docDelta.limit(500)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"),
+          lit("upsert").as("op"))
+      val feedDels = docs.select("doc_id").orderBy("doc_id").limit(500)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"))
+      val feed = upserts.unionByName(feedDels)
+      feed.cache().count()
+      out(s"inv_cdc_$label") = timed1 {
+        InvertedIndex.applyChangeFeed(feed, col("doc_id"), col("text"),
+          col("op"), idx); ()
+      }
+      // tombstone delete of another fixed 500 ids, then the index-sized
+      // compaction rewrite (live posting rows only — never the corpus)
+      val delIds = docs.select("doc_id").orderBy(col("doc_id").desc).limit(500)
+      out(s"inv_delete_$label") = timed1 {
+        InvertedIndex.delete(spark, idx, delIds, col("doc_id"))
+      }
+      out(s"inv_compact_$label") = timed1 {
+        InvertedIndex.compact(spark, idx); ()
+      }
+      // merge the maintained index with a fresh delta-sized index
+      // (built untimed): cost is the union of LIVE posting rows
+      val small = graft.TempDirs.create(s"incr_small_$label")
+      InvertedIndex.write(
+        docDelta.select((col("doc_id") + 2000000000L).as("doc_id"), col("text")),
+        col("doc_id"), col("text"), small, nBuckets = 16)
+      val mergedDst = graft.TempDirs.create(s"incr_merged_$label")
+      out(s"inv_merge_$label") = timed1 {
+        InvertedIndex.merge(spark, Seq(idx, small), mergedDst); ()
+      }
+      feed.unpersist()
 
       // frozen models: tiny fits on the BASE corpus reused at both
       // scales (exactly the persisted-artifact discipline append relies

@@ -1049,8 +1049,14 @@ object QueriesLlm {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
-  val qHybridRrfSql: String = {
-    val terms = QueriesCurate.Bm25Terms.map(t => s"'$t'").mkString(", ")
+  /** The hybrid-RRF oracle parametrized by BM25 terms and the anchor
+    * vec_id — shared verbatim by q_hybrid_rrf (single request) and
+    * q_hybrid_batch (each batch member), because batching must change
+    * the cost of a request, never its answer. No trailing ORDER BY so
+    * callers can wrap or union.
+    */
+  private def hybridOracleSql(termSeq: Seq[String], anchorVid: Long): String = {
+    val terms = termSeq.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1075,22 +1081,80 @@ object QueriesLlm {
       |bmr AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
       |  FROM bm),
-      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $anchorVid),
       |cosr AS (
       |  SELECT vec_id AS doc_id,
       |    row_number() OVER (
       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
       |      e.vec_id) AS r
-      |  FROM embeddings e, q WHERE e.vec_id <> 0
+      |  FROM embeddings e, q WHERE e.vec_id <> $anchorVid
       |  QUALIFY r <= 20),
       |u AS (
       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM bmr
       |  UNION ALL
       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM cosr)
       |SELECT doc_id, round(sum(contrib), 6) AS rrf_score, count(*) AS n_lists
-      |FROM u GROUP BY doc_id
-      |ORDER BY rrf_score DESC, doc_id""".stripMargin
+      |FROM u GROUP BY doc_id""".stripMargin
   }
+
+  val qHybridRrfSql: String =
+    s"""${hybridOracleSql(QueriesCurate.Bm25Terms, 0L)}
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
+
+  /** q_hybrid_batch — BATCHED fused hybrid retrieval, the production
+    * serving shape for concurrent requests: the lexical arm scores the
+    * whole batch in ONE bucket-pruned scan of the persisted inverted
+    * index ([[graft.llm.InvertedIndex.bm25TopKBatch]] over the memoized
+    * [[hybridIndexOf]] artifact), the dense arm scores the whole batch
+    * in ONE corpus scan ([[Similarity.topKBatch]], WindowGroupLimit-
+    * pruned), and per-request RRF fuses the two bounded top-k lists.
+    * Per request the answer is EXACTLY q_hybrid_rrf's for the same
+    * (terms, anchor) — the oracle unions the single-request oracle per
+    * batch member, so "batching never changes an answer" is itself
+    * driver-hash-checked. The dense arm requests k+1 then drops the
+    * anchor's own row (the anchor lives in the corpus); top-20 of the
+    * remainder equals the excluded-scan top-20 either way.
+    */
+  val HybridBatch: Seq[(String, Seq[String], Long)] = Seq(
+    ("qa", Seq("spark", "window", "merge"), 0L),
+    ("qb", Seq("scan", "filter", "vector"), 7L))
+
+  val qHybridBatch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val anchorIds = HybridBatch.map(_._3)
+    val anchorVecs: Map[Long, Array[Float]] = emb
+      .where(col("vec_id").isin(anchorIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queriesDf = HybridBatch.map { case (q, t, _) => (q, t) }.toDF("qid", "terms")
+    val lex = graft.llm.InvertedIndex.bm25TopKBatch(s, hybridIndexOf(s, dir),
+        queriesDf, col("qid"), col("terms"), topK = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+      .select("qid", "id", "rank")
+    val selfRow = HybridBatch.map { case (q, _, a) =>
+      col("qid") === q && col("vec_id") === a }.reduce(_ || _)
+    val dense = Similarity.topKBatch(emb, col("vec_id"), col("embedding"),
+        HybridBatch.map { case (q, _, a) => (q, anchorVecs(a)) }, k = 21)
+      .where(!selfRow)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= 20)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    lex.unionByName(dense)
+      .select(col("qid"), col("id"),
+        (lit(1.0) / (lit(60.0) + col("rank").cast("double"))).as("contrib"))
+      .groupBy("qid", "id")
+      .agg(round(sum("contrib"), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+      .orderBy(col("qid"), col("rrf_score").desc, col("doc_id"))
+  }
+
+  val qHybridBatchSql: String = HybridBatch.map { case (qid, terms, anchor) =>
+    s"SELECT '$qid' AS qid, doc_id, rrf_score, n_lists FROM (\n${hybridOracleSql(terms, anchor)}\n) AS hy_$qid"
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY qid, rrf_score DESC, doc_id")
 
   /** q_hard_negatives — contrastive-training hard-negative mining: for each
     * of 8 anchor vectors, the 3 most-cosine-similar corpus vectors with a
@@ -1243,6 +1307,7 @@ object QueriesLlm {
     "q_span_overlap" -> qSpanOverlap,
     "q_kl_quality" -> qKlQuality,
     "q_hybrid_rrf" -> qHybridRrf,
+    "q_hybrid_batch" -> qHybridBatch,
     "q_hard_negatives" -> qHardNegatives,
     "q_dup_frac" -> qDupFrac,
     "q_embed_neardup_ann" -> qEmbedNeardupAnn,
@@ -1298,6 +1363,7 @@ object QueriesLlm {
     "q_span_overlap" -> qSpanOverlapSql,
     "q_kl_quality" -> qKlQualitySql,
     "q_hybrid_rrf" -> qHybridRrfSql,
+    "q_hybrid_batch" -> qHybridBatchSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_dup_frac" -> qDupFracSql,
     "q_minhash_pairs" -> fixtureSql("q_minhash_pairs", "id_a, id_b"),

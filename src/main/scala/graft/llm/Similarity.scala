@@ -43,6 +43,33 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
 
+  /** Batched brute-force cosine top-k — ONE corpus scan serves the whole
+    * request batch (the dense twin of
+    * [[InvertedIndex.bm25TopKBatch]]): each corpus row fans out to the
+    * batch's (qid, query) pairs via a literal-struct explode
+    * (request-sized by construction — a query batch is thousands of
+    * vectors at most), and per-qid top-k goes through a rank window
+    * whose `rk <= k` filter Spark rewrites to a WindowGroupLimit
+    * per-partition prune, so only ≤ k rows per (partition, qid) ever
+    * shuffle — never corpus × batch. Per query the rows are EXACTLY
+    * [[topK]]'s (same ordering, same tie-break); batching changes the
+    * cost, never an answer. Output: (qid, vec_id, sim).
+    */
+  def topKBatch(df: DataFrame, id: Column, vec: Column,
+      queries: Seq[(String, Array[Float])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "topKBatch: empty query batch")
+    require(k > 0, s"topKBatch: k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val batch = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"), lit(qv).as("qv")) }: _*)
+    df.select(id.as("vec_id"), vec.as("_v"), explode(batch).as("_q"))
+      .select(col("_q.qid").as("qid"), col("vec_id"),
+        cosine(col("_v"), col("_q.qv")).as("sim"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("_rk") <= k).drop("_rk")
+  }
+
   /** Exact near-dup pairs above a cosine threshold within an id-bounded
     * slice (the bounded slice keeps the quadratic candidate set fixed-size
     * at any scale factor; the unbounded scale path is [[annNearDupPairs]]).
@@ -470,15 +497,32 @@ object Similarity {
     * The kernel runs in a projection SEPARATE from the explode — a UDF in
     * the same select as a generator re-evaluates per generated element.
     */
+  /** Hard ceiling on the broadcast anchor set: the collect below is
+    * request-sized BY CONTRACT, and this bound turns a misuse (pointing
+    * `anchors` at a corpus-sized relation) into a loud error instead of
+    * a driver OOM. Override with a conscious
+    * `graft.hardNegatives.maxAnchors` spark conf when a genuinely
+    * larger probe set is intended.
+    */
+  val DefaultMaxAnchors = 100000
+
   def hardNegatives(corpus: DataFrame, id: Column, vec: Column,
       label: Column, anchors: DataFrame, anchorId: Column, anchorVec: Column,
       anchorLabel: Column, k: Int): DataFrame = {
     require(k > 0, s"hardNegatives: k must be positive (got $k)")
+    val maxAnchors = corpus.sparkSession.conf
+      .getOption("graft.hardNegatives.maxAnchors")
+      .map(_.toInt).getOrElse(DefaultMaxAnchors)
     val anchorRows: Array[(Long, Long, Array[Double])] = anchors
       .select(anchorId.cast("long").as("aid"), anchorLabel.cast("long").as("albl"),
         normalized(anchorVec).as("av"))
+      .limit(maxAnchors + 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(anchorRows.length <= maxAnchors,
+      s"hardNegatives: anchor set exceeds $maxAnchors rows — anchors are a " +
+        "request-sized probe set, not a corpus; raise " +
+        "graft.hardNegatives.maxAnchors only if that scale is intended")
     require(anchorRows.nonEmpty, "hardNegatives: empty anchor set")
     val bc = corpus.sparkSession.sparkContext.broadcast(anchorRows)
     val sims = udf { (v: Seq[Double], lbl: Long) =>

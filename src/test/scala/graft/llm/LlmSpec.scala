@@ -573,6 +573,54 @@ class LlmSpec extends SparkSpec {
         col("label"), anchors, col("vec_id"), col("embedding"), col("label"), k = 0))
   }
 
+  test("cosine topKBatch: per query identical to topK; one scan serves the batch") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qs = Seq(0L, 7L).map { vid =>
+      s"q$vid" -> emb.where(col("vec_id") === vid)
+        .select("embedding").head().getSeq[Float](0).toArray
+    }
+    val batched = Similarity.topKBatch(emb, col("vec_id"), col("embedding"),
+        qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSet }
+    qs.foreach { case (qid, qv) =>
+      val single = Similarity.topK(emb, col("vec_id"), col("embedding"), qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batched(qid) === single, s"$qid: batch result diverged from topK")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.topKBatch(emb, col("vec_id"), col("embedding"), Nil, 5))
+    // the scale claim: the rank filter compiles to a WindowGroupLimit
+    // per-partition prune, so ≤ k rows per (partition, qid) shuffle —
+    // never corpus × batch (sparkPlan: the pre-AQE physical plan, so
+    // the node is visible without unwrapping AdaptiveSparkPlanExec)
+    val plan = Similarity.topKBatch(emb, col("vec_id"), col("embedding"),
+      qs, k = 10).queryExecution.sparkPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "topKBatch rank filter did not plan a WindowGroupLimit prune")
+  }
+
+  test("hard negatives: corpus-sized anchor misuse fails loudly, bound is tunable") {
+    import spark.implicits._
+    val corpus = Seq((10L, 0, Array(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val many = (1L to 5L).map(i => (i, 1, Array(1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    spark.conf.set("graft.hardNegatives.maxAnchors", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+          col("label"), many, col("vec_id"), col("embedding"), col("label"), k = 1)
+      }
+      assert(e.getMessage.contains("anchor set exceeds 3"))
+      spark.conf.set("graft.hardNegatives.maxAnchors", "5")
+      assert(Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        col("label"), many, col("vec_id"), col("embedding"), col("label"), k = 1)
+        .count() === 5)
+    } finally spark.conf.unset("graft.hardNegatives.maxAnchors")
+  }
+
   test("dup shingle fraction: exact dups 1.0, near-dup partial, unique 0.0") {
     val out = Dedup.dupShingleFraction(docs, col("doc_id"), col("text"), n = 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

@@ -42,6 +42,10 @@ object Bench {
     // gc_ms spike, a real regression shows every sample uniformly slower.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_LAT_ONLY=1: skip the query loop, run ONLY the
+    // serve-latency sidecar (SCALING measures latency flatness across
+    // scale factors without paying a full bench per point)
+    val latOnly = sys.env.get("SPARK_GRAFT_LAT_ONLY").contains("1")
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis(): Long = {
       var t = 0L
@@ -70,7 +74,7 @@ object Bench {
     var failures = List.empty[String]
     var errors = Map.empty[String, String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !latOnly && only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       // execute the FULL physical plan (projection, sort, every output
       // column) without collecting to the driver; a count() would let
@@ -106,7 +110,7 @@ object Bench {
     // build cost can never contaminate.
     val latReps = sys.env.getOrElse("SPARK_GRAFT_LAT_REPS", "15").toInt
     val latencies: Seq[(String, Double)] =
-      if (only.isDefined) Seq.empty // partial runs skip the sidecar
+      if (only.isDefined && !latOnly) Seq.empty // partial runs skip the sidecar
       else try {
         import org.apache.spark.sql.functions.col
         def runMs(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -134,8 +138,27 @@ object Bench {
         val ann = (1 to latReps).map(_ => runMs(
           graft.llm.IvfPq.serve(spark, vidx, cents, pqCents, anchorV,
             QueriesQuality.IvfNProbe, QueriesQuality.PqTopK))).sorted
+        // the fused-retrieval request (q_hybrid_rrf's serve shape):
+        // lexical arm from the prebuilt inverted index, dense arm a
+        // cosine top-k, RRF on the driver-side plan — the full hybrid
+        // endpoint latency, index build outside the timing
+        import org.apache.spark.sql.expressions.Window
+        val embQ = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        def hybridOnce(): org.apache.spark.sql.DataFrame = {
+          val cos = graft.llm.Similarity.topK(
+              emb.where(col("vec_id") =!= 0), col("vec_id"),
+              col("embedding"), embQ, 20)
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(Window.orderBy(col("sim").desc, col("vec_id"))))
+            .select(col("vec_id").as("id"), col("rank"))
+          graft.llm.Fusion.rrfFromIndex(spark, idx,
+            QueriesQuality.PostingsTerms, topK = 20, dense = cos)
+        }
+        val hyb = (1 to latReps).map(_ => runMs(hybridOnce())).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
-          "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95))
+          "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95),
+          "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95))
       } catch { case scala.util.control.NonFatal(e) =>
         errors += "serve_latency" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         Seq.empty

@@ -133,13 +133,66 @@ object InvertedIndex {
     Seq((st.nDocs, st.sumDl, st.nBuckets, gen))
       .toDF("n_docs", "sum_dl", "n_buckets", "gen")
       .coalesce(1).write.mode(mode).parquet(s"$path/_stats")
+    // this writer's own cache entry is stale the instant the write
+    // lands; the file-signature check would catch it on next read, but
+    // dropping it here makes the writer-side invalidation unconditional
+    // (robust even to mtime-granularity aliasing)
+    statsCache.remove(path)
+    ()
+  }
+
+  /** One generation of the sidecar log, driver-side. */
+  private final case class StatsGen(nDocs: Double, sumDl: Double,
+      nBuckets: Int, gen: Long)
+
+  /** SERVE-SIDE SIDECAR CACHE. Every serve (bm25TopK, phraseTopK,
+    * describe, the batched forms) starts by reading the `_stats`
+    * sidecar — a whole Spark job (file listing + parquet scan) to fetch
+    * a handful of scalar rows. Production index readers cache segment
+    * metadata and invalidate on file change; this is that move: the
+    * parsed log is memoized per index path, keyed by a SIGNATURE of the
+    * sidecar directory's file listing (name + length + mtime — a pure
+    * driver-side FS metadata call, no Spark job). Any maintenance verb
+    * changes the listing (overwrite swaps part-file UUIDs, append adds
+    * one), so a stale entry can never serve; writers additionally drop
+    * their entry eagerly. The cached value is generation rows only —
+    * bytes-bounded by the generation count, which compaction resets.
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Vector[StatsGen])]()
+
+  private def statsSignature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** The full sidecar log, newest generation first — from the cache
+    * when the directory signature matches, else one (re)read.
+    */
+  private def statsLog(spark: SparkSession, path: String): Vector[StatsGen] = {
+    val sig = statsSignature(spark, path)
+    val hit = statsCache.get(path)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val rows = spark.read.parquet(s"$path/_stats").collect()
+        .map(r => StatsGen(r.getAs[Double]("n_docs"),
+          r.getAs[Double]("sum_dl"), r.getAs[Int]("n_buckets"),
+          r.getAs[Long]("gen")))
+        .sortBy(-_.gen).toVector
+      statsCache.put(path, (sig, rows))
+      rows
+    }
   }
 
   private def statsRow(spark: SparkSession, path: String,
-      asOfGen: Option[Long]): org.apache.spark.sql.Row = {
-    val log = spark.read.parquet(s"$path/_stats")
-    val visible = asOfGen.fold(log)(g => log.where(col("gen") <= g))
-    visible.orderBy(col("gen").desc).head()
+      asOfGen: Option[Long]): StatsGen = {
+    val log = statsLog(spark, path)
+    val visible = asOfGen.fold(log)(g => log.filter(_.gen <= g))
+    visible.headOption.getOrElse(throw new NoSuchElementException(
+      s"no stats generation${asOfGen.fold("")(g => s" <= $g")} in $path/_stats"))
   }
 
   /** The persisted stats sidecar of an index at `path` — the latest
@@ -148,13 +201,12 @@ object InvertedIndex {
   def readStats(spark: SparkSession, path: String,
       asOfGen: Option[Long] = None): Stats = {
     val r = statsRow(spark, path, asOfGen)
-    Stats(r.getAs[Double]("n_docs"), r.getAs[Double]("sum_dl"),
-      r.getAs[Int]("n_buckets"))
+    Stats(r.nDocs, r.sumDl, r.nBuckets)
   }
 
   /** The index's current generation (0 after a fresh write or compact). */
   def readGen(spark: SparkSession, path: String): Long =
-    statsRow(spark, path, None).getAs[Long]("gen")
+    statsRow(spark, path, None).gen
 
   /** The observed (n_docs, sum_dl). A write that ran ZERO tasks (an
     * empty delta — e.g. a deletes-only change feed's append half)
@@ -221,6 +273,24 @@ object InvertedIndex {
     */
   def bucketCol(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** [[bucketCol]] evaluated on the DRIVER — the same Catalyst
+    * `XxHash64` expression the writer's plan codegens, eval'd against a
+    * literal, so the two can never disagree (spec-pinned on fuzzed
+    * terms). Serving uses this to map query terms to bucket ids without
+    * launching a Spark job per request: a query router hashes its terms
+    * locally, exactly like any term-sharded search tier.
+    */
+  def bucketOfLocal(term: String, nBuckets: Int): Int = {
+    // seed 42 = functions.xxhash64's (XxHash64's one-arg constructor)
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
 
   /** Lucene-style deletes: mark `ids` as tombstoned NOW (an id-only
     * append to the `_tombstones` sidecar — O(|delete|), touches no
@@ -352,11 +422,10 @@ object InvertedIndex {
   private def probedPostings(spark: SparkSession, path: String,
       queryTerms: Seq[String], nBuckets: Int,
       asOfGen: Option[Long]): DataFrame = {
-    // |terms| rows through the same codegen'd hash the writer used
-    import spark.implicits._
-    val buckets = queryTerms.toDF("term")
-      .select(bucketCol(col("term"), nBuckets)).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    // terms -> bucket ids on the driver (the writer's exact hash,
+    // eval'd locally — no Spark job to route a request)
+    val buckets = queryTerms.map(bucketOfLocal(_, nBuckets))
+      .distinct.toIndexedSeq
     val probed = spark.read.parquet(path)
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))

@@ -460,4 +460,52 @@ class InvertedIndexSpec extends SparkSpec {
       assert(b.distinct.size === 1 && b.head >= 0 && b.head < n)
     }
   }
+
+  test("driver-side bucket hash equals the writer's codegen'd column on fuzzed terms") {
+    import spark.implicits._
+    // serving routes query terms to buckets WITHOUT a Spark job; the
+    // local eval must match the plan's XxHash64 for arbitrary UTF-8
+    // input or pruning would silently read the wrong bucket
+    val rnd = new scala.util.Random(7)
+    val terms = (Seq("", "scan", "naïve", "日本語", "a b", "\ttab") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString) ++
+      (1 to 50).map(_ => new String(Array.fill(1 + rnd.nextInt(6))(
+        (0x20 + rnd.nextInt(0x2ff)).toChar)))).distinct
+    for (n <- Seq(1, 7, 16, 64)) {
+      val viaPlan = terms.toDF("term")
+        .select(col("term"), InvertedIndex.bucketCol(col("term"), n).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      terms.foreach { t =>
+        assert(InvertedIndex.bucketOfLocal(t, n) === viaPlan(t),
+          s"bucket mismatch for term '$t' at nBuckets=$n")
+      }
+    }
+  }
+
+  test("stats sidecar cache never serves stale values across maintenance verbs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_cache").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 2)
+    // prime the cache, then mutate through every verb and re-read: the
+    // file-signature invalidation must surface each write immediately
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(2.0, 5.0, 2))
+    assert(InvertedIndex.readGen(spark, idx) === 0L)
+    InvertedIndex.append(
+      Seq((3L, "e f")).toDF("doc_id", "text"), col("doc_id"), col("text"), idx)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(3.0, 7.0, 2))
+    assert(InvertedIndex.readGen(spark, idx) === 1L)
+    // time travel reads THROUGH the cache: the log is cached whole
+    assert(InvertedIndex.readStats(spark, idx, asOfGen = Some(0L)) ===
+      InvertedIndex.Stats(2.0, 5.0, 2))
+    InvertedIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), col("doc_id"))
+    InvertedIndex.compact(spark, idx)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(2.0, 5.0, 2))
+    assert(InvertedIndex.readGen(spark, idx) === 0L)
+    // an index REPLACED wholesale at the same path (an external writer
+    // the session never saw) must also invalidate via the signature
+    val docs2 = Seq((9L, "x")).toDF("doc_id", "text")
+    InvertedIndex.write(docs2, col("doc_id"), col("text"), idx, nBuckets = 2)
+    assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(1.0, 1.0, 2))
+  }
 }

@@ -300,9 +300,22 @@ object QueriesCurate {
     * and `textExpr` rewrites it (q_index_upsert's post-merge oracle);
     * the defaults are the full unmodified corpus.
     */
+  /** The BM25 oracle, parametrized for every serving mode: `docFilter`
+    * narrows the CORPUS (stats and df move with it — the rebuilt-index
+    * oracles), `candFilter` narrows only WHICH documents may score
+    * (corpus stats intact — [[graft.llm.InvertedIndex.bm25TopKFiltered]]'s
+    * Lucene filtered-query semantics), and `allMust` keeps only
+    * documents containing every query term (the conjunctive
+    * [[graft.llm.InvertedIndex.bm25TopKAnd]] mode). Scores are
+    * identical across candidate modes by construction — the oracle
+    * computes them once in `scored` and the modes only filter it.
+    */
   private[graft] def bm25OracleSql(termSeq: Seq[String], topK: Int,
-      docFilter: String = "TRUE", textExpr: String = "text"): String = {
+      docFilter: String = "TRUE", textExpr: String = "text",
+      candFilter: String = "TRUE", allMust: Boolean = false): String = {
     val terms = termSeq.map(t => s"'$t'").mkString(", ")
+    val mustWhere =
+      if (allMust) s"nt = ${termSeq.distinct.size}" else "TRUE"
     s"""WITH dl AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim($textExpr)) = 0 THEN 0
@@ -316,13 +329,17 @@ object QueriesCurate {
       |          x -> len(x) > 0)) AS tok
       |        FROM documents WHERE length(trim($textExpr)) > 0 AND $docFilter)
       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
-      |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
-      |SELECT tf.doc_id, round(sum(
-      |    ln((n - df + 0.5) / (df + 0.5) + 1)
-      |    * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-      |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
-      |GROUP BY tf.doc_id
-      |ORDER BY score DESC, tf.doc_id LIMIT $topK""".stripMargin
+      |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id, round(sum(
+      |      ln((n - df + 0.5) / (df + 0.5) + 1)
+      |      * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score,
+      |    count(DISTINCT tf.tok) AS nt
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score FROM scored
+      |WHERE ($candFilter) AND ($mustWhere)
+      |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
   /** q_split — deterministic train/val/test routing (80/10/10) by md5

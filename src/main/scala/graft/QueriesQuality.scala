@@ -1167,6 +1167,50 @@ object QueriesQuality {
   val qPostingsTopkSql: String =
     QueriesCurate.bm25OracleSql(PostingsTerms, 20)
 
+  /** q_postings_filtered — access-controlled lexical retrieval
+    * ([[graft.llm.InvertedIndex.bm25TopKFiltered]]): top-20 BM25 among
+    * only the `lang = 'de'` documents, served from the memoized
+    * persisted index (the [[QueriesLlm.hybridIndexOf]] artifact — a
+    * serve, not a build). Corpus-level stats and df stay those of the
+    * WHOLE index (Lucene filtered-query semantics: a doc's score is a
+    * property of the corpus, not of who may read it), so the oracle
+    * computes the unfiltered scores once and only narrows candidacy.
+    * The allowed set rides a semi-join that AQE broadcasts; at 100 TB
+    * the filter relation is a pruned dimension scan, never a second
+    * corpus pass.
+    */
+  val qPostingsFiltered: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    val allowed = Tables.documents(s, dir).where(col("lang") === "de")
+    InvertedIndex.bm25TopKFiltered(s, QueriesLlm.hybridIndexOf(s, dir),
+        PostingsTerms, allowed, col("doc_id"), topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qPostingsFilteredSql: String = QueriesCurate.bm25OracleSql(
+    PostingsTerms, 20,
+    candFilter = "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')")
+
+  /** q_postings_and — conjunctive (all-MUST) lexical retrieval
+    * ([[graft.llm.InvertedIndex.bm25TopKAnd]]): top-20 BM25 among
+    * documents containing EVERY query term, served from the same
+    * memoized index. Scores equal the OR-mode scores for the surviving
+    * docs (the oracle scores once and filters on the per-doc distinct
+    * term count), pinning that conjunction narrows candidacy without
+    * touching the scoring arithmetic.
+    */
+  val qPostingsAnd: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    InvertedIndex.bm25TopKAnd(s, QueriesLlm.hybridIndexOf(s, dir),
+        PostingsTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qPostingsAndSql: String =
+    QueriesCurate.bm25OracleSql(PostingsTerms, 20, allMust = true)
+
   /** q_index_incr — incremental maintenance of the inverted index
     * (VERDICT r8 item 1): a base snapshot (90% of the corpus) is
     * indexed with [[graft.llm.InvertedIndex.write]], then a delta
@@ -1850,6 +1894,8 @@ object QueriesQuality {
     "q_ivfpq_rerank" -> qIvfPqRerank,
     "q_ivfpq_incr" -> qIvfPqIncr,
     "q_postings_topk" -> qPostingsTopk,
+    "q_postings_filtered" -> qPostingsFiltered,
+    "q_postings_and" -> qPostingsAnd,
     "q_index_incr" -> qIndexIncr,
     "q_index_delete" -> qIndexDelete,
     "q_index_upsert" -> qIndexUpsert,
@@ -1889,6 +1935,8 @@ object QueriesQuality {
     "q_ivfpq_rerank" -> qIvfPqRerankSql,
     "q_ivfpq_incr" -> qIvfPqIncrSql,
     "q_postings_topk" -> qPostingsTopkSql,
+    "q_postings_filtered" -> qPostingsFilteredSql,
+    "q_postings_and" -> qPostingsAndSql,
     "q_index_incr" -> qIndexIncrSql,
     "q_index_delete" -> qIndexDeleteSql,
     "q_index_upsert" -> qIndexUpsertSql,

@@ -465,6 +465,69 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** FILTERED lexical serving — the access-controlled / tenant /
+    * freshness retrieval case, the lexical twin of
+    * [[graft.llm.IvfPq.serveFiltered]]: top-`topK` among ONLY the ids
+    * in `allowed`. Lucene's filtered-query semantics exactly: the
+    * filter constrains which documents may SCORE, while corpus-level
+    * statistics (N, avgdl from the sidecar; per-term df from the full
+    * probed postings) stay those of the WHOLE index — a document's
+    * score is a property of the corpus, not of who may read it, so the
+    * same doc scores identically under any filter (spec-pinned). The
+    * allowed set semi-joins the probed posting rows BEFORE the per-doc
+    * aggregation — disallowed rows cost a join probe, never an
+    * aggregation — and Catalyst/AQE broadcasts it when small. Plan
+    * shape is the unfiltered serve plus one semi-join; the scan stays
+    * bucket-pruned.
+    */
+  def bm25TopKFiltered(spark: SparkSession, path: String,
+      queryTerms: Seq[String], allowed: DataFrame, id: Column,
+      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = readStats(spark, path, asOfGen)
+    val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
+    val dfTable = post.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val ok = allowed.select(id.cast("long").as("doc_id")).distinct()
+    post.join(ok, Seq("doc_id"), "left_semi")
+      .join(broadcast(dfTable), "term")
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** CONJUNCTIVE (AND-semantics) lexical serving: top-`topK` among
+    * documents containing EVERY query term — Lucene's
+    * BooleanQuery-all-MUST mode, the precision-first retrieval shape.
+    * Scoring is identical to [[bm25TopK]] (corpus stats, corpus df,
+    * same rounding/tie-break); only candidacy narrows, so a returned
+    * doc's score equals its OR-mode score (spec-pinned). The term-count
+    * gate is a `count(distinct term)` in the same per-doc aggregation
+    * that sums the score — no second pass, no self-join; duplicate
+    * query terms collapse first so they can't inflate the required
+    * count.
+    */
+  def bm25TopKAnd(spark: SparkSession, path: String,
+      queryTerms: Seq[String], topK: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val need = queryTerms.distinct.size
+    val st = readStats(spark, path, asOfGen)
+    val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
+    val dfTable = post.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    post.join(broadcast(dfTable), "term")
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"),
+        countDistinct(col("term")).as("_nt"))
+      .where(col("_nt") === need).drop("_nt")
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Batched serving — the production retrieval shape: score a whole
     * batch of queries in ONE probed scan instead of one scan per query.
     * `queries` is (qid, terms array); the scan reads the UNION of the

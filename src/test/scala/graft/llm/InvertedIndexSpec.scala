@@ -482,6 +482,39 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered serving = unfiltered scores, candidacy narrowed; AND = all-terms docs only") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_modes").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    // ground truth: score EVERYTHING once in OR mode (topK >> corpus)
+    val all = InvertedIndex.bm25TopK(spark, idx, terms, topK = 1000000)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    // FILTERED ≡ filter the full ranking, scores untouched (Lucene
+    // semantics: corpus-level stats whoever may read)
+    val allowed = docs.where(col("lang") === "de").select("doc_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = InvertedIndex.bm25TopKFiltered(spark, idx, terms,
+        allowed, col("doc_id"), topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    val expectFiltered = all.toSeq.filter { case (id, _) => allowedIds(id) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(filtered.toSeq === expectFiltered)
+    // AND ≡ docs containing every term, scores = OR-mode scores
+    val andHits = InvertedIndex.bm25TopKAnd(spark, idx, terms, topK = 1000000)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    assert(andHits.nonEmpty, "fixture should contain all-terms docs")
+    val withAllTerms = docs
+      .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("t"))
+      .where(col("t").isin(terms: _*))
+      .groupBy("doc_id").agg(countDistinct("t").as("n"))
+      .where(col("n") === terms.size)
+      .collect().map(_.getLong(0)).toSet
+    assert(andHits.map(_._1).toSet === withAllTerms)
+    andHits.foreach { case (id, sc) => assert(all(id) === sc,
+      s"AND-mode score for doc $id must equal its OR-mode score") }
+  }
+
   test("stats sidecar cache never serves stale values across maintenance verbs") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c d")).toDF("doc_id", "text")

@@ -1703,6 +1703,9 @@ object QueriesQuality {
 
   val qHashClassifierSql: String = {
     import graft.llm.HashClassifier._
+    // WeightMod is 2^17, so each token weight is an exact multiple of
+    // 2^-16 and the list_sum is EXACT whatever DuckDB's fold order —
+    // feat_mean can never round apart from Spark's at the 6th decimal
     val w = s"(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % $Buckets" +
       s" * $Mix % $WeightMod) / $WeightMod.0 * 2 - 1"
     s"""WITH toks AS (

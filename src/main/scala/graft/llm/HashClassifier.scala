@@ -25,7 +25,18 @@ object HashClassifier {
   val Buckets = 4096
   /** Knuth multiplicative constant spreading bucket ids over weights. */
   val Mix = 2654435761L
-  val WeightMod = 100000L
+  /** 2^17 — DYADIC placeholder weights: w = k/2^17·2 − 1 is an exact
+    * multiple of 2^-16, so a document's weight sum is EXACT in double
+    * arithmetic under ANY summation order (each addend carries ≤ 17
+    * significand bits; n < 2^36 addends never overflow the 53-bit
+    * mantissa). That makes featMean bit-identical across engines and
+    * fold orders by construction — a non-dyadic modulus (the previous
+    * 1e5) left the mean one ulp from a 6-dp rounding boundary on ~1 in
+    * 10^6 documents, where Spark's left fold and DuckDB's sum could
+    * round apart (observed at sf0.001: one doc in 500 flipped the 6th
+    * decimal).
+    */
+  val WeightMod = 131072L
 
   /** Mean hashed-feature weight over the doc's tokens (0 for an empty
     * doc): one codegen'd projection, array-order summation (identical

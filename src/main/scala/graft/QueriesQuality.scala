@@ -1211,6 +1211,73 @@ object QueriesQuality {
   val qPostingsAndSql: String =
     QueriesCurate.bm25OracleSql(PostingsTerms, 20, allMust = true)
 
+  /** The POSITIONAL serving index, built once per (session, dir) — the
+    * persisted-artifact discipline of [[QueriesLlm.hybridIndexOf]], for
+    * the serves that need stored term offsets (snippets; phrase search
+    * keeps its own build-tagged query).
+    */
+  private val posIndexMemo = graft.ModelMemo.perSession[String]
+  private[graft] def posIndexOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    posIndexMemo.getOrFit(s, dir) {
+      val out = TempDirs.create("graft_pos_idx")
+      graft.llm.InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
+        col("text"), out, nBuckets = PostingsBuckets, positions = true)
+      out
+    }
+
+  /** q_snippets — the search tier's FETCH phase
+    * ([[graft.llm.InvertedIndex.snippetTopK]]): BM25 top-20 with, per
+    * hit, the evidence window covering the first occurrence of every
+    * present query term (earliest→latest first-occurrence, truncated
+    * to lo+20 tokens, padded 3 each side) extracted from the
+    * positional index's STORED offsets — no text re-scan locates the
+    * terms; only the ≤20 hit documents are fetched for snippet text.
+    * All window arithmetic is integer over stored positions, and the
+    * snippet string comes from the engines' shared tokenizer, so the
+    * text itself hash-checks cross-engine.
+    */
+  val SnippetPad = 3
+  val SnippetMaxSpan = 20
+  val qSnippets: Q = (s, dir) => {
+    import graft.llm.InvertedIndex
+    InvertedIndex.snippetTopK(s, posIndexOf(s, dir),
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        PostingsTerms, topK = 20, pad = SnippetPad, maxSpan = SnippetMaxSpan)
+      .select(col("id").as("doc_id"), col("score"),
+        col("lo").cast("bigint").as("lo"), col("hi").cast("bigint").as("hi"),
+        col("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val qSnippetsSql: String = {
+    // first occurrence (0-based) of each query term, absent → NULL so
+    // least/greatest skip it — DuckDB list_position returns 0 when absent
+    val fps = PostingsTerms.map(t => s"nullif(list_position(t.t, '$t'), 0) - 1")
+    val lo0 = fps.mkString("least(", ", ", ")")
+    val hi0 = fps.mkString("greatest(", ", ", ")")
+    s"""WITH bm AS (
+       |  SELECT doc_id, score FROM (
+       |${QueriesCurate.bm25OracleSql(PostingsTerms, 20)}
+       |  ) AS ranked),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                          x -> len(x) > 0) END AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT b.doc_id, b.score, t.t, $lo0 AS lo0, $hi0 AS hi0
+       |  FROM bm b JOIN toks t USING (doc_id))
+       |SELECT doc_id, score,
+       |  greatest(0, lo0 - $SnippetPad)::BIGINT AS lo,
+       |  (least(hi0, lo0 + $SnippetMaxSpan) + $SnippetPad)::BIGINT AS hi,
+       |  array_to_string(
+       |    t[greatest(0, lo0 - $SnippetPad) + 1 :
+       |      least(hi0, lo0 + $SnippetMaxSpan) + $SnippetPad + 1], ' ') AS snippet
+       |FROM w ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   /** q_index_incr — incremental maintenance of the inverted index
     * (VERDICT r8 item 1): a base snapshot (90% of the corpus) is
     * indexed with [[graft.llm.InvertedIndex.write]], then a delta
@@ -1899,6 +1966,7 @@ object QueriesQuality {
     "q_postings_topk" -> qPostingsTopk,
     "q_postings_filtered" -> qPostingsFiltered,
     "q_postings_and" -> qPostingsAnd,
+    "q_snippets" -> qSnippets,
     "q_index_incr" -> qIndexIncr,
     "q_index_delete" -> qIndexDelete,
     "q_index_upsert" -> qIndexUpsert,
@@ -1940,6 +2008,7 @@ object QueriesQuality {
     "q_postings_topk" -> qPostingsTopkSql,
     "q_postings_filtered" -> qPostingsFilteredSql,
     "q_postings_and" -> qPostingsAndSql,
+    "q_snippets" -> qSnippetsSql,
     "q_index_incr" -> qIndexIncrSql,
     "q_index_delete" -> qIndexDeleteSql,
     "q_index_upsert" -> qIndexUpsertSql,

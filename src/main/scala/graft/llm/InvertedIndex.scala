@@ -609,6 +609,54 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** SNIPPET serving — the fetch phase of a search tier: the BM25
+    * top-`topK` with, per hit, the evidence window extracted from the
+    * POSITIONAL index's stored offsets. The window covers the FIRST
+    * occurrence of every query term the doc contains (lo = earliest
+    * first-occurrence, hi = latest, truncated to `lo + maxSpan` so a
+    * doc whose terms straggle doesn't return its whole body), padded
+    * `pad` tokens each side and clamped to the document. Plan shape:
+    * the ranked top-k (bucket-pruned, job-free routing) → one bounded
+    * positions aggregation over the hits' posting rows (≤ topK × |terms|
+    * rows — the positions were PAID FOR at index time, no text is
+    * re-scanned to locate terms) → one semi-joined corpus fetch of
+    * topK documents for the snippet text (the standard fetch phase; at
+    * 100 TB a point-lookup doc store, here the documents relation).
+    * Every value is integer arithmetic over stored offsets plus the
+    * shared tokenizer, so snippets hash-check cross-engine.
+    */
+  def snippetTopK(spark: SparkSession, path: String, corpus: DataFrame,
+      id: Column, text: Column, queryTerms: Seq[String], topK: Int = 20,
+      pad: Int = 3, maxSpan: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
+    require(isPositional(spark, path),
+      s"snippetTopK needs a positional index (write with positions = true): $path")
+    require(pad >= 0 && maxSpan >= 0, "pad and maxSpan must be >= 0")
+    val hits = bm25TopK(spark, path, queryTerms, topK, asOfGen)
+    val st = readStats(spark, path, asOfGen)
+    val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
+    // first occurrence per (hit doc, present term), then the cover
+    // window over present terms — offsets are sorted at write time
+    val windows = post
+      .join(broadcast(hits.select(col("id").as("doc_id"))), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), element_at(col("positions"), 1).as("fp"))
+      .groupBy("doc_id")
+      .agg(min("fp").as("lo0"), max("fp").as("hi0"))
+      .select(col("doc_id"),
+        greatest(lit(0), col("lo0") - pad).as("lo"),
+        (least(col("hi0"), col("lo0") + maxSpan) + pad).as("hi"))
+    val docs = corpus.select(id.cast("long").as("_cid"),
+      TextStats.tokens(lower(text)).as("_toks"))
+    hits
+      .join(broadcast(windows), hits("id") === windows("doc_id"))
+      .join(docs, col("id") === col("_cid"))
+      .select(col("id"), col("score"), col("lo"), col("hi"),
+        concat_ws(" ",
+          slice(col("_toks"), col("lo") + 1, col("hi") - col("lo") + 1))
+          .as("snippet"))
+  }
+
   /** Merge several indexes into one at `dst` — Lucene segment merging
     * across independently-built indexes (federated builds: per-source,
     * per-day, per-tenant indexes unified for serving). Index-sized, no

@@ -515,6 +515,37 @@ class InvertedIndexSpec extends SparkSpec {
       s"AND-mode score for doc $id must equal its OR-mode score") }
   }
 
+  test("snippets window the first occurrence of every present term from stored offsets") {
+    import spark.implicits._
+    //                 0 1 2    3 4    5 6 7 8 9 10   11
+    val docs = Seq(
+      (1L, "x y scan z w filter a b c d e vector"),
+      (2L, "scan only here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_snip").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx,
+      nBuckets = 4, positions = true)
+    val out = InvertedIndex.snippetTopK(spark, idx, docs, col("doc_id"),
+        col("text"), terms, topK = 10, pad = 1, maxSpan = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("lo"), r.getAs[Int]("hi"), r.getAs[String]("snippet"))))
+      .toMap
+    // doc 1: first occurrences scan@2, filter@5, vector@11 → lo0=2,
+    // hi0=11 truncated to lo0+5=7, pad 1 → [1, 8]
+    assert(out(1L) === ((1, 8, "y scan z w filter a b c")))
+    // doc 2: single term at 0 → window [0-1→0, 0+1] = tokens 0..1
+    assert(out(2L) === ((0, 1, "scan only")))
+    // doc 3 has no query term: not a hit at all
+    assert(!out.contains(3L))
+    // a non-positional index refuses loudly
+    val flat = java.nio.file.Files.createTempDirectory("invidx_snipflat").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), flat, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.snippetTopK(spark, flat, docs, col("doc_id"),
+        col("text"), terms, topK = 5)
+    }
+  }
+
   test("stats sidecar cache never serves stale values across maintenance verbs") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c d")).toDF("doc_id", "text")

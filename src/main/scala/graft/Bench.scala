@@ -201,7 +201,13 @@ object Bench {
     // a 2000-char stdout tail, so stdout must stay a single short line
     System.err.println(detail)
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/bench_detail.json")
+      // a partial probe (SPARK_GRAFT_ONLY / SPARK_GRAFT_LAT_ONLY) must
+      // not clobber the committed full-run artifact: default its detail
+      // to a suffixed path unless the caller chose one explicitly
+      val defaultDetail =
+        if (latOnly || only.isDefined) "/root/repo/bench_detail_partial.json"
+        else "/root/repo/bench_detail.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
     } catch { case scala.util.control.NonFatal(_) => }
     // LAST line = the driver-parsed one. The driver stores only the final

@@ -155,10 +155,16 @@ object QueriesMeta {
     * DuckDB's parquet metadata functions: converted_type (+ the
     * scale/precision columns and the logical_type display string for
     * the bits converted_type cannot carry) mapped to the identical
-    * lowercase vocabulary. TIMESTAMP unit comes from the converted_type
-    * suffix, the utc flag from the logical_type string (converted_type
-    * has no such bit); INT bits/signedness parse from the
-    * INT_x / UINT_x name.
+    * lowercase vocabulary. TIMESTAMP unit AND utc flag both parse from
+    * the logical_type display string — converted_type is NULL for a
+    * nanos-unit (logical-type-only) timestamp, so keying the branch on
+    * it would silently emit NULL where the Scala walk says
+    * 'timestamp(nanos,…)' (the fixture carries a ts_ns column to pin
+    * exactly that). INT bits/signedness parse from the INT_x / UINT_x
+    * name. Annotations both engines deliberately normalize to null
+    * (LIST/ENUM/TIME and friends — printed by the reference's generic
+    * uppercase arm) stay fixture-independent only as long as the
+    * fixture stays inside the mapped vocabulary.
     */
   private def describeSqlOf(path: String): String =
     s"""WITH s AS (
@@ -173,8 +179,11 @@ object QueriesMeta {
        |        THEN 'int(' || substr(converted_type, 6) || ',false)'
        |      WHEN converted_type = 'DECIMAL'
        |        THEN 'decimal(' || precision || ',' || scale || ')'
-       |      WHEN converted_type LIKE 'TIMESTAMP\\_%' ESCAPE '\\'
-       |        THEN 'timestamp(' || lower(substr(converted_type, 11)) || ','
+       |      WHEN logical_type LIKE 'TimestampType(%'
+       |        THEN 'timestamp(' ||
+       |          CASE WHEN logical_type LIKE '%MILLIS=Milli%' THEN 'millis'
+       |               WHEN logical_type LIKE '%MICROS=Micro%' THEN 'micros'
+       |               ELSE 'nanos' END || ','
        |          || CASE WHEN logical_type LIKE '%isAdjustedToUTC=1%'
        |                  THEN 'utc' ELSE 'local' END || ')'
        |      WHEN converted_type = 'DATE' THEN 'date'

@@ -893,7 +893,14 @@ object QueriesQuality {
           .as("code_bytes_frac"))
   }
 
-  val qIvfPqRecallSql: String = {
+  /** The q_ivfpq_recall serving-report SQL, parametrized by a vec_id
+    * predicate restricting which corpus rows are IN the index — the
+    * maintenance oracles (q_ivfpq_delete / q_ivfpq_merge) are the same
+    * rebuilt-form report over the surviving ids (frozen models stay
+    * trained on the full corpus, exactly as the engine's memoized
+    * centroids/codebooks do).
+    */
+  private def ivfPqRecallReportSql(vecFilter: String): String = {
     val cf = s"c${QueriesPipeline.KmeansIters}"
     val codeJoins = (1 until PqM)
       .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
@@ -911,7 +918,8 @@ object QueriesQuality {
        |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
        |  FROM $cf c CROSS JOIN qv),
        |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
-       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid),
+       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid
+       |         WHERE $vecFilter),
        |adcc AS (
        |  SELECT code0.vec_id, round($adcExpr, 6) AS adc
        |  FROM code0 $codeJoins $qdJoins
@@ -920,9 +928,10 @@ object QueriesQuality {
        |ex AS (SELECT vec_id FROM (
        |    SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
        |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
-       |    FROM emb CROSS JOIN qv)
+       |    FROM emb CROSS JOIN qv WHERE $vecFilter)
        |  ORDER BY d, vec_id LIMIT $PqTopK),
-       |ntot AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |ntot AS (SELECT count(*)::BIGINT AS n FROM embeddings
+       |         WHERE $vecFilter),
        |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
        |ov AS (SELECT count(*)::BIGINT AS n_overlap
        |       FROM ivfpq JOIN ex USING (vec_id))
@@ -931,6 +940,8 @@ object QueriesQuality {
        |  round(nc.n_candidates * $PqM / (ntot.n * 256.0), 6) AS code_bytes_frac
        |FROM nc, ov, ntot""".stripMargin
   }
+
+  val qIvfPqRecallSql: String = ivfPqRecallReportSql("TRUE")
 
   /** q_ivfpq_rerank — the standard IVF-PQ serving refinement (VERDICT
     * r8 item 2): ADC ranks by QUANTIZED distance, so its top-k loses
@@ -1031,6 +1042,96 @@ object QueriesQuality {
        |FROM nc, nrr, ova, ovr, ntot""".stripMargin
   }
 
+  /** The raw-stored IVF-PQ serving index, built once per (session, dir)
+    * — the [[QueriesLlm.hybridIndexOf]] persisted-artifact discipline
+    * for the vector side: codes for ADC plus the stored raw vectors the
+    * exact re-rank reads, so a dense serving arm never touches the
+    * embeddings table.
+    */
+  private val ivfRawMemo = ModelMemo.perSession[String]
+  private[graft] def ivfRawIndexOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfRawMemo.getOrFit(s, dir) {
+      val out = TempDirs.create("graft_ivfpq_raw")
+      graft.llm.IvfPq.write(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), QueriesPipeline.kmeansCentsOf(s, dir),
+        pqCentsOf(s, dir), out, storeRaw = true)
+      out
+    }
+
+  /** q_hybrid_indexed — hybrid retrieval with BOTH arms index-served
+    * ([[graft.llm.Fusion.rrfFromIndexes]], VERDICT r10 item 1): the
+    * lexical arm reads the memoized inverted index (bucket-pruned
+    * postings), the dense arm reads the memoized RAW-STORED IVF-PQ
+    * index — ADC top-$IvfRerankR over the probed code bytes, exact
+    * squared-L2 re-rank of the R stored vectors
+    * ([[graft.llm.IvfPq.serveRerankedFromIndex]]) — and RRF fuses the
+    * two ≤20-row rank lists. A request scans NO corpus table (PlanAudit
+    * + IvfPqSpec pin the probed-partition read); the dense ranking is
+    * the ANN ranking, so q_hybrid_rrf (exact-cosine arm) stays the
+    * recall gate. The oracle replays probe selection, ADC, and the
+    * exact re-rank in SQL (the q_ivfpq_rerank discipline) next to the
+    * shared BM25 SQL and fuses the replayed ranks.
+    */
+  val qHybridIndexed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    graft.llm.Fusion.rrfFromIndexes(s, QueriesLlm.hybridIndexOf(s, dir),
+        ivfRawIndexOf(s, dir), PostingsTerms, anchorV,
+        QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir),
+        nProbe = IvfNProbe, rerankR = IvfRerankR, topK = 20)
+      .select(col("id").as("doc_id"),
+        round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  // lazy: references PostingsTerms, declared later in this object
+  lazy val qHybridIndexedSql: String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd$j ON qd$j.cid = code$j.cid").mkString(" ")
+    val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH ${QueriesPipeline.kmeansCtes},
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |pqemb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |${pqCtesBody("pqemb")},
+       |qv AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $PqAnchor),
+       |cd AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv),
+       |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid),
+       |adcc AS (
+       |  SELECT code0.vec_id, round($adcExpr, 6) AS adc
+       |  FROM code0 $codeJoins $qdJoins
+       |  JOIN cand ON cand.vec_id = code0.vec_id),
+       |rr AS (SELECT vec_id FROM adcc ORDER BY adc, vec_id LIMIT $IvfRerankR),
+       |rex AS (SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
+       |    FROM emb JOIN rr USING (vec_id) CROSS JOIN qv),
+       |denser AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY d, vec_id) AS r
+       |  FROM rex QUALIFY r <= 20),
+       |bm AS (SELECT doc_id, score FROM (
+       |${QueriesCurate.bm25OracleSql(PostingsTerms, 20)}
+       |) AS bmsub),
+       |bmr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+       |u AS (
+       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM bmr
+       |  UNION ALL
+       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM denser)
+       |SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       |  count(*) AS n_lists
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
+  }
+
   /** q_ivfpq_incr — incremental maintenance of the IVF-PQ layout
     * (VERDICT r8 item 1): the corpus is split into a base snapshot
     * (90%) and a delta (vec_id ≡ 0 mod 10, a change feed's adds); the
@@ -1061,6 +1162,75 @@ object QueriesQuality {
 
   // append ≡ rebuild: the oracle IS the full-rebuild serving report
   val qIvfPqIncrSql: String = qIvfPqRecallSql
+
+  /** q_ivfpq_delete — the delete/compact half of vector-index
+    * maintenance (VERDICT r10 item 5, the q_index_delete twin): build
+    * over the full corpus, tombstone vec_id ≡ 0 mod 10
+    * ([[graft.llm.IvfPq.delete]] — O(|delete|), serving excludes them
+    * immediately), [[graft.llm.IvfPq.compact]] to make the removal
+    * physical, then the standard serving report. The oracle is the
+    * REBUILT form over the survivors (same frozen full-corpus models,
+    * the engine's own discipline), so delete+compact ≡
+    * rebuild-on-survivors is driver-hash-checked; the pre-compact
+    * tombstone semantics are spec-pinned in IvfPqSpec. Note the anchor
+    * itself is among the deleted ids: a client-supplied query vector
+    * needs no corpus row, and the exact side excludes it too.
+    */
+  val qIvfPqDelete: Q = (s, dir) => {
+    import graft.llm.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val pqCents = pqCentsOf(s, dir)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val out = TempDirs.create("graft_ivfpq_del")
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
+    IvfPq.delete(s, out,
+      emb.where(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"),
+      col("vec_id"))
+    IvfPq.compact(s, out)
+    ivfPqServeReport(s, emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+      out, cents, pqCents, anchorV)
+  }
+
+  val qIvfPqDeleteSql: String = ivfPqRecallReportSql("vec_id % 10 <> 0")
+
+  /** q_ivfpq_merge — segment merging for the vector index
+    * ([[graft.llm.IvfPq.merge]], the q_index_merge twin): two disjoint
+    * half-corpus indexes encoded against the SAME frozen models (one
+    * carrying a pending tombstone wave) merge into one serving index —
+    * index-sized union of live code rows, no re-encode, generations
+    * reset. The oracle is the rebuilt serving report over the union
+    * minus the tombstoned ids (odd ids ≡ 5 mod 9 — the even ones live
+    * in half A and were never tombstoned there), so merge ≡ rebuild,
+    * deletes applied, is driver-hash-checked.
+    */
+  val qIvfPqMerge: Q = (s, dir) => {
+    import graft.llm.IvfPq
+    val emb = Tables.embeddings(s, dir)
+    val cents = QueriesPipeline.kmeansCentsOf(s, dir)
+    val pqCents = pqCentsOf(s, dir)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val a = TempDirs.create("graft_ivfpq_mrg_a")
+    val b = TempDirs.create("graft_ivfpq_mrg_b")
+    val dst = TempDirs.create("graft_ivfpq_mrg")
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      col("vec_id"), col("embedding"), cents, pqCents, a)
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      col("vec_id"), col("embedding"), cents, pqCents, b)
+    IvfPq.delete(s, b,
+      emb.where(pmod(col("vec_id"), lit(9)) === 5).select("vec_id"),
+      col("vec_id"))
+    IvfPq.merge(s, Seq(a, b), dst)
+    ivfPqServeReport(s,
+      emb.where(!(pmod(col("vec_id"), lit(9)) === 5 &&
+        pmod(col("vec_id"), lit(2)) === 1)),
+      dst, cents, pqCents, anchorV)
+  }
+
+  val qIvfPqMergeSql: String =
+    ivfPqRecallReportSql("NOT (vec_id % 9 = 5 AND vec_id % 2 = 1)")
 
   /** q_ivfpq_batch — batched ANN serving over the persisted IVF-PQ
     * index ([[graft.llm.IvfPq.serveBatch]]): three client query vectors
@@ -1222,27 +1392,30 @@ object QueriesQuality {
     posIndexMemo.getOrFit(s, dir) {
       val out = TempDirs.create("graft_pos_idx")
       graft.llm.InvertedIndex.write(Tables.documents(s, dir), col("doc_id"),
-        col("text"), out, nBuckets = PostingsBuckets, positions = true)
+        col("text"), out, nBuckets = PostingsBuckets, positions = true,
+        storedFields = true)
       out
     }
 
-  /** q_snippets — the search tier's FETCH phase
-    * ([[graft.llm.InvertedIndex.snippetTopK]]): BM25 top-20 with, per
-    * hit, the evidence window covering the first occurrence of every
-    * present query term (earliest→latest first-occurrence, truncated
-    * to lo+20 tokens, padded 3 each side) extracted from the
-    * positional index's STORED offsets — no text re-scan locates the
-    * terms; only the ≤20 hit documents are fetched for snippet text.
-    * All window arithmetic is integer over stored positions, and the
-    * snippet string comes from the engines' shared tokenizer, so the
-    * text itself hash-checks cross-engine.
+  /** q_snippets — the search tier's FETCH phase, served entirely from
+    * index-owned storage ([[graft.llm.InvertedIndex.snippetTopKStored]],
+    * VERDICT r10 item 2): BM25 top-20 with, per hit, the evidence
+    * window covering the first occurrence of every present query term
+    * (earliest→latest first-occurrence, truncated to lo+20 tokens,
+    * padded 3 each side) from the positional index's STORED offsets,
+    * and the snippet text from the `_docs` stored-fields sidecar
+    * written at index time — the request touches NO documents table:
+    * the ≤20 hit ids route driver-side to their `dbucket` directories
+    * and the fetch is partition-pruned point lookups (Lucene's
+    * stored-fields shape). Window arithmetic is integer over stored
+    * positions; stored tokens are the shared tokenizer's output
+    * persisted at build, so the text hash-checks cross-engine.
     */
   val SnippetPad = 3
   val SnippetMaxSpan = 20
   val qSnippets: Q = (s, dir) => {
     import graft.llm.InvertedIndex
-    InvertedIndex.snippetTopK(s, posIndexOf(s, dir),
-        Tables.documents(s, dir), col("doc_id"), col("text"),
+    InvertedIndex.snippetTopKStored(s, posIndexOf(s, dir),
         PostingsTerms, topK = 20, pad = SnippetPad, maxSpan = SnippetMaxSpan)
       .select(col("id").as("doc_id"), col("score"),
         col("lo").cast("bigint").as("lo"), col("hi").cast("bigint").as("hi"),
@@ -1600,10 +1773,12 @@ object QueriesQuality {
     import graft.llm.InvertedIndex
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val out = TempDirs.create("graft_postings_eval")
-    InvertedIndex.write(docs, col("doc_id"), col("text"), out,
-      nBuckets = PostingsBuckets)
-    val served = InvertedIndex.bm25TopK(s, out, PhraseTerms, topK = 20)
+    // the eval is a SERVING metric: it reads the memoized persisted
+    // index (the same artifact q_hybrid_rrf serves from — identical
+    // build parameters), so its timed body is serve + judge, not an
+    // index build (VERDICT r10 item 6)
+    val served = InvertedIndex.bm25TopK(s, QueriesLlm.hybridIndexOf(s, dir),
+      PhraseTerms, topK = 20)
     val rel = docs
       .select(col("doc_id"),
         graft.llm.TextStats.tokens(lower(col("text"))).as("toks"))
@@ -1963,6 +2138,9 @@ object QueriesQuality {
     "q_ivfpq_recall" -> qIvfPqRecall,
     "q_ivfpq_rerank" -> qIvfPqRerank,
     "q_ivfpq_incr" -> qIvfPqIncr,
+    "q_ivfpq_delete" -> qIvfPqDelete,
+    "q_ivfpq_merge" -> qIvfPqMerge,
+    "q_hybrid_indexed" -> qHybridIndexed,
     "q_postings_topk" -> qPostingsTopk,
     "q_postings_filtered" -> qPostingsFiltered,
     "q_postings_and" -> qPostingsAnd,
@@ -2005,6 +2183,9 @@ object QueriesQuality {
     "q_ivfpq_recall" -> qIvfPqRecallSql,
     "q_ivfpq_rerank" -> qIvfPqRerankSql,
     "q_ivfpq_incr" -> qIvfPqIncrSql,
+    "q_ivfpq_delete" -> qIvfPqDeleteSql,
+    "q_ivfpq_merge" -> qIvfPqMergeSql,
+    "q_hybrid_indexed" -> qHybridIndexedSql,
     "q_postings_topk" -> qPostingsTopkSql,
     "q_postings_filtered" -> qPostingsFilteredSql,
     "q_postings_and" -> qPostingsAndSql,

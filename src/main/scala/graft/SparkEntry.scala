@@ -34,8 +34,8 @@ object SparkEntry {
   val buildQueries: Set[String] = Set(
     "q_zorder_extract", "q_bucketed_join", "q_geojson_roundtrip",
     "q_ivfpq_recall", "q_ivfpq_rerank", "q_ivfpq_incr", "q_ivfpq_batch",
-    "q_ivfpq_filtered", "q_ivfpq_stats",
+    "q_ivfpq_filtered", "q_ivfpq_stats", "q_ivfpq_delete", "q_ivfpq_merge",
     "q_postings_topk", "q_postings_batch", "q_phrase_search",
     "q_index_incr", "q_index_delete", "q_index_upsert", "q_index_asof",
-    "q_index_merge", "q_index_stats", "q_retrieval_eval")
+    "q_index_merge", "q_index_stats")
 }

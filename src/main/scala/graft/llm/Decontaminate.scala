@@ -78,12 +78,30 @@ object Decontaminate {
     * (BigDecimal HALF_UP — bit-identical to Spark's and DuckDB's round())
     * BEFORE the max/threshold, the cross-engine argmax discipline.
     */
+  /** Hard ceiling on the broadcast benchmark-vector collect below: the
+    * set is small BY CONTRACT (benchmarks are thousands of examples),
+    * and this bound turns a misuse (pointing `bench` at a corpus-sized
+    * relation) into a loud error instead of a driver OOM — the
+    * [[Similarity.DefaultMaxAnchors]] discipline. Override with a
+    * conscious `graft.decontaminate.maxBenchRows` spark conf when a
+    * genuinely larger eval set is intended.
+    */
+  val DefaultMaxBenchRows = 100000
+
   def embeddingContamination(corpus: DataFrame, id: Column, vec: Column,
       bench: DataFrame, benchVec: Column, threshold: Double): DataFrame = {
     import graft.llm.Similarity
+    val maxRows = corpus.sparkSession.conf
+      .getOption("graft.decontaminate.maxBenchRows")
+      .map(_.toInt).getOrElse(DefaultMaxBenchRows)
     val benchVecs: Array[Array[Double]] = bench
       .select(Similarity.normalized(benchVec).as("bv"))
+      .limit(maxRows + 1)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(benchVecs.length <= maxRows,
+      s"embeddingContamination: benchmark set exceeds $maxRows rows — the " +
+        "bench side is a request-sized eval set, not a corpus; raise " +
+        "graft.decontaminate.maxBenchRows only if that scale is intended")
     require(benchVecs.nonEmpty, "embeddingContamination: empty benchmark set")
     val bc = corpus.sparkSession.sparkContext.broadcast(benchVecs)
     val maxSim = udf { (v: Seq[Double]) =>

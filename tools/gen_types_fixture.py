@@ -33,6 +33,11 @@ table = pa.table({
     "ts_ms": pa.array([datetime.datetime(2024, 1, 1, 12, 0, 0,
                                          tzinfo=datetime.timezone.utc)] * 3,
                       pa.timestamp("ms", tz="UTC")),
+    # nanos has NO converted_type (logical-type-only) — pins the oracle's
+    # logical_type-string parse against the one unit converted_type drops
+    "ts_ns": pa.array([datetime.datetime(2024, 1, 1, 12, 0, 0,
+                                         tzinfo=datetime.timezone.utc)] * 3,
+                      pa.timestamp("ns", tz="UTC")),
     "d":   pa.array([datetime.date(2024, 1, 1)] * 3, pa.date32()),
     "dbl": pa.array([1.0, 2.0, 3.0], pa.float64()),
 })

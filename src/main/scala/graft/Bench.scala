@@ -2,11 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** One benched query: min-of-N seconds, all samples, GC delta, wall
-    * offset, and host-load provenance (1-min loadavg at start + steal
-    * ms across the samples). */
+    * offset, host-load provenance (1-min loadavg at start + steal ms
+    * across the samples), and how many contaminated samples were
+    * discarded and re-run. */
   private final case class QueryResult(name: String, min: Double,
       samples: Seq[Double], gcMs: Long, offsetMs: Long,
-      load1: Double, stealMs: Long)
+      load1: Double, stealMs: Long, stealRetries: Int)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,6 +74,18 @@ object Bench {
     val startedAtMs = System.currentTimeMillis()
     var failures = List.empty[String]
     var errors = Map.empty[String, String]
+    // STEAL-AWARE SAMPLING (VERDICT r10 item 7): min-of-N absorbs a
+    // noisy sample only if SOME sample ran on a quiet host; when every
+    // sample landed in an external load wave the recorded min is still
+    // contaminated (the sf1 close-outs carried 637 s of recorded steal).
+    // A sample whose steal time exceeds maxStealFrac of its wall (and
+    // isn't jiffy-granularity noise) is DISCARDED and re-run, up to
+    // stealRetries extra runs per query; the per-query retry count is
+    // emitted so a host that never quiets is visible in the artifact.
+    val maxStealFrac =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_FRAC", "0.15").toDouble
+    val stealRetryBudget =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !latOnly && only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -83,24 +96,38 @@ object Bench {
       val steal0 = stealJiffies()
       val ld = load1()
       val at = System.currentTimeMillis() - startedAtMs
+      var retries = 0
       val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(e) =>
-          // a failing query must name its exception in the artifacts —
-          // round 6's fixture drift surfaced only as bare names in
-          // `failures`, invisible to CORRECTNESS (construction-time throws
-          // never reach the dump)
-          if (!errors.contains(name))
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-          -1.0
+        var kept = Double.NaN
+        while (kept.isNaN) {
+          val s0 = stealJiffies()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            val wall = (System.nanoTime() - t0) / 1e9
+            val stealMs = (stealJiffies() - s0) * 10
+            // >50 ms guard: USER_HZ=100 jiffies make sub-100 ms samples
+            // threshold noise
+            if (stealMs > 50 && stealMs > maxStealFrac * wall * 1000 &&
+                retries < stealRetryBudget) retries += 1
+            else kept = wall
+          } catch { case scala.util.control.NonFatal(e) =>
+            // a failing query must name its exception in the artifacts —
+            // round 6's fixture drift surfaced only as bare names in
+            // `failures`, invisible to CORRECTNESS (construction-time
+            // throws never reach the dump)
+            if (!errors.contains(name))
+              errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            kept = -1.0
+          }
         }
+        kept
       }
       val ok = samples.forall(_ >= 0)
       if (!ok) failures ::= name
       // steal jiffies -> ms at USER_HZ=100
       QueryResult(name, if (ok) samples.min else -1.0, samples,
-        gcMillis() - gc0, at, ld, (stealJiffies() - steal0) * 10)
+        gcMillis() - gc0, at, ld, (stealJiffies() - steal0) * 10, retries)
     }
     // SERVE-LATENCY SIDECAR (VERDICT r9 item 3): the production serving
     // paths — bm25TopK over the persisted inverted index and
@@ -156,9 +183,61 @@ object Bench {
             QueriesQuality.PostingsTerms, topK = 20, dense = cos)
         }
         val hyb = (1 to latReps).map(_ => runMs(hybridOnce())).sorted
+        // FULLY index-served hybrid (VERDICT r10 item 1): dense arm =
+        // probes + exact re-rank over the raw-stored IVF-PQ index — the
+        // per-request cost is probe-bounded, never a corpus scan
+        val vidxRaw = TempDirs.create("bench_lat_ivfpq_raw")
+        graft.llm.IvfPq.write(emb, col("vec_id"), col("embedding"),
+          cents, pqCents, vidxRaw, storeRaw = true)
+        def hybridIndexedOnce(): org.apache.spark.sql.DataFrame =
+          graft.llm.Fusion.rrfFromIndexes(spark, idx, vidxRaw,
+            QueriesQuality.PostingsTerms, anchorV, cents, pqCents,
+            QueriesQuality.IvfNProbe, QueriesQuality.IvfRerankR, topK = 20)
+        val hybIdx = (1 to latReps).map(_ => runMs(hybridIndexedOnce())).sorted
+        // BATCH AMORTIZATION (VERDICT r10 item 8): the q_hybrid_batch
+        // pipeline (bm25TopKBatch + Similarity.topKBatch + RRF) at
+        // batch sizes 3 and 10, reported as PER-REQUEST ms — pinning
+        // that batching amortizes against the single-request hybrid row
+        import spark.implicits._
+        val termSets = Seq(QueriesQuality.PostingsTerms,
+          QueriesQuality.IncrTerms, QueriesQuality.UpsertTerms)
+        val batchAnchors: Map[Long, Array[Float]] = emb
+          .where(col("vec_id") < 10)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        def hybridBatchOnce(n: Int): org.apache.spark.sql.DataFrame = {
+          val qs = (0 until n).map(i => (s"q$i", termSets(i % 3), i.toLong))
+          val queriesDf = qs.map { case (q, t, _) => (q, t) }.toDF("qid", "terms")
+          val lex = graft.llm.InvertedIndex.bm25TopKBatch(spark, idx,
+              queriesDf, col("qid"), col("terms"), topK = 20)
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy("qid")
+                .orderBy(col("score").desc, col("id"))))
+            .select("qid", "id", "rank")
+          val dense = graft.llm.Similarity.topKBatch(emb, col("vec_id"),
+              col("embedding"),
+              qs.map { case (q, _, a) => (q, batchAnchors(a)) }, k = 20)
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy("qid")
+                .orderBy(col("sim").desc, col("vec_id"))))
+            .select(col("qid"), col("vec_id").as("id"), col("rank"))
+          lex.unionByName(dense)
+            .select(col("qid"), col("id"),
+              (org.apache.spark.sql.functions.lit(1.0) /
+                (org.apache.spark.sql.functions.lit(60.0) +
+                  col("rank").cast("double"))).as("contrib"))
+            .groupBy("qid", "id")
+            .agg(org.apache.spark.sql.functions.sum("contrib").as("rrf_score"))
+        }
+        val b3 = (1 to latReps).map(_ => runMs(hybridBatchOnce(3)) / 3).sorted
+        val b10 = (1 to latReps).map(_ => runMs(hybridBatchOnce(10)) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
           "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95),
-          "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95))
+          "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95),
+          "hybrid_indexed_p50_ms" -> pct(hybIdx, 0.50),
+          "hybrid_indexed_p95_ms" -> pct(hybIdx, 0.95),
+          "hybrid_b3_ms_per_req_p50" -> pct(b3, 0.50),
+          "hybrid_b10_ms_per_req_p50" -> pct(b10, 0.50))
       } catch { case scala.util.control.NonFatal(e) =>
         errors += "serve_latency" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         Seq.empty
@@ -184,6 +263,8 @@ object Bench {
       .mkString("{", ",", "}")
     val stealStr = results.map(r => s"\"" + r.name + "\":" + r.stealMs)
       .mkString("{", ",", "}")
+    val retryStr = results.map(r => s"\"" + r.name + "\":" + r.stealRetries)
+      .mkString("{", ",", "}")
     val latStr = latencies.map { case (k, v) => s"\"$k\":${fmtMs(v)}" }
       .mkString("{", ",", "}")
     val errStr = errors.toSeq.sortBy(_._1)
@@ -195,7 +276,7 @@ object Bench {
       .collect { case r if r.min >= 0 && SparkEntry.buildQueries(r.name) => r.min }.sum
     val totalServe = total - totalBuild
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
+    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"steal_retries":$retryStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
     // full per-query detail (all samples, gc deltas, offsets, error texts):
     // stderr + a repo file, NOT stdout — the driver stores and parses only
     // a 2000-char stdout tail, so stdout must stay a single short line

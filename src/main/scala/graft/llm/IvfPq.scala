@@ -108,7 +108,10 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_gen")
   }
 
-  private def readGen(spark: SparkSession, path: String): Long =
+  /** The index's current generation (0 after a fresh write, compact, or
+    * merge) — the [[graft.llm.InvertedIndex.readGen]] twin.
+    */
+  def readGen(spark: SparkSession, path: String): Long =
     spark.read.parquet(s"$path/_gen").head().getLong(0)
 
   private def encoded(df: DataFrame, id: Column, vec: Column,

@@ -139,6 +139,37 @@ object IncrBench {
       out(s"ivfpq_append_$label") = timed1 {
         IvfPq.append(embDelta, col("vec_id"), col("embedding"), cents, pqCents, ivf)
       }
+      // vector-index maintenance symmetry (VERDICT r10 item 5): the
+      // same fixed-size change feed / delete / compact / merge verbs as
+      // the inverted index, so every verb has a 1x/100x datapoint
+      val vUpserts = embDelta.limit(500)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"),
+          lit("upsert").as("op"))
+      val vDels = emb.select("vec_id", "embedding").orderBy("vec_id").limit(500)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+      val vFeed = vUpserts.unionByName(vDels)
+      vFeed.cache().count()
+      out(s"ivfpq_cdc_$label") = timed1 {
+        IvfPq.applyChangeFeed(vFeed, col("vec_id"), col("embedding"),
+          col("op"), ivf, cents, pqCents)
+      }
+      val vDelIds = emb.select("vec_id").orderBy(col("vec_id").desc).limit(500)
+      out(s"ivfpq_delete_$label") = timed1 {
+        IvfPq.delete(spark, ivf, vDelIds, col("vec_id"))
+      }
+      out(s"ivfpq_compact_$label") = timed1 {
+        IvfPq.compact(spark, ivf)
+      }
+      val vSmall = graft.TempDirs.create(s"incr_ivf_small_$label")
+      IvfPq.write(
+        embDelta.select((col("vec_id") + 2000000000L).as("vec_id"),
+          col("embedding")),
+        col("vec_id"), col("embedding"), cents, pqCents, vSmall)
+      val vMerged = graft.TempDirs.create(s"incr_ivf_merged_$label")
+      out(s"ivfpq_merge_$label") = timed1 {
+        IvfPq.merge(spark, Seq(ivf, vSmall), vMerged)
+      }
+      vFeed.unpersist()
     }
     val json = out.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)

@@ -546,6 +546,118 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("stored-field snippets equal corpus snippets and scan no corpus table") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_snipstore").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx,
+      nBuckets = 16, positions = true, storedFields = true)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("lo"),
+        r.getAs[Int]("hi"), r.getAs[String]("snippet"))
+    val stored = InvertedIndex.snippetTopKStored(spark, idx, terms,
+      topK = 20, pad = 2, maxSpan = 8).collect().map(key).sortBy(_._1).toSeq
+    val corpus = InvertedIndex.snippetTopK(spark, idx, docs, col("doc_id"),
+      col("text"), terms, topK = 20, pad = 2, maxSpan = 8)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(stored === corpus && stored.nonEmpty)
+    // the fetch phase reads ONLY index-owned storage: no documents scan
+    val plan = InvertedIndex.snippetTopKStored(spark, idx, terms,
+      topK = 20, pad = 2, maxSpan = 8).queryExecution.executedPlan.toString()
+    assert(!plan.contains("documents.parquet"),
+      s"stored-field snippets must not scan the corpus:\n$plan")
+    // guards: positional-only and plain indexes refuse loudly
+    val noStore = java.nio.file.Files.createTempDirectory("invidx_nostore").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), noStore,
+      nBuckets = 16, positions = true)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.snippetTopKStored(spark, noStore, terms)
+    }
+  }
+
+  test("stored fields follow the change feed: upserted text serves, deleted text dies, compact preserves") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan alpha beta"), (2L, "scan gamma"), (3L, "scan delta"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("invidx_storecdc").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx,
+      nBuckets = 4, positions = true, storedFields = true)
+    val feed = Seq(
+      (1L, "scan updated words", "upsert"),
+      (3L, "", "delete")).toDF("doc_id", "text", "op")
+    InvertedIndex.applyChangeFeed(feed, col("doc_id"), col("text"),
+      col("op"), idx)
+    def snips() = InvertedIndex.snippetTopKStored(spark, idx, Seq("scan"),
+        topK = 10, pad = 10, maxSpan = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("snippet")).toMap
+    val pre = snips()
+    assert(pre(1L) === "scan updated words", "upsert must serve NEW stored text")
+    assert(pre(2L) === "scan gamma")
+    assert(!pre.contains(3L), "deleted doc must vanish from the fetch")
+    InvertedIndex.compact(spark, idx)
+    assert(snips() === pre)
+  }
+
+  test("df from the terms sidecar: one postings scan per serve, scores equal the live-df fallback") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_dfsc").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    assert(InvertedIndex.hasTermStats(spark, idx))
+    val clean = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    // single-pass plan: the probed postings are scanned ONCE (the old
+    // plan scanned them twice — a df aggregation pass plus the scoring
+    // pass); the df side is a request-sized local relation
+    val plan = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .queryExecution.executedPlan.toString()
+    assert("invidx_dfsc".r.findAllIn(plan).size === 1,
+      s"serve must scan the postings once:\n$plan")
+    // force the exact live-postings fallback (a tombstone for an id the
+    // index never held changes NO df) — scores must be identical, which
+    // pins sidecar df == live df on a clean index
+    InvertedIndex.delete(spark, idx,
+      Seq(999999999L).toDF("doc_id"), col("doc_id"))
+    val fallback = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(fallback === clean)
+  }
+
+  test("MaxScore serving equals bm25TopK row-for-row across term mixes and maintenance states") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_wand").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    // corpus-derived term mixes: the most and least document-frequent
+    // tokens plus the fixed serving terms — rare+common is where the
+    // essential/non-essential split actually prunes
+    val byDf = docs
+      .select(explode(TextStats.tokens(lower(col("text")))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .collect().map(_.getString(0))
+    val mixes = Seq(
+      terms,
+      Seq(byDf.head, byDf.last, "scan"),
+      byDf.take(3).toSeq,
+      Seq(byDf.head, byDf(1), byDf.last, "window", "merge"))
+    for (ts <- mixes) {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+      val want = pairs(InvertedIndex.bm25TopK(spark, idx, ts, topK = 20))
+      val got = pairs(InvertedIndex.bm25TopKMaxScore(spark, idx, ts, topK = 20))
+      assert(got === want, s"MaxScore drifted for terms $ts")
+    }
+    // with tombstones pending it must fall back and stay exact
+    InvertedIndex.delete(spark, idx,
+      docs.where(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),
+      col("doc_id"))
+    val want = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val got = InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(got === want)
+  }
+
   test("stats sidecar cache never serves stale values across maintenance verbs") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c d")).toDF("doc_id", "text")

@@ -206,6 +206,78 @@ class IvfPqSpec extends SparkSpec {
     assert(got.forall(p => okIds(p._1)))
   }
 
+  test("raw-stored index: rerank-from-index equals rerank-from-corpus; ADC scans prune the vec column; layout survives append+compact") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_raw").toString
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(5)) =!= 0),
+      col("vec_id"), col("embedding"), cents, pqCents, idx, storeRaw = true)
+    // append inherits raw storage; compact preserves it
+    IvfPq.append(emb.where(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), cents, pqCents, idx)
+    assert(IvfPq.hasRaw(spark, idx))
+    def fromIdx() = IvfPq.serveRerankedFromIndex(spark, idx, cents, pqCents,
+        anchor, nProbe = 3, rerankR = 30, topK = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("d2"))).toSeq
+    val fromCorpus = IvfPq.serveReranked(spark, idx, emb, col("vec_id"),
+        col("embedding"), cents, pqCents, anchor, nProbe = 3, rerankR = 30,
+        topK = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("d2"))).toSeq
+    assert(fromIdx() === fromCorpus && fromCorpus.nonEmpty)
+    // the rerank plan reads ONLY the index directory — no corpus table
+    val plan = IvfPq.serveRerankedFromIndex(spark, idx, cents, pqCents,
+      anchor, nProbe = 3, rerankR = 30, topK = 10)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("embeddings.parquet"),
+      s"rerank-from-index must not scan the embeddings table:\n$plan")
+    // ADC serving never pays for the stored vectors: column pruning
+    // keeps `vec` out of every ReadSchema in its plan
+    val adcPlan = IvfPq.serve(spark, idx, cents, pqCents, anchor,
+      nProbe = 3, topK = 10).queryExecution.executedPlan.toString()
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(adcPlan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("vec")),
+      s"ADC serve must prune the vec column:\n${readSchemas.mkString("\n")}")
+    IvfPq.compact(spark, idx)
+    assert(IvfPq.hasRaw(spark, idx))
+    assert(fromIdx() === fromCorpus)
+    // a code-only index refuses the from-index rerank loudly
+    val plain = java.nio.file.Files.createTempDirectory("ivfpq_plain").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, plain)
+    intercept[IllegalArgumentException] {
+      IvfPq.serveRerankedFromIndex(spark, plain, cents, pqCents, anchor,
+        nProbe = 2, rerankR = 10, topK = 5)
+    }
+  }
+
+  test("merge of disjoint vector indexes equals a fresh build; source tombstones apply; raw/code mixing refuses") {
+    val a = java.nio.file.Files.createTempDirectory("ivfpq_mrg_a").toString
+    val b = java.nio.file.Files.createTempDirectory("ivfpq_mrg_b").toString
+    val dst = java.nio.file.Files.createTempDirectory("ivfpq_mrg").toString
+    val reb = java.nio.file.Files.createTempDirectory("ivfpq_mrg_reb").toString
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      col("vec_id"), col("embedding"), cents, pqCents, a)
+    IvfPq.write(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      col("vec_id"), col("embedding"), cents, pqCents, b)
+    // half B carries pending deletes: merge must apply them
+    IvfPq.delete(spark, b,
+      emb.where(pmod(col("vec_id"), lit(5)) === 1).select("vec_id"),
+      col("vec_id"))
+    IvfPq.merge(spark, Seq(a, b), dst)
+    val survivors = emb.where(
+      !(pmod(col("vec_id"), lit(5)) === 1 && pmod(col("vec_id"), lit(2)) === 1))
+    IvfPq.write(survivors, col("vec_id"), col("embedding"), cents, pqCents, reb)
+    def serve(p: String) =
+      IvfPq.serve(spark, p, cents, pqCents, anchor, nProbe = 3, topK = 50)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc"))).toSeq
+    assert(serve(dst) === serve(reb) && serve(dst).nonEmpty)
+    assert(IvfPq.readGen(spark, dst) === 0L)
+    // raw-stored and code-only indexes refuse to merge
+    val rawIdx = java.nio.file.Files.createTempDirectory("ivfpq_mrg_raw").toString
+    IvfPq.write(emb.limit(10), col("vec_id"), col("embedding"),
+      cents, pqCents, rawIdx, storeRaw = true)
+    intercept[IllegalArgumentException] {
+      IvfPq.merge(spark, Seq(a, rawIdx), dst + "_x")
+    }
+  }
+
   test("anchor's own cluster is always first in probe order") {
     val probes = IvfPq.probeOrder(cents, anchor, nProbe = cents.length)
     assert(probes.length === cents.length && probes.distinct.length === probes.length)

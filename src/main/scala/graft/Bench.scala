@@ -154,6 +154,18 @@ object Bench {
         val bm = (1 to latReps).map(_ => runMs(
           graft.llm.InvertedIndex.bm25TopK(spark, idx,
             QueriesQuality.PostingsTerms, topK = 20))).sorted
+        // MaxScore variant on the same index/terms: documents the
+        // crossover point — at small corpora the extra θ-probe job
+        // costs more than the pruned aggregation saves; the ratio
+        // across scale factors is the signal (SCALING.md r11)
+        def wandOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.llm.InvertedIndex.bm25TopKMaxScore(spark, idx,
+            QueriesQuality.PostingsTerms, topK = 20)
+            .queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e6
+        }
+        val wand = (1 to latReps).map(_ => wandOnce()).sorted
         val emb = Tables.embeddings(spark, sfDir)
         val cents = QueriesPipeline.kmeansCentsOf(spark, sfDir)
         val pqCents = QueriesQuality.pqCentsOf(spark, sfDir)
@@ -232,6 +244,7 @@ object Bench {
         val b3 = (1 to latReps).map(_ => runMs(hybridBatchOnce(3)) / 3).sorted
         val b10 = (1 to latReps).map(_ => runMs(hybridBatchOnce(10)) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
+          "bm25_wand_p50_ms" -> pct(wand, 0.50),
           "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95),
           "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95),
           "hybrid_indexed_p50_ms" -> pct(hybIdx, 0.50),

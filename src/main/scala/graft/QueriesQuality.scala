@@ -1086,50 +1086,145 @@ object QueriesQuality {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
-  // lazy: references PostingsTerms, declared later in this object
-  lazy val qHybridIndexedSql: String = {
-    val cf = s"c${QueriesPipeline.KmeansIters}"
-    val codeJoins = (1 until PqM)
-      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
-    val qdJoins = (0 until PqM)
-      .map(j => s"JOIN qd$j ON qd$j.cid = code$j.cid").mkString(" ")
-    val adcExpr = (0 until PqM).map(j => s"qd$j.d").mkString(" + ")
-    s"""WITH ${QueriesPipeline.kmeansCtes},
+  /** The shared CTE prefix of every fully-indexed-hybrid oracle:
+    * coarse-Lloyd centroids, assignments, and the per-subspace PQ
+    * codebooks/codes — anchor-independent, so batch members share it.
+    */
+  private def hybridIndexedSharedCtes: String =
+    s"""${QueriesPipeline.kmeansCtes},
        |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
        |pqemb AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-       |${pqCtesBody("pqemb")},
-       |qv AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
-       |       FROM emb WHERE vec_id = $PqAnchor),
-       |cd AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
-       |    i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))), 6) AS d
-       |  FROM $cf c CROSS JOIN qv),
-       |probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT $IvfNProbe),
-       |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid),
-       |adcc AS (
+       |${pqCtesBody("pqemb")}""".stripMargin
+
+  /** One hybrid-indexed request's CTE block, suffixed `_$m`: per-anchor
+    * ADC tables, probe selection, candidate ADC ranking, top-R exact
+    * re-rank (the dense rank list), the shared BM25 SQL (the lexical
+    * rank list), and their RRF fusion as `hy_$m` — shared verbatim by
+    * the single-request and batched oracles, because batching must
+    * change the cost of a request, never its answer.
+    */
+  private def hybridIndexedMemberCtes(m: String, termSeq: Seq[String],
+      anchor: Long): String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val sub = 64 / PqM
+    def qdist(sCol: String, cTab: String): String =
+      s"round(list_sum(list_transform(range(1, $sub + 1), " +
+        s"i -> ($sCol[i] - $cTab.c[i]) * ($sCol[i] - $cTab.c[i]))), 6)"
+    val qds = (0 until PqM).map { j =>
+      s"""qd_${m}_$j AS (
+         |  SELECT cid, ${qdist("qs", s"c${j}_$PqIters")} AS d
+         |  FROM c${j}_$PqIters CROSS JOIN
+         |    (SELECT s AS qs FROM e$j WHERE vec_id = $anchor))""".stripMargin
+    }.mkString(",\n")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd_${m}_$j ON qd_${m}_$j.cid = code$j.cid").mkString(" ")
+    val adcExpr = (0 until PqM).map(j => s"qd_${m}_$j.d").mkString(" + ")
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    s"""$qds,
+       |qv_$m AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $anchor),
+       |cd_$m AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv_$m.q[i] - c.c[i]) * (qv_$m.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv_$m),
+       |probes_$m AS (SELECT cid FROM cd_$m ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand_$m AS (SELECT a.vec_id FROM asg a JOIN probes_$m p ON a.cid = p.cid),
+       |adcc_$m AS (
        |  SELECT code0.vec_id, round($adcExpr, 6) AS adc
        |  FROM code0 $codeJoins $qdJoins
-       |  JOIN cand ON cand.vec_id = code0.vec_id),
-       |rr AS (SELECT vec_id FROM adcc ORDER BY adc, vec_id LIMIT $IvfRerankR),
-       |rex AS (SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
-       |      i -> (emb.e[i]::DOUBLE - qv.q[i]) * (emb.e[i]::DOUBLE - qv.q[i]))), 6) AS d
-       |    FROM emb JOIN rr USING (vec_id) CROSS JOIN qv),
-       |denser AS (
+       |  JOIN cand_$m ON cand_$m.vec_id = code0.vec_id),
+       |rr_$m AS (SELECT vec_id FROM adcc_$m ORDER BY adc, vec_id LIMIT $IvfRerankR),
+       |rex_$m AS (SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv_$m.q[i]) * (emb.e[i]::DOUBLE - qv_$m.q[i]))), 6) AS d
+       |    FROM emb JOIN rr_$m USING (vec_id) CROSS JOIN qv_$m),
+       |denser_$m AS (
        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY d, vec_id) AS r
-       |  FROM rex QUALIFY r <= 20),
-       |bm AS (SELECT doc_id, score FROM (
-       |${QueriesCurate.bm25OracleSql(PostingsTerms, 20)}
-       |) AS bmsub),
-       |bmr AS (SELECT doc_id,
-       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
-       |u AS (
-       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM bmr
+       |  FROM rex_$m QUALIFY r <= 20),
+       |bm_$m AS (SELECT doc_id, score FROM (
+       |${QueriesCurate.bm25OracleSql(termSeq, 20)}
+       |) AS bmsub_$m),
+       |bmr_$m AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm_$m),
+       |u_$m AS (
+       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM bmr_$m
        |  UNION ALL
-       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM denser)
-       |SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
-       |  count(*) AS n_lists
-       |FROM u GROUP BY doc_id
+       |  SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM denser_$m),
+       |hy_$m AS (SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       |  count(*) AS n_lists FROM u_$m GROUP BY doc_id)""".stripMargin
+  }
+
+  // lazy: references PostingsTerms, declared later in this object
+  lazy val qHybridIndexedSql: String =
+    s"""WITH $hybridIndexedSharedCtes,
+       |${hybridIndexedMemberCtes("one", PostingsTerms, PqAnchor)}
+       |SELECT doc_id, rrf_score, n_lists FROM hy_one
        |ORDER BY rrf_score DESC, doc_id""".stripMargin
+
+  /** q_hybrid_indexed_batch — the BATCHED fully-index-served hybrid
+    * endpoint, the production shape for concurrent fused requests: the
+    * lexical arm scores the whole batch in ONE bucket-pruned scan
+    * ([[graft.llm.InvertedIndex.bm25TopKBatch]]), the dense arm in ONE
+    * union-probe ADC scan + ONE stored-vector re-rank pass
+    * ([[graft.llm.IvfPq.serveRerankedBatch]] over the raw-stored
+    * index), and per-request RRF fuses the bounded rank lists — zero
+    * corpus tables end to end. Per request the answer is EXACTLY
+    * q_hybrid_indexed's for the same (terms, anchor): the oracle unions
+    * the single-request member CTEs per batch member, so "batching
+    * never changes an answer" is driver-hash-checked; IvfPqSpec pins
+    * serveRerankedBatch ≡ serveRerankedFromIndex row-for-row.
+    */
+  lazy val HybridIdxBatch: Seq[(String, Seq[String], Long)] = Seq(
+    ("qa", PostingsTerms, 0L), ("qb", IncrTerms, 7L),
+    ("qc", UpsertTerms, 42L))
+
+  val qHybridIndexedBatch: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val ids = HybridIdxBatch.map(_._3)
+    val anchors: Map[Long, Array[Double]] = emb
+      .where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val queriesDf = HybridIdxBatch.map { case (q, t, _) => (q, t) }
+      .toDF("qid", "terms")
+    val lex = graft.llm.InvertedIndex.bm25TopKBatch(s,
+        QueriesLlm.hybridIndexOf(s, dir), queriesDf, col("qid"),
+        col("terms"), topK = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+      .select("qid", "id", "rank")
+    val dense = graft.llm.IvfPq.serveRerankedBatch(s, ivfRawIndexOf(s, dir),
+        QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir),
+        HybridIdxBatch.map { case (q, _, a) => (q, anchors(a)) },
+        nProbe = IvfNProbe, rerankR = IvfRerankR, topK = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .select("qid", "id", "rank")
+    lex.unionByName(dense)
+      .select(col("qid"), col("id"),
+        (lit(1.0) / (lit(60.0) + col("rank").cast("double"))).as("contrib"))
+      .groupBy("qid", "id")
+      .agg(round(sum("contrib"), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_score"),
+        col("n_lists"))
+      .orderBy(col("qid"), col("rrf_score").desc, col("doc_id"))
+  }
+
+  lazy val qHybridIndexedBatchSql: String = {
+    val members = HybridIdxBatch.map { case (m, terms, anchor) =>
+      hybridIndexedMemberCtes(m, terms, anchor)
+    }.mkString(",\n")
+    val union = HybridIdxBatch.map { case (m, _, _) =>
+      s"SELECT '$m' AS qid, doc_id, rrf_score, n_lists FROM hy_$m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hybridIndexedSharedCtes,
+       |$members
+       |$union
+       |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin
   }
 
   /** q_ivfpq_incr — incremental maintenance of the IVF-PQ layout
@@ -2141,6 +2236,7 @@ object QueriesQuality {
     "q_ivfpq_delete" -> qIvfPqDelete,
     "q_ivfpq_merge" -> qIvfPqMerge,
     "q_hybrid_indexed" -> qHybridIndexed,
+    "q_hybrid_indexed_batch" -> qHybridIndexedBatch,
     "q_postings_topk" -> qPostingsTopk,
     "q_postings_filtered" -> qPostingsFiltered,
     "q_postings_and" -> qPostingsAnd,
@@ -2186,6 +2282,7 @@ object QueriesQuality {
     "q_ivfpq_delete" -> qIvfPqDeleteSql,
     "q_ivfpq_merge" -> qIvfPqMergeSql,
     "q_hybrid_indexed" -> qHybridIndexedSql,
+    "q_hybrid_indexed_batch" -> qHybridIndexedBatchSql,
     "q_postings_topk" -> qPostingsTopkSql,
     "q_postings_filtered" -> qPostingsFilteredSql,
     "q_postings_and" -> qPostingsAndSql,

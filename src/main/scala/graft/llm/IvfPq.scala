@@ -401,6 +401,46 @@ object IvfPq {
     }
   }
 
+  /** BATCHED two-stage serve with ZERO corpus tables — [[serveBatch]]'s
+    * amortized union-probe scan for the ADC shortlists (top-`rerankR`
+    * per query), then ONE pass over the union of the probed partitions'
+    * stored vectors re-ranks every query's shortlist by exact distance
+    * (a batch-sized broadcast of (qid, query) pairs; each fetched
+    * vector evaluates only against the queries whose shortlist holds
+    * it). Per query the results are EXACTLY
+    * [[serveRerankedFromIndex]]'s (spec-pinned) — batching changes the
+    * cost, never an answer.
+    */
+  def serveRerankedBatch(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      queries: Seq[(String, Array[Double])], nProbe: Int, rerankR: Int,
+      topK: Int, asOfGen: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hasRaw(spark, path),
+      s"$path stores no raw vectors (write with storeRaw = true)")
+    val shortlists = serveBatch(spark, path, cents, pqCents, queries,
+        nProbe, rerankR, asOfGen)
+      .select(col("qid"), col("id"))
+    val union = queries.flatMap { case (_, q) =>
+      probeOrder(cents, q, nProbe) }.distinct
+    val rows = liveRows(spark, path, spark.read.parquet(path)
+      .where(col("cluster").isin(union: _*))
+      .select(col("id"), col("vec")), asOfGen)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+    val kernel = udf { (qid: String, v: Seq[Float]) =>
+      val q = bcQ.value(qid)
+      var d = 0.0
+      var i = 0
+      while (i < q.length) { val t = v(i).toDouble - q(i); d += t * t; i += 1 }
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    rows.join(broadcast(shortlists), "id")
+      .select(col("qid"), col("id"), kernel(col("qid"), col("vec")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .where(col("rk") <= topK).drop("rk")
+  }
+
   /** Two-stage serve with ZERO corpus tables (VERDICT r10 item 1): ADC
     * top-`rerankR` over the probed code bytes, then the exact re-rank
     * reads the R raw vectors from the INDEX'S OWN `vec` column

@@ -594,6 +594,14 @@ class InvertedIndexSpec extends SparkSpec {
     assert(pre(1L) === "scan updated words", "upsert must serve NEW stored text")
     assert(pre(2L) === "scan gamma")
     assert(!pre.contains(3L), "deleted doc must vanish from the fetch")
+    // time travel: as of gen 0 the ORIGINAL stored text serves and the
+    // deleted doc is still alive — stored fields honor the generation
+    // ordering exactly like postings
+    val asOf = InvertedIndex.snippetTopKStored(spark, idx, Seq("scan"),
+        topK = 10, pad = 10, maxSpan = 10, asOfGen = Some(0L))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("snippet")).toMap
+    assert(asOf === Map(1L -> "scan alpha beta", 2L -> "scan gamma",
+      3L -> "scan delta"))
     InvertedIndex.compact(spark, idx)
     assert(snips() === pre)
   }

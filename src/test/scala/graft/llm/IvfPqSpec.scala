@@ -247,6 +247,35 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("batched index-only re-rank equals per-query serveRerankedFromIndex") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_rrbatch").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx,
+      storeRaw = true)
+    val qs = Seq(0L, 7L, 42L).map { vid =>
+      s"q$vid" -> emb.where(col("vec_id") === vid)
+        .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    }
+    val batched = IvfPq.serveRerankedBatch(spark, idx, cents, pqCents, qs,
+        nProbe = 3, rerankR = 30, topK = 10)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("d2")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (p._2, p._1)).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val single = IvfPq.serveRerankedFromIndex(spark, idx, cents, pqCents,
+          qv, nProbe = 3, rerankR = 30, topK = 10)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("d2"))).toSeq
+      assert(batched(qid) === single, s"$qid: batched re-rank drifted")
+    }
+    // code-only index refuses loudly
+    val plain = java.nio.file.Files.createTempDirectory("ivfpq_rrb_plain").toString
+    IvfPq.write(emb.limit(20), col("vec_id"), col("embedding"), cents, pqCents, plain)
+    intercept[IllegalArgumentException] {
+      IvfPq.serveRerankedBatch(spark, plain, cents, pqCents, qs,
+        nProbe = 2, rerankR = 10, topK = 5)
+    }
+  }
+
   test("merge of disjoint vector indexes equals a fresh build; source tombstones apply; raw/code mixing refuses") {
     val a = java.nio.file.Files.createTempDirectory("ivfpq_mrg_a").toString
     val b = java.nio.file.Files.createTempDirectory("ivfpq_mrg_b").toString

@@ -166,6 +166,26 @@ object Bench {
           (System.nanoTime() - t0) / 1e6
         }
         val wand = (1 to latReps).map(_ => wandOnce()).sorted
+        // the FETCH endpoint (q_snippets' serve shape): BM25 + evidence
+        // windows + stored-field text, all index-owned storage. Its own
+        // positional+stored index so the BM25 row's substrate (a plain
+        // index) stays comparable across rounds. Construction does the
+        // driver-side hit routing, so time the whole call like wandOnce.
+        val sidx = TempDirs.create("bench_lat_snip")
+        graft.llm.InvertedIndex.write(Tables.documents(spark, sfDir),
+          col("doc_id"), col("text"), sidx,
+          nBuckets = QueriesQuality.PostingsBuckets,
+          positions = true, storedFields = true)
+        def snipOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.llm.InvertedIndex.snippetTopKStored(spark, sidx,
+            QueriesQuality.PostingsTerms, topK = 20,
+            pad = QueriesQuality.SnippetPad,
+            maxSpan = QueriesQuality.SnippetMaxSpan)
+            .queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e6
+        }
+        val snip = (1 to latReps).map(_ => snipOnce()).sorted
         val emb = Tables.embeddings(spark, sfDir)
         val cents = QueriesPipeline.kmeansCentsOf(spark, sfDir)
         val pqCents = QueriesQuality.pqCentsOf(spark, sfDir)
@@ -245,6 +265,8 @@ object Bench {
         val b10 = (1 to latReps).map(_ => runMs(hybridBatchOnce(10)) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
           "bm25_wand_p50_ms" -> pct(wand, 0.50),
+          "snippet_p50_ms" -> pct(snip, 0.50),
+          "snippet_p95_ms" -> pct(snip, 0.95),
           "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95),
           "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95),
           "hybrid_indexed_p50_ms" -> pct(hybIdx, 0.50),

@@ -1518,15 +1518,21 @@ object QueriesQuality {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
-  val qSnippetsSql: String = {
+  /** The snippet oracle's core (no ORDER BY): BM25 top-k + the evidence
+    * window + the token-slice text, replayed in SQL for one term set —
+    * shared by q_snippets and, per batch member, q_snippets_batch (the
+    * hybridIndexedMemberCtes discipline: batching never changes an
+    * answer, so the batch oracle IS the single oracle unioned).
+    */
+  private def snippetOracleCore(terms: Seq[String]): String = {
     // first occurrence (0-based) of each query term, absent → NULL so
     // least/greatest skip it — DuckDB list_position returns 0 when absent
-    val fps = PostingsTerms.map(t => s"nullif(list_position(t.t, '$t'), 0) - 1")
+    val fps = terms.map(t => s"nullif(list_position(t.t, '$t'), 0) - 1")
     val lo0 = fps.mkString("least(", ", ", ")")
     val hi0 = fps.mkString("greatest(", ", ", ")")
     s"""WITH bm AS (
        |  SELECT doc_id, score FROM (
-       |${QueriesCurate.bm25OracleSql(PostingsTerms, 20)}
+       |${QueriesCurate.bm25OracleSql(terms, 20)}
        |  ) AS ranked),
        |toks AS (
        |  SELECT doc_id,
@@ -1543,8 +1549,42 @@ object QueriesQuality {
        |  array_to_string(
        |    t[greatest(0, lo0 - $SnippetPad) + 1 :
        |      least(hi0, lo0 + $SnippetMaxSpan) + $SnippetPad + 1], ' ') AS snippet
-       |FROM w ORDER BY score DESC, doc_id""".stripMargin
+       |FROM w""".stripMargin
   }
+
+  val qSnippetsSql: String =
+    s"""${snippetOracleCore(PostingsTerms)}
+       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** q_snippets_batch — the BATCHED fetch endpoint
+    * ([[graft.llm.InvertedIndex.snippetTopKStoredBatch]]), completing
+    * the serving verbs' batch symmetry: ONE probed scan scores the
+    * whole batch, ONE positions pass windows every (query, hit) pair
+    * scoped to its own query's terms, ONE bucket-pruned stored-fields
+    * lookup fetches the union of hit docs — zero corpus tables, and
+    * per member the rows are EXACTLY q_snippets-shaped for that term
+    * set (the oracle unions the single-request core per member).
+    */
+  lazy val SnippetBatch: Seq[(String, Seq[String])] = Seq(
+    ("qa", PostingsTerms), ("qb", IncrTerms), ("qc", UpsertTerms))
+
+  val qSnippetsBatch: Q = (s, dir) => {
+    import s.implicits._
+    val queriesDf = SnippetBatch.toDF("qid", "terms")
+    graft.llm.InvertedIndex.snippetTopKStoredBatch(s, posIndexOf(s, dir),
+        queriesDf, col("qid"), col("terms"), topK = 20,
+        pad = SnippetPad, maxSpan = SnippetMaxSpan)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("lo").cast("bigint").as("lo"), col("hi").cast("bigint").as("hi"),
+        col("snippet"))
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
+
+  lazy val qSnippetsBatchSql: String = SnippetBatch.map { case (m, ts) =>
+    s"""SELECT '$m' AS qid, doc_id, score, lo, hi, snippet FROM (
+       |${snippetOracleCore(ts)}
+       |) AS member_$m""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY qid, score DESC, doc_id")
 
   /** q_index_incr — incremental maintenance of the inverted index
     * (VERDICT r8 item 1): a base snapshot (90% of the corpus) is
@@ -2241,6 +2281,7 @@ object QueriesQuality {
     "q_postings_filtered" -> qPostingsFiltered,
     "q_postings_and" -> qPostingsAnd,
     "q_snippets" -> qSnippets,
+    "q_snippets_batch" -> qSnippetsBatch,
     "q_index_incr" -> qIndexIncr,
     "q_index_delete" -> qIndexDelete,
     "q_index_upsert" -> qIndexUpsert,
@@ -2287,6 +2328,7 @@ object QueriesQuality {
     "q_postings_filtered" -> qPostingsFilteredSql,
     "q_postings_and" -> qPostingsAndSql,
     "q_snippets" -> qSnippetsSql,
+    "q_snippets_batch" -> qSnippetsBatchSql,
     "q_index_incr" -> qIndexIncrSql,
     "q_index_delete" -> qIndexDeleteSql,
     "q_index_upsert" -> qIndexUpsertSql,

@@ -1024,6 +1024,77 @@ object InvertedIndex {
           .as("snippet"))
   }
 
+  /** Batched [[snippetTopKStored]] — the fetch tier's batch endpoint,
+    * completing the batch symmetry of the serving verbs (bm25TopKBatch,
+    * IvfPq.serveRerankedBatch): ONE probed-postings pass scores the
+    * whole batch ([[bm25TopKBatch]]), ONE positions pass computes every
+    * (query, hit) evidence window — the join to the batch's (qid, term)
+    * pairs keeps each window scoped to ITS query's terms — and ONE
+    * bucket-pruned stored-fields lookup fetches the union of hit docs.
+    * Per query the rows equal [[snippetTopKStored]]'s exactly
+    * (spec-pinned); a query with no hits contributes no rows. The
+    * per-request floor is the (qid, term) fan-out, never a second scan.
+    */
+  def snippetTopKStoredBatch(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, terms: Column, topK: Int = 20,
+      pad: Int = 3, maxSpan: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
+    require(isPositional(spark, path),
+      s"snippetTopKStoredBatch needs a positional index (write with positions = true): $path")
+    require(hasStoredFields(spark, path),
+      s"snippetTopKStoredBatch needs a stored-fields sidecar (write with storedFields = true): $path")
+    require(pad >= 0 && maxSpan >= 0, "pad and maxSpan must be >= 0")
+    val st = readStats(spark, path, asOfGen)
+    val scored = bm25TopKBatch(spark, path, queries, qid, terms, topK, asOfGen)
+    val hitSchema = scored.schema
+    // hit set is batch×k — request-sized by construction, like the
+    // batch's own term collect in bm25TopKBatch
+    val hitRows = scored.collect()
+    val outSchema = org.apache.spark.sql.types.StructType(hitSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("lo",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("hi",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("snippet",
+        org.apache.spark.sql.types.StringType)))
+    if (hitRows.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val idIdx = hitSchema.fieldIndex("id")
+    val hitIds = hitRows.map(_.getLong(idIdx)).distinct.toIndexedSeq
+    val wanted = queries.select(qid.as("qid"), explode(terms).as("term"))
+      .distinct()
+    val allTerms = wanted.select("term").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
+    val windows = post.where(col("doc_id").isin(hitIds: _*))
+      .join(broadcast(wanted), "term")
+      .select(col("qid").as("_wqid"), col("doc_id").as("_wdoc"),
+        element_at(col("positions"), 1).as("fp"))
+      .groupBy("_wqid", "_wdoc")
+      .agg(min("fp").as("lo0"), max("fp").as("hi0"))
+      .select(col("_wqid"), col("_wdoc"),
+        greatest(lit(0), col("lo0") - pad).as("lo"),
+        (least(col("hi0"), col("lo0") + maxSpan) + pad).as("hi"))
+    val dbuckets = hitIds.map(docBucketOfLocal(_, st.nBuckets)).distinct
+    val stored = liveRows(spark, path,
+      spark.read.parquet(docsPath(path))
+        .where(col("dbucket").isin(dbuckets: _*) &&
+          col("doc_id").isin(hitIds: _*)),
+      asOfGen)
+    import scala.jdk.CollectionConverters._
+    val scores = spark.createDataFrame(hitRows.toSeq.asJava, hitSchema)
+    scores
+      .join(broadcast(windows),
+        scores("qid") === col("_wqid") && col("id") === col("_wdoc"))
+      .join(broadcast(stored.select(col("doc_id").as("_sid"), col("toks"))),
+        col("id") === col("_sid"))
+      .select(scores("qid"), col("id"), col("score"), col("lo"), col("hi"),
+        concat_ws(" ",
+          slice(col("toks"), col("lo") + 1, col("hi") - col("lo") + 1))
+          .as("snippet"))
+  }
+
   /** Merge several indexes into one at `dst` — Lucene segment merging
     * across independently-built indexes (federated builds: per-source,
     * per-day, per-tenant indexes unified for serving). Index-sized, no

@@ -574,6 +574,43 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("batched stored snippets equal the single-request form per member") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_snipbatch").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx,
+      nBuckets = 16, positions = true, storedFields = true)
+    // overlapping term sets (shared bucket probes), plus one member
+    // whose terms hit nothing — it must contribute zero rows, not fail
+    val members = Seq(
+      "qa" -> terms,
+      "qb" -> Seq("scan", "data"),
+      "qc" -> Seq("zzzznothing"))
+    val queriesDf = members.toDF("qid", "terms")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("lo"),
+        r.getAs[Int]("hi"), r.getAs[String]("snippet"))
+    val batched = InvertedIndex.snippetTopKStoredBatch(spark, idx,
+        queriesDf, col("qid"), col("terms"), topK = 10, pad = 2, maxSpan = 8)
+      .collect().groupBy(_.getAs[String]("qid"))
+      .map { case (q, rs) => q -> rs.map(key).sortBy(_._1).toSeq }
+    members.foreach { case (q, ts) =>
+      val single = InvertedIndex.snippetTopKStored(spark, idx, ts,
+          topK = 10, pad = 2, maxSpan = 8)
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(batched.getOrElse(q, Seq.empty) === single,
+        s"batch member $q must equal its single-request serve")
+    }
+    assert(batched.contains("qa") && batched("qa").nonEmpty)
+    assert(!batched.contains("qc"), "a hitless member contributes no rows")
+    // still index-only: the batched fetch scans no corpus table
+    val plan = InvertedIndex.snippetTopKStoredBatch(spark, idx,
+        queriesDf, col("qid"), col("terms"), topK = 10, pad = 2, maxSpan = 8)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("documents.parquet"),
+      s"batched stored snippets must not scan the corpus:\n$plan")
+  }
+
   test("stored fields follow the change feed: upserted text serves, deleted text dies, compact preserves") {
     import spark.implicits._
     val docs = Seq(

@@ -263,6 +263,41 @@ object Bench {
         }
         val b3 = (1 to latReps).map(_ => runMs(hybridBatchOnce(3)) / 3).sorted
         val b10 = (1 to latReps).map(_ => runMs(hybridBatchOnce(10)) / 10).sorted
+        // the FULLY index-served batch (q_hybrid_indexed_batch's shape):
+        // both arms index-only, so the per-request cost is probe-bounded
+        // AND amortized — the only batch row whose curve can stay flat
+        // at 100× corpus (the exact-arm batch above pays a corpus-scan
+        // dense pass that grows with the data; it stays as the recall
+        // gate's batch twin)
+        val batchAnchorsD: Map[Long, Array[Double]] =
+          batchAnchors.map { case (k, v) => k -> v.map(_.toDouble) }
+        def hybridIdxBatchOnce(n: Int): org.apache.spark.sql.DataFrame = {
+          val qs = (0 until n).map(i => (s"q$i", termSets(i % 3), i.toLong))
+          val queriesDf = qs.map { case (q, t, _) => (q, t) }.toDF("qid", "terms")
+          val lex = graft.llm.InvertedIndex.bm25TopKBatch(spark, idx,
+              queriesDf, col("qid"), col("terms"), topK = 20)
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy("qid")
+                .orderBy(col("score").desc, col("id"))))
+            .select("qid", "id", "rank")
+          val dense = graft.llm.IvfPq.serveRerankedBatch(spark, vidxRaw,
+              cents, pqCents,
+              qs.map { case (q, _, a) => (q, batchAnchorsD(a)) },
+              nProbe = QueriesQuality.IvfNProbe,
+              rerankR = QueriesQuality.IvfRerankR, topK = 20)
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+            .select("qid", "id", "rank")
+          lex.unionByName(dense)
+            .select(col("qid"), col("id"),
+              (org.apache.spark.sql.functions.lit(1.0) /
+                (org.apache.spark.sql.functions.lit(60.0) +
+                  col("rank").cast("double"))).as("contrib"))
+            .groupBy("qid", "id")
+            .agg(org.apache.spark.sql.functions.sum("contrib").as("rrf_score"))
+        }
+        val ib3 = (1 to latReps).map(_ => runMs(hybridIdxBatchOnce(3)) / 3).sorted
+        val ib10 = (1 to latReps).map(_ => runMs(hybridIdxBatchOnce(10)) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
           "bm25_wand_p50_ms" -> pct(wand, 0.50),
           "snippet_p50_ms" -> pct(snip, 0.50),
@@ -272,7 +307,9 @@ object Bench {
           "hybrid_indexed_p50_ms" -> pct(hybIdx, 0.50),
           "hybrid_indexed_p95_ms" -> pct(hybIdx, 0.95),
           "hybrid_b3_ms_per_req_p50" -> pct(b3, 0.50),
-          "hybrid_b10_ms_per_req_p50" -> pct(b10, 0.50))
+          "hybrid_b10_ms_per_req_p50" -> pct(b10, 0.50),
+          "hybrid_idx_b3_ms_per_req_p50" -> pct(ib3, 0.50),
+          "hybrid_idx_b10_ms_per_req_p50" -> pct(ib10, 0.50))
       } catch { case scala.util.control.NonFatal(e) =>
         errors += "serve_latency" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         Seq.empty

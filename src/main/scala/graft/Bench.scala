@@ -10,10 +10,13 @@ object Bench {
       load1: Double, stealMs: Long, stealRetries: Int)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed to Int at read time: the raw env string is interpolated into
+    // both JSON artifacts, so a non-numeric value ('4g', empty) must fail
+    // fast here rather than corrupt bench_detail.json (ADVICE r11)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: tz-dependent queries must bench the verified work
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -296,8 +299,13 @@ object Bench {
             .groupBy("qid", "id")
             .agg(org.apache.spark.sql.functions.sum("contrib").as("rrf_score"))
         }
-        val b3 = (1 to latReps).map(_ => sampled(runMs(hybridBatchOnce(3)) / 3)).sorted
-        val b10 = (1 to latReps).map(_ => sampled(runMs(hybridBatchOnce(10)) / 10)).sorted
+        // steal is judged against the RAW wall time; per-request division
+        // happens after the discard decision — dividing first made the
+        // steal-fraction threshold n× stricter for batch reps and burned
+        // the shared retry budget on them (ADVICE r11: LAT_sf1 spent all
+        // 40 retries, after which contaminated reps were silently kept)
+        val b3 = (1 to latReps).map(_ => sampled(runMs(hybridBatchOnce(3))) / 3).sorted
+        val b10 = (1 to latReps).map(_ => sampled(runMs(hybridBatchOnce(10))) / 10).sorted
         // the FULLY index-served batch (q_hybrid_indexed_batch's shape):
         // both arms index-only, so the per-request cost is probe-bounded
         // AND amortized — the only batch row whose curve can stay flat
@@ -331,8 +339,8 @@ object Bench {
             .groupBy("qid", "id")
             .agg(org.apache.spark.sql.functions.sum("contrib").as("rrf_score"))
         }
-        val ib3 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(3)) / 3)).sorted
-        val ib10 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(10)) / 10)).sorted
+        val ib3 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(3))) / 3).sorted
+        val ib10 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(10))) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
           "bm25_wand_p50_ms" -> pct(wand, 0.50),
           "snippet_p50_ms" -> pct(snip, 0.50),

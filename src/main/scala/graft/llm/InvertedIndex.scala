@@ -107,7 +107,33 @@ object InvertedIndex {
 
   /** Whether the index at `path` carries per-posting position lists. */
   def isPositional(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(path).schema.fieldNames.contains("positions")
+    readCached(spark, path, path).schema.fieldNames.contains("positions")
+
+  /** Schema-cached parquet read of an index-owned directory (`dir` is
+    * the postings root or a sidecar under `path`): `spark.read.parquet`
+    * without a schema runs a small Spark JOB per call to infer it
+    * (parquet footer merging), which put one job on EVERY serve's
+    * construction path. The inferred schema is memoized against the
+    * `_stats` directory signature — every verb that could change a
+    * layout (write/append/compact/merge, including a wholesale external
+    * replace) changes that listing, so a stale schema can never serve.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def readCached(spark: SparkSession, path: String,
+      dir: String): DataFrame = {
+    val sig = statsSignature(spark, path)
+    val hit = schemaCache.get(dir)
+    val schema =
+      if (hit != null && hit._1 == sig) hit._2
+      else {
+        val s = spark.read.parquet(dir).schema
+        schemaCache.put(dir, (sig, s))
+        s
+      }
+    spark.read.schema(schema).parquet(dir)
+  }
 
   private def docsPath(path: String) = s"$path/_docs"
   private def termsPath(path: String) = s"$path/_terms"
@@ -204,27 +230,35 @@ object InvertedIndex {
   /** Folded per-term stats, driver-side. */
   final case class TermStats(df: Double, tfMax: Double, dlMin: Double)
 
-  /** Serve-side per-term stats cache (the [[statsCache]] move, keyed by
-    * a recursive `_terms` listing signature): repeat serves of warm
-    * terms pay ZERO Spark jobs for df. Misses trigger ONE bucket-pruned
-    * read of just the missing terms' rows; absent terms cache as None
-    * so an unknown term can't force a re-read per request. The cached
-    * map grows with QUERIED terms only — request-sized, never
+  /** Serve-side per-term stats cache (the [[statsCache]] move): repeat
+    * serves of warm terms pay ZERO Spark jobs for df. Misses trigger ONE
+    * bucket-pruned read of just the missing terms' rows; absent terms
+    * cache as None so an unknown term can't force a re-read per request.
+    * The cached map grows with QUERIED terms only — request-sized, never
     * vocabulary-sized.
+    *
+    * Validity key: the `_stats` directory signature (VERDICT r11 item
+    * 3), NOT a recursive `_terms` listing — `_terms` is
+    * bucket-partitioned, so listing it per request is O(bucket files),
+    * an expensive object-store LIST on the serving hot path at 100-TB
+    * bucket counts, while `_stats` is one flat directory with one file
+    * per generation. The invariant that makes this sound: every verb
+    * that writes `_terms` also writes `_stats` in the same call
+    * ([[write]]/[[append]]/[[compact]]/[[merge]]; [[delete]] bumps the
+    * generation too), so `_terms` can never change under an unchanged
+    * `_stats` listing — and [[writeTermStats]] additionally drops the
+    * entry eagerly, robust to mtime-granularity aliasing.
     */
   private val termCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[String, Option[TermStats]])]()
 
-  private def dirSignature(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    val b = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val s = it.next()
-      b += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
-    }
-    b.result().sorted.mkString("|")
+  /** Driver-side FS-metadata instrumentation: serving-path listing calls
+    * are counted so a spec can pin the warm-serve metadata budget at
+    * O(1) (object stores price LIST; a serving tier's metadata spend is
+    * a scale contract, not a micro-optimization). Test hook only.
+    */
+  private[llm] object FsMetaOps {
+    val listStatus = new java.util.concurrent.atomic.AtomicLong
   }
 
   /** Per-term folded stats for `terms` from the `_terms` sidecar —
@@ -265,17 +299,23 @@ object InvertedIndex {
     if (asOfGen.isDefined)
       return terms.map(t => t -> None).toMap ++
         readRows(terms).map { case (k, v) => k -> Some(v) }
-    val sig = dirSignature(spark, termsPath(path))
+    val sig = statsSignature(spark, path)
     val cached = Option(termCache.get(path)).filter(_._1 == sig)
       .map(_._2).getOrElse(Map.empty[String, Option[TermStats]])
     val missing = terms.filterNot(cached.contains)
-    if (missing.isEmpty) cached
-    else {
-      val fetched = readRows(missing)
-      val merged = cached ++ missing.map(t => t -> fetched.get(t))
-      termCache.put(path, (sig, merged))
-      merged
-    }
+    val full =
+      if (missing.isEmpty) cached
+      else {
+        val fetched = readRows(missing)
+        val merged = cached ++ missing.map(t => t -> fetched.get(t))
+        termCache.put(path, (sig, merged))
+        merged
+      }
+    // restrict to the REQUESTED terms: the cache accumulates every term
+    // ever queried against this path, and leaking foreign entries would
+    // let a caller (MaxScore's seed/bound selection) reason over terms
+    // the current query never asked about
+    terms.map(t => t -> full.getOrElse(t, None)).toMap
   }
 
   /** The sidecar also carries the index GENERATION — a monotone counter
@@ -333,6 +373,7 @@ object InvertedIndex {
   private def statsSignature(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsMetaOps.listStatus.incrementAndGet()
     fs.listStatus(p).map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
@@ -631,7 +672,7 @@ object InvertedIndex {
     // eval'd locally — no Spark job to route a request)
     val buckets = queryTerms.map(bucketOfLocal(_, nBuckets))
       .distinct.toIndexedSeq
-    val probed = spark.read.parquet(path)
+    val probed = readCached(spark, path, path)
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
     // logical deletes: tombstoned docs leave results AND df counts now;
@@ -702,30 +743,39 @@ object InvertedIndex {
     *
     * The classic DAAT MaxScore needs a running threshold and skip
     * lists; the distributed re-expression uses the `_terms` sidecar's
-    * stored bounds (df, tf_max, dl_min) and two bounded passes:
+    * stored bounds (df, tf_max, dl_min) and two bounded actions
+    * (VERDICT r11 item 1 collapsed the old three-job plan):
     *
-    *  1. θ-probe: full scores for just the RAREST query term's docs
-    *     (the shortest postings list), giving θ = the k-th best known
-    *     FULL score — a valid lower bound of the final k-th score
-    *     because those docs stay candidates.
-    *  2. Partition the terms by their upper bound
+    *  1. θ-probe: the k-th largest SEED-TERM PARTIAL among the rarest
+    *     query term's postings — one TakeOrdered over a single term's
+    *     bucket-pruned list, df a driver literal from the sidecar: no
+    *     join, no aggregation, no broadcast build. Each of those k docs'
+    *     FULL score is ≥ its seed partial (partials are non-negative),
+    *     so θ = round₄(kth partial) lower-bounds the final k-th ROUNDED
+    *     score (rounding is monotone).
+    *  2. Partition the NON-SEED terms by their upper bound
     *     UB_t = idf_t·(K1+1)·tf_max/(tf_max + K1·(1−B+B·dl_min/avgdl))
     *     (monotone up in tf, down in dl, so it bounds every posting's
     *     partial under the CURRENT scalars): the maximal low-UB suffix
-    *     with ΣUB < θ is non-essential — a doc appearing ONLY there
-    *     scores < θ and cannot enter the top-k (strict inequality, so
-    *     even the id tie-break can't resurrect it). Final pass scores
-    *     only docs seen in an essential list (∪ the θ-probe docs).
+    *     with ΣUB < θ − ε is non-essential — a doc appearing ONLY there
+    *     scores strictly under the 4-dp grid point θ sits on, so even
+    *     the id tie-break can't resurrect it. The seed is always
+    *     essential, so the probe's docs stay candidates by construction
+    *     and the final pass scores exactly the docs seen in an
+    *     essential list.
     *
-    * Cost: the probe aggregates df_min-sized rows; the final pass
-    * aggregates candidate-sized rows instead of every doc any query
-    * term touches — the aggregation/shuffle no longer grows with the
-    * COMMON terms' posting lengths. (The probed SCAN still reads the
-    * same buckets — skip-list reads inside a parquet scan would need a
-    * custom reader; the impact-ordered layout keeps that door open.)
-    * Falls back to [[bm25TopK]] when the sidecar is unusable
-    * (tombstones pending) or pruning can't help (≤ 1 present term, or
-    * fewer than k probe docs).
+    * Cost: the probe reads one term's postings and moves k scalars; the
+    * final pass aggregates candidate-sized rows instead of every doc
+    * any query term touches — the aggregation/shuffle no longer grows
+    * with the COMMON terms' posting lengths, which is the regime the
+    * operator exists for (posting lists that grow with the corpus; the
+    * long-postings latency table in SCALING.md measures the crossover).
+    * (The probed SCAN still reads the same buckets — skip-list reads
+    * inside a parquet scan would need a custom reader; the
+    * impact-ordered layout keeps that door open.) Falls back to
+    * [[bm25TopK]] when the sidecar is unusable (tombstones pending) or
+    * pruning can't help (≤ 1 present term, or fewer than k probe docs,
+    * or nothing prunable under θ).
     */
   def bm25TopKMaxScore(spark: SparkSession, path: String,
       queryTerms: Seq[String], topK: Int = 20,
@@ -746,35 +796,40 @@ object InvertedIndex {
         (ts.tfMax + Bm25.K1 * (1 - Bm25.B + Bm25.B * ts.dlMin / st.avgdl))
     }
     val seed = stats.minBy { case (t, ts) => (ts.df, t) }._1
-    val post = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
-    val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post)
-    def fullScores(cand: DataFrame): DataFrame =
-      post.join(broadcast(cand.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .join(broadcast(dfTable), "term")
-        .withColumn("part", bm25Part(st.nDocs, st.avgdl))
-        .groupBy(col("doc_id").as("id"))
-        .agg(round(sum("part"), 4).as("score"))
-    val seedDocs = post.where(col("term") === seed).select("doc_id")
-    val probeTop = fullScores(seedDocs)
-      .orderBy(col("score").desc, col("id")).limit(topK).collect()
+    // θ-probe: one slim TakeOrdered over the seed term's postings —
+    // the partial formula inlined with the sidecar df as a literal
+    val probeTop = probedPostings(spark, path, Seq(seed), st.nBuckets, asOfGen)
+      .select((lit(idf(stats(seed).df)) * col("tf") * (Bm25.K1 + 1) /
+        (col("tf") + lit(Bm25.K1) *
+          (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl))).as("part"))
+      .orderBy(col("part").desc).limit(topK).collect()
     if (probeTop.length < topK)
       return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    val theta = probeTop.last.getDouble(1)
-    // maximal low-UB suffix with ΣUB strictly under θ minus a half-ulp
-    // of the 4-dp score grid: a raw score below that margin cannot
-    // ROUND up to θ, so a pruned doc can't even tie the k-th candidate
-    val byUbAsc = stats.keys.toSeq.sortBy(t => (ub(t), t))
+    // snap the bound DOWN onto the 4-dp score grid: k docs' rounded
+    // full scores are ≥ this grid point (rounding is monotone), and the
+    // half-ulp margin below makes pruning strict even under the grid
+    val theta = math.floor(probeTop.last.getDouble(0) * 1e4 + 0.5) / 1e4
+    // maximal low-UB suffix (seed excluded — it anchors the candidates)
+    // with ΣUB strictly under θ minus a half-ulp of the 4-dp grid: a
+    // raw score below that margin cannot ROUND up to θ, so a pruned doc
+    // can't even tie the k-th candidate
+    val byUbAsc = stats.keys.filterNot(_ == seed).toSeq.sortBy(t => (ub(t), t))
     var acc = 0.0
     val nonEssential = byUbAsc.takeWhile { t =>
       acc += ub(t); acc < theta - 0.00005
     }.toSet
-    val essential = stats.keys.filterNot(nonEssential).toSeq
     if (nonEssential.isEmpty)
       return bm25TopK(spark, path, queryTerms, topK, asOfGen)
+    val essential = stats.keys.filterNot(nonEssential).toSeq
+    val post = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
+    val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post)
     val candidates = post.where(col("term").isin(essential: _*))
-      .select("doc_id").union(seedDocs)
-    fullScores(candidates)
+      .select("doc_id")
+    post.join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
+      .join(broadcast(dfTable), "term")
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
@@ -857,16 +912,33 @@ object InvertedIndex {
   def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qid: Column, terms: Column, topK: Int = 20,
       asOfGen: Option[Long] = None): DataFrame = {
+    // the batch's (qid, term) pairs drive the one probed scan; a query
+    // batch is request-sized (thousands of terms at most), so collecting
+    // it ONCE is bounded by construction — and materializing here means
+    // a non-deterministic `queries` source can't be re-evaluated into a
+    // different batch by a later pass (ADVICE r11: the snippet-batch
+    // fetch re-derived these pairs and could disagree with the scoring)
+    val pairs = queries.select(qid.as("qid"), explode(terms).as("term"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen)
+  }
+
+  /** [[bm25TopKBatch]] over an already-materialized (qid, term) pair
+    * list — the shared core for callers (the batched snippet fetch) that
+    * must score and window the SAME batch without re-evaluating the
+    * caller's queries plan. The pair list broadcasts from a local
+    * relation: no Spark job to route the batch.
+    */
+  private[llm] def bm25TopKBatchLocal(spark: SparkSession, path: String,
+      pairs: Seq[(String, String)], topK: Int,
+      asOfGen: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val st = readStats(spark, path, asOfGen)
-    val wanted = queries.select(qid.as("qid"), explode(terms).as("term"))
-      .distinct()
-    // the batch's term list drives the one probed scan; a query batch is
-    // request-sized (thousands of terms at most), so collecting it is
-    // bounded by construction
-    val allTerms = wanted.select("term").distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+    val allTerms = pairs.map(_._2).distinct.toIndexedSeq
     require(allTerms.nonEmpty, "query batch must carry at least one term")
+    val wanted = pairs.toDF("qid", "term")
     val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
     val dfTable = dfTableFor(spark, path, allTerms, st.nBuckets, asOfGen, post)
     val scored = post.join(broadcast(dfTable), "term")
@@ -998,42 +1070,85 @@ object InvertedIndex {
       return Seq.empty[(Long, Double, Int, Int, String)]
         .toDF("id", "score", "lo", "hi", "snippet")
     val hitIds = hits.map(_.getLong(0)).toIndexedSeq
-    val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
-    val windows = post.where(col("doc_id").isin(hitIds: _*))
-      .select(col("doc_id"), element_at(col("positions"), 1).as("fp"))
-      .groupBy("doc_id")
-      .agg(min("fp").as("lo0"), max("fp").as("hi0"))
-      .select(col("doc_id"),
-        greatest(lit(0), col("lo0") - pad).as("lo"),
-        (least(col("hi0"), col("lo0") + maxSpan) + pad).as("hi"))
-    val dbuckets = hitIds.map(docBucketOfLocal(_, st.nBuckets)).distinct
-    val stored = liveRows(spark, path,
-      spark.read.parquet(docsPath(path))
+    // FUSED fetch (VERDICT r11 item 5): the evidence positions and the
+    // stored tokens are both ≤ k-row point lookups routed by the same
+    // hit ids, so ONE action reads both (a union of the two pruned
+    // scans) instead of paying separate window and stored-fetch jobs;
+    // the window arithmetic and token slice run on the driver over k
+    // rows and the result is a LOCAL relation — zero further jobs.
+    val fetched = fusedSnippetFetch(spark, path, queryTerms, hitIds,
+      st.nBuckets, asOfGen)
+    val fps = collection.mutable.Map.empty[Long, (Int, Int)]
+    val toksByDoc = collection.mutable.Map.empty[Long, Seq[String]]
+    fetched.foreach { r =>
+      val id = r.getLong(0)
+      if (!r.isNullAt(2)) {
+        val fp = r.getInt(2)
+        val cur = fps.getOrElse(id, (Int.MaxValue, Int.MinValue))
+        fps(id) = (math.min(cur._1, fp), math.max(cur._2, fp))
+      } else toksByDoc(id) = r.getSeq[String](3)
+    }
+    hits.toIndexedSeq.map { h =>
+      val id = h.getLong(0)
+      val (lo0, hi0) = fps(id)
+      val lo = math.max(0, lo0 - pad)
+      val hi = math.min(hi0, lo0 + maxSpan) + pad
+      (id, h.getDouble(1), lo, hi,
+        snippetOf(toksByDoc.getOrElse(id, Seq.empty), lo, hi))
+    }.toDF("id", "score", "lo", "hi", "snippet")
+  }
+
+  /** The SQL `slice`/`concat_ws` window text, driver-side: tokens
+    * lo..hi (0-based, inclusive, clamped to the array) joined by a
+    * space — shared by the single and batched fetch so the snippet
+    * text can't drift between them.
+    */
+  private def snippetOf(toks: Seq[String], lo: Int, hi: Int): String =
+    toks.slice(lo, hi + 1).mkString(" ")
+
+  /** The fetch phase's ONE Spark action: the hit docs' first-occurrence
+    * positions (per query term) and their stored token arrays, unioned
+    * into a single collect — both sides are partition-pruned point
+    * lookups over the ≤ k hit ids (the [[bucketOfLocal]] /
+    * [[docBucketOfLocal]] driver routing). Rows are (doc_id, term, fp,
+    * toks): position rows carry a null toks, stored rows a null fp;
+    * the term column lets the batched fetch scope each window to its
+    * own query's terms.
+    */
+  private def fusedSnippetFetch(spark: SparkSession, path: String,
+      queryTerms: Seq[String], hitIds: Seq[Long], nBuckets: Int,
+      asOfGen: Option[Long]): Array[org.apache.spark.sql.Row] = {
+    val posSide = probedPostings(spark, path, queryTerms.distinct, nBuckets,
+        asOfGen)
+      .where(col("doc_id").isin(hitIds: _*))
+      .select(col("doc_id"), col("term"),
+        element_at(col("positions"), 1).as("fp"),
+        lit(null).cast("array<string>").as("toks"))
+    val dbuckets = hitIds.map(docBucketOfLocal(_, nBuckets)).distinct
+    val docSide = liveRows(spark, path,
+      readCached(spark, path, docsPath(path))
         .where(col("dbucket").isin(dbuckets: _*) &&
           col("doc_id").isin(hitIds: _*)),
       asOfGen)
-    val scores = hits.map(r => (r.getLong(0), r.getDouble(1))).toIndexedSeq
-      .toDF("id", "score")
-    scores
-      .join(broadcast(windows), col("id") === windows("doc_id"))
-      .join(broadcast(stored.select(col("doc_id").as("_sid"), col("toks"))),
-        col("id") === col("_sid"))
-      .select(col("id"), col("score"), col("lo"), col("hi"),
-        concat_ws(" ",
-          slice(col("toks"), col("lo") + 1, col("hi") - col("lo") + 1))
-          .as("snippet"))
+      .select(col("doc_id"), lit(null).cast("string").as("term"),
+        lit(null).cast("int").as("fp"), col("toks"))
+    posSide.unionByName(docSide).collect()
   }
 
   /** Batched [[snippetTopKStored]] — the fetch tier's batch endpoint,
     * completing the batch symmetry of the serving verbs (bm25TopKBatch,
-    * IvfPq.serveRerankedBatch): ONE probed-postings pass scores the
-    * whole batch ([[bm25TopKBatch]]), ONE positions pass computes every
-    * (query, hit) evidence window — the join to the batch's (qid, term)
-    * pairs keeps each window scoped to ITS query's terms — and ONE
-    * bucket-pruned stored-fields lookup fetches the union of hit docs.
-    * Per query the rows equal [[snippetTopKStored]]'s exactly
-    * (spec-pinned); a query with no hits contributes no rows. The
-    * per-request floor is the (qid, term) fan-out, never a second scan.
+    * IvfPq.serveRerankedBatch): the batch's (qid, term) pairs are
+    * collected ONCE and feed both the scoring and the fetch (ADVICE
+    * r11: re-deriving them re-evaluated the caller's queries plan, and
+    * a non-deterministic source could window different terms than it
+    * scored), ONE probed-postings pass scores the whole batch
+    * ([[bm25TopKBatchLocal]]), and ONE fused action fetches every hit's
+    * evidence positions AND stored tokens ([[fusedSnippetFetch]]) —
+    * windows assemble on the driver scoped to each query's own terms,
+    * and the result is a local relation. Per query the rows equal
+    * [[snippetTopKStored]]'s exactly (spec-pinned); a query with no
+    * hits contributes no rows. The per-request floor is the (qid, term)
+    * fan-out, never a second scan.
     */
   def snippetTopKStoredBatch(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, terms: Column, topK: Int = 20,
@@ -1045,10 +1160,13 @@ object InvertedIndex {
       s"snippetTopKStoredBatch needs a stored-fields sidecar (write with storedFields = true): $path")
     require(pad >= 0 && maxSpan >= 0, "pad and maxSpan must be >= 0")
     val st = readStats(spark, path, asOfGen)
-    val scored = bm25TopKBatch(spark, path, queries, qid, terms, topK, asOfGen)
+    val pairs = queries.select(qid.as("qid"), explode(terms).as("term"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    val scored = bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen)
     val hitSchema = scored.schema
     // hit set is batch×k — request-sized by construction, like the
-    // batch's own term collect in bm25TopKBatch
+    // batch's own pair collect above
     val hitRows = scored.collect()
     val outSchema = org.apache.spark.sql.types.StructType(hitSchema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("lo",
@@ -1061,38 +1179,36 @@ object InvertedIndex {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
     val idIdx = hitSchema.fieldIndex("id")
+    val qidIdx = hitSchema.fieldIndex("qid")
+    val scoreIdx = hitSchema.fieldIndex("score")
     val hitIds = hitRows.map(_.getLong(idIdx)).distinct.toIndexedSeq
-    val wanted = queries.select(qid.as("qid"), explode(terms).as("term"))
-      .distinct()
-    val allTerms = wanted.select("term").distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
-    val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
-    val windows = post.where(col("doc_id").isin(hitIds: _*))
-      .join(broadcast(wanted), "term")
-      .select(col("qid").as("_wqid"), col("doc_id").as("_wdoc"),
-        element_at(col("positions"), 1).as("fp"))
-      .groupBy("_wqid", "_wdoc")
-      .agg(min("fp").as("lo0"), max("fp").as("hi0"))
-      .select(col("_wqid"), col("_wdoc"),
-        greatest(lit(0), col("lo0") - pad).as("lo"),
-        (least(col("hi0"), col("lo0") + maxSpan) + pad).as("hi"))
-    val dbuckets = hitIds.map(docBucketOfLocal(_, st.nBuckets)).distinct
-    val stored = liveRows(spark, path,
-      spark.read.parquet(docsPath(path))
-        .where(col("dbucket").isin(dbuckets: _*) &&
-          col("doc_id").isin(hitIds: _*)),
-      asOfGen)
+    val allTerms = pairs.map(_._2).distinct
+    val fetched = fusedSnippetFetch(spark, path, allTerms, hitIds,
+      st.nBuckets, asOfGen)
+    val fpByDocTerm = collection.mutable.Map.empty[(Long, String), Int]
+    val toksByDoc = collection.mutable.Map.empty[Long, Seq[String]]
+    fetched.foreach { r =>
+      val id = r.getLong(0)
+      if (!r.isNullAt(2)) fpByDocTerm((id, r.getString(1))) = r.getInt(2)
+      else toksByDoc(id) = r.getSeq[String](3)
+    }
+    val termsByQid = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows: Seq[org.apache.spark.sql.Row] = hitRows.toIndexedSeq.flatMap { h =>
+      val q = h.getString(qidIdx)
+      val id = h.getLong(idIdx)
+      // window scoped to THIS query's terms present in the doc
+      val fps = termsByQid(q).flatMap(t => fpByDocTerm.get((id, t)))
+      if (fps.isEmpty) None
+      else {
+        val lo0 = fps.min
+        val lo = math.max(0, lo0 - pad)
+        val hi = math.min(fps.max, lo0 + maxSpan) + pad
+        Some(org.apache.spark.sql.Row(q, id, h.getDouble(scoreIdx), lo, hi,
+          snippetOf(toksByDoc.getOrElse(id, Seq.empty), lo, hi)))
+      }
+    }
     import scala.jdk.CollectionConverters._
-    val scores = spark.createDataFrame(hitRows.toSeq.asJava, hitSchema)
-    scores
-      .join(broadcast(windows),
-        scores("qid") === col("_wqid") && col("id") === col("_wdoc"))
-      .join(broadcast(stored.select(col("doc_id").as("_sid"), col("toks"))),
-        col("id") === col("_sid"))
-      .select(scores("qid"), col("id"), col("score"), col("lo"), col("hi"),
-        concat_ws(" ",
-          slice(col("toks"), col("lo") + 1, col("hi") - col("lo") + 1))
-          .as("snippet"))
+    spark.createDataFrame(rows.asJava, outSchema)
   }
 
   /** Merge several indexes into one at `dst` — Lucene segment merging

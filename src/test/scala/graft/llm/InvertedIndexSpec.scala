@@ -668,6 +668,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(fallback === clean)
   }
 
+  test("warm serve routes with O(1) driver metadata: no _terms listing, no Spark jobs") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_meta").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    // first serve warms the stats + term caches (and pays their reads)
+    InvertedIndex.bm25TopK(spark, idx, terms, topK = 20).collect()
+    // a WARM serve's routing (stats, df, buckets) must launch zero Spark
+    // jobs and make O(1) metadata calls: the term cache is keyed on the
+    // flat one-file-per-generation `_stats` listing, never a recursive
+    // walk of the bucket-partitioned `_terms` sidecar (VERDICT r11
+    // item 3 — object stores price LIST on the serving hot path)
+    spark.sparkContext.setJobGroup("warm_serve_probe", "warm serve routing")
+    val l0 = InvertedIndex.FsMetaOps.listStatus.get()
+    val served = InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)
+    val listed = InvertedIndex.FsMetaOps.listStatus.get() - l0
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("warm_serve_probe")
+    spark.sparkContext.clearJobGroup()
+    assert(jobs.isEmpty, s"warm-serve construction launched jobs: ${jobs.toSeq}")
+    assert(listed <= 3, s"warm serve made $listed listStatus calls (want <= 3: stats log + term-cache key + schema-cache key)")
+    assert(served.limit(1).collect().nonEmpty)
+  }
+
   test("MaxScore serving equals bm25TopK row-for-row across term mixes and maintenance states") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)

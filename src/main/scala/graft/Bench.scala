@@ -259,6 +259,25 @@ object Bench {
         graft.llm.IvfPq.write(emb, col("vec_id"), col("embedding"),
           cents, pqCents, vidxRaw, storeRaw = true)
         graft.llm.IvfPq.compact(spark, vidxRaw)
+        // exact-re-rank rows, unfiltered vs ACL-filtered (VERDICT r11
+        // item 4): the allowed-id snapshot is a prebuilt small dimension
+        // (written outside the timing — at scale an ACL table, not a
+        // corpus scan), so the filtered row isolates what the semi-join
+        // itself costs; flat vs the unfiltered row = the filter adds no
+        // corpus-proportional stage
+        val aclDir = TempDirs.create("bench_lat_acl")
+        emb.where(col("label") === QueriesQuality.FilterLabel)
+          .select("vec_id").coalesce(1).write.mode("overwrite").parquet(aclDir)
+        val allowedDf = spark.read.parquet(aclDir)
+        val annRr = (1 to latReps).map(_ => sampled(runMs(
+          graft.llm.IvfPq.serveRerankedFromIndex(spark, vidxRaw, cents,
+            pqCents, anchorV, QueriesQuality.IvfNProbe,
+            QueriesQuality.IvfRerankR, QueriesQuality.PqTopK)))).sorted
+        val annRrF = (1 to latReps).map(_ => sampled(runMs(
+          graft.llm.IvfPq.serveRerankedFiltered(spark, vidxRaw, cents,
+            pqCents, anchorV, QueriesQuality.IvfNProbe,
+            QueriesQuality.IvfRerankR, QueriesQuality.PqTopK,
+            allowedDf, col("vec_id"))))).sorted
         def hybridIndexedOnce(): org.apache.spark.sql.DataFrame =
           graft.llm.Fusion.rrfFromIndexes(spark, idx, vidxRaw,
             QueriesQuality.PostingsTerms, anchorV, cents, pqCents,
@@ -341,11 +360,29 @@ object Bench {
         }
         val ib3 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(3))) / 3).sorted
         val ib10 = (1 to latReps).map(_ => sampled(runMs(hybridIdxBatchOnce(10))) / 10).sorted
+        // the batched FETCH endpoint (VERDICT r11 item 5): whole-call
+        // timing like snipOnce — construction does the driver routing
+        // and the fused point-lookup collect
+        def snipBatchOnce(n: Int): Double = {
+          val qs = (0 until n).map(i => (s"q$i", termSets(i % 3)))
+          val queriesDf = qs.toDF("qid", "terms")
+          val t0 = System.nanoTime()
+          graft.llm.InvertedIndex.snippetTopKStoredBatch(spark, sidx,
+            queriesDf, col("qid"), col("terms"), topK = 20,
+            pad = QueriesQuality.SnippetPad,
+            maxSpan = QueriesQuality.SnippetMaxSpan)
+            .queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e6
+        }
+        val sb10 = (1 to latReps).map(_ => sampled(snipBatchOnce(10)) / 10).sorted
         Seq("bm25_p50_ms" -> pct(bm, 0.50), "bm25_p95_ms" -> pct(bm, 0.95),
           "bm25_wand_p50_ms" -> pct(wand, 0.50),
           "snippet_p50_ms" -> pct(snip, 0.50),
           "snippet_p95_ms" -> pct(snip, 0.95),
+          "snippet_b10_ms_per_req_p50" -> pct(sb10, 0.50),
           "ann_p50_ms" -> pct(ann, 0.50), "ann_p95_ms" -> pct(ann, 0.95),
+          "ann_rerank_p50_ms" -> pct(annRr, 0.50),
+          "ann_rerank_filt_p50_ms" -> pct(annRrF, 0.50),
           "hybrid_p50_ms" -> pct(hyb, 0.50), "hybrid_p95_ms" -> pct(hyb, 0.95),
           "hybrid_indexed_p50_ms" -> pct(hybIdx, 0.50),
           "hybrid_indexed_p95_ms" -> pct(hybIdx, 0.95),

@@ -1891,6 +1891,119 @@ object QueriesQuality {
        |  2::BIGINT AS gen,
        |  (SELECT count(*) FROM embeddings WHERE vec_id % 13 = 0)::BIGINT AS n_tombstoned""".stripMargin
 
+  /** q_ivfpq_rerank_filt — the RAG/ACL serve at exact-re-rank quality
+    * (VERDICT r11 item 4, [[graft.llm.IvfPq.serveRerankedFiltered]]):
+    * top-$PqTopK among ONLY the label-$FilterLabel vectors, ADC
+    * shortlist drawn from allowed rows, exact re-rank from the
+    * memoized raw-stored index's OWN `vec` column — a filtered
+    * exact-quality request whose timed body is serve-only and touches
+    * no corpus table beyond the allowed-set dimension scan. The oracle
+    * replays probe selection, the filtered candidate set, ADC, and the
+    * exact re-rank in SQL (the q_ivfpq_filtered + q_ivfpq_rerank CTE
+    * disciplines composed).
+    */
+  val qIvfPqRerankFilt: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    graft.llm.IvfPq.serveRerankedFiltered(s, ivfRawIndexOf(s, dir),
+        QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir), anchorV,
+        nProbe = IvfNProbe, rerankR = IvfRerankR, topK = PqTopK,
+        allowed = emb.where(col("label") === FilterLabel),
+        id = col("vec_id"))
+      .select(col("id"), col("d2"))
+      .orderBy(col("d2"), col("id"))
+  }
+
+  /** One filtered-re-rank request's CTE block, suffixed `_$m`: the
+    * [[hybridIndexedMemberCtes]] probe/ADC/re-rank structure with the
+    * candidate set restricted to label-$FilterLabel rows — shared by
+    * the single and batched oracles (batching never changes an answer).
+    */
+  private def ivfRerankFiltMemberCtes(m: String, anchor: Long): String = {
+    val cf = s"c${QueriesPipeline.KmeansIters}"
+    val sub = 64 / PqM
+    def qdist(sCol: String, cTab: String): String =
+      s"round(list_sum(list_transform(range(1, $sub + 1), " +
+        s"i -> ($sCol[i] - $cTab.c[i]) * ($sCol[i] - $cTab.c[i]))), 6)"
+    val qds = (0 until PqM).map { j =>
+      s"""qd_${m}_$j AS (
+         |  SELECT cid, ${qdist("qs", s"c${j}_$PqIters")} AS d
+         |  FROM c${j}_$PqIters CROSS JOIN
+         |    (SELECT s AS qs FROM e$j WHERE vec_id = $anchor))""".stripMargin
+    }.mkString(",\n")
+    val qdJoins = (0 until PqM)
+      .map(j => s"JOIN qd_${m}_$j ON qd_${m}_$j.cid = code$j.cid").mkString(" ")
+    val adcExpr = (0 until PqM).map(j => s"qd_${m}_$j.d").mkString(" + ")
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN code$j USING (vec_id)").mkString(" ")
+    s"""$qds,
+       |qv_$m AS (SELECT list_transform(e, x -> x::DOUBLE) AS q
+       |       FROM emb WHERE vec_id = $anchor),
+       |cd_$m AS (SELECT cid, round(list_sum(list_transform(range(1, 65),
+       |    i -> (qv_$m.q[i] - c.c[i]) * (qv_$m.q[i] - c.c[i]))), 6) AS d
+       |  FROM $cf c CROSS JOIN qv_$m),
+       |probes_$m AS (SELECT cid FROM cd_$m ORDER BY d, cid LIMIT $IvfNProbe),
+       |cand_$m AS (SELECT a.vec_id FROM asg a JOIN probes_$m p ON a.cid = p.cid
+       |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = $FilterLabel),
+       |adcc_$m AS (
+       |  SELECT code0.vec_id, round($adcExpr, 6) AS adc
+       |  FROM code0 $codeJoins $qdJoins
+       |  JOIN cand_$m ON cand_$m.vec_id = code0.vec_id),
+       |rr_$m AS (SELECT vec_id FROM adcc_$m ORDER BY adc, vec_id LIMIT $IvfRerankR),
+       |rex_$m AS (SELECT emb.vec_id, round(list_sum(list_transform(range(1, 65),
+       |      i -> (emb.e[i]::DOUBLE - qv_$m.q[i]) * (emb.e[i]::DOUBLE - qv_$m.q[i]))), 6) AS d
+       |    FROM emb JOIN rr_$m USING (vec_id) CROSS JOIN qv_$m),
+       |top_$m AS (SELECT vec_id AS id, d AS d2 FROM rex_$m
+       |  ORDER BY d, vec_id LIMIT $PqTopK)""".stripMargin
+  }
+
+  lazy val qIvfPqRerankFiltSql: String =
+    s"""WITH $hybridIndexedSharedCtes,
+       |${ivfRerankFiltMemberCtes("one", PqAnchor)}
+       |SELECT id, d2 FROM top_one ORDER BY d2, id""".stripMargin
+
+  /** q_ivfpq_rerank_filt_batch — the BATCHED filtered exact-quality
+    * serve ([[graft.llm.IvfPq.serveRerankedFilteredBatch]]): many
+    * queries, one ACL snapshot — one union-probe ADC scan draws every
+    * shortlist from allowed rows, one stored-vector pass re-ranks them
+    * all. Per member the rows equal q_ivfpq_rerank_filt's for that
+    * anchor (the oracle unions the single-request member CTEs).
+    */
+  lazy val RerankFiltBatch: Seq[(String, Long)] =
+    Seq(("qa", 0L), ("qb", 7L), ("qc", 42L))
+
+  val qIvfPqRerankFiltBatch: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val ids = RerankFiltBatch.map(_._2)
+    val anchors: Map[Long, Array[Double]] = emb
+      .where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    graft.llm.IvfPq.serveRerankedFilteredBatch(s, ivfRawIndexOf(s, dir),
+        QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir),
+        RerankFiltBatch.map { case (q, a) => (q, anchors(a)) },
+        nProbe = IvfNProbe, rerankR = IvfRerankR, topK = PqTopK,
+        allowed = emb.where(col("label") === FilterLabel),
+        id = col("vec_id"))
+      .select(col("qid"), col("id"), col("d2"))
+      .orderBy(col("qid"), col("d2"), col("id"))
+  }
+
+  lazy val qIvfPqRerankFiltBatchSql: String = {
+    val members = RerankFiltBatch.map { case (m, anchor) =>
+      ivfRerankFiltMemberCtes(m, anchor)
+    }.mkString(",\n")
+    val union = RerankFiltBatch.map { case (m, _) =>
+      s"SELECT '$m' AS qid, id, d2 FROM top_$m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hybridIndexedSharedCtes,
+       |$members
+       |$union
+       |ORDER BY qid, d2, id""".stripMargin
+  }
+
   /** q_retrieval_eval — the evaluation harness every retrieval
     * deployment runs: MRR and nDCG@20 of the SERVED ranking (the
     * persisted index's BM25 top-20) against a deterministic binary
@@ -2295,6 +2408,8 @@ object QueriesQuality {
     "q_index_stats" -> qIndexStats,
     "q_ivfpq_stats" -> qIvfPqStats,
     "q_ivfpq_filtered" -> qIvfPqFiltered,
+    "q_ivfpq_rerank_filt" -> qIvfPqRerankFilt,
+    "q_ivfpq_rerank_filt_batch" -> qIvfPqRerankFiltBatch,
     "q_index_merge" -> qIndexMerge,
     "q_retrieval_eval" -> qRetrievalEval,
     "q_hash_classifier" -> qHashClassifier,
@@ -2342,6 +2457,8 @@ object QueriesQuality {
     "q_index_stats" -> qIndexStatsSql,
     "q_ivfpq_stats" -> qIvfPqStatsSql,
     "q_ivfpq_filtered" -> qIvfPqFilteredSql,
+    "q_ivfpq_rerank_filt" -> qIvfPqRerankFiltSql,
+    "q_ivfpq_rerank_filt_batch" -> qIvfPqRerankFiltBatchSql,
     "q_index_merge" -> qIndexMergeSql,
     "q_retrieval_eval" -> qRetrievalEvalSql,
     "q_hash_classifier" -> qHashClassifierSql,

@@ -288,7 +288,19 @@ object IvfPq {
   def serveBatch(spark: SparkSession, path: String,
       cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
       queries: Seq[(String, Array[Double])], nProbe: Int, topK: Int,
-      asOfGen: Option[Long] = None): DataFrame = {
+      asOfGen: Option[Long] = None): DataFrame =
+    serveBatchCore(spark, path, cents, pqCents, queries, nProbe, topK,
+      asOfGen, None)
+
+  /** [[serveBatch]]'s body with an optional allowed-id semi-join applied
+    * to the probed rows BEFORE the ADC kernel — shared by the filtered
+    * batch serves so filtering stays a join probe, never a kernel
+    * evaluation.
+    */
+  private def serveBatchCore(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      queries: Seq[(String, Array[Double])], nProbe: Int, topK: Int,
+      asOfGen: Option[Long], allowedIds: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "query batch must be non-empty")
     val m = pqCents.length
@@ -308,8 +320,10 @@ object IvfPq {
           (qid, math.floor(adc * 1e6 + 0.5) / 1e6)
       }.toSeq
     }
-    val rows = liveRows(spark, path, spark.read.parquet(path)
+    val probed = liveRows(spark, path, spark.read.parquet(path)
       .where(col("cluster").isin(union: _*)), asOfGen)
+    val rows = allowedIds.fold(probed)(ok =>
+      probed.join(ok, Seq("id"), "left_semi"))
     rows
       .select(col("id"), explode(kernel(col("cluster"), col("codes"))).as("qa"))
       .select(col("qa._1").as("qid"), col("id"), col("qa._2").as("adc"))
@@ -467,5 +481,81 @@ object IvfPq {
       .select(col("id"), exactD2(spark, query)(col("_v")).as("d2"))
       .orderBy(col("d2"), col("id"))
       .limit(topK)
+  }
+
+  /** FILTERED two-stage serve with zero corpus tables — the RAG/ACL
+    * case at exact-re-rank quality (VERDICT r11 item 4): top-`topK`
+    * among ONLY the ids in `allowed`, ADC-shortlisted then
+    * exact-re-ranked from the index's own stored vectors. The allowed
+    * set semi-joins the probed code rows BEFORE any ADC scoring
+    * ([[serveFiltered]]'s discipline — disallowed rows cost a join
+    * probe, never a kernel evaluation, and the filter adds no
+    * corpus-proportional stage: every scan stays probe-partition-
+    * pruned), the shortlist is therefore drawn from allowed rows only,
+    * and the re-rank reads the ≤ `rerankR` stored vectors from the
+    * same filtered probed rows. Same post-filtering-relative-to-probe
+    * tradeoff as [[serveFiltered]]: a highly selective filter can
+    * underfill k from nProbe clusters — callers raise nProbe.
+    */
+  def serveRerankedFiltered(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      query: Array[Double], nProbe: Int, rerankR: Int, topK: Int,
+      allowed: DataFrame, id: Column,
+      asOfGen: Option[Long] = None): DataFrame = {
+    require(hasRaw(spark, path),
+      s"$path stores no raw vectors (write with storeRaw = true)")
+    val ok = allowed.select(id.cast("long").as("id")).distinct()
+    val probed = probedCodes(spark, path, cents, query, nProbe, asOfGen)
+      .join(ok, Seq("id"), "left_semi")
+    val shortlist = ProductQuant.adcFromCodes(probed,
+      col("id"), col("codes"), pqCents, query, rerankR)
+      .select(col("id"))
+    probed.select(col("id"), col("vec").as("_v"))
+      .join(broadcast(shortlist), "id")
+      .select(col("id"), exactD2(spark, query)(col("_v")).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(topK)
+  }
+
+  /** BATCHED filtered two-stage serve — [[serveRerankedBatch]] under an
+    * allowed-id set shared by the whole batch (the multi-tenant RAG
+    * endpoint: many queries, one ACL snapshot). One union-probe ADC
+    * scan draws each query's shortlist from allowed rows only, one
+    * stored-vector pass re-ranks every shortlist exactly; per query the
+    * rows are EXACTLY [[serveRerankedFiltered]]'s (spec-pinned —
+    * batching changes cost, never an answer).
+    */
+  def serveRerankedFilteredBatch(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      queries: Seq[(String, Array[Double])], nProbe: Int, rerankR: Int,
+      topK: Int, allowed: DataFrame, id: Column,
+      asOfGen: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hasRaw(spark, path),
+      s"$path stores no raw vectors (write with storeRaw = true)")
+    val ok = allowed.select(id.cast("long").as("id")).distinct()
+    val shortlists = serveBatchCore(spark, path, cents, pqCents, queries,
+        nProbe, rerankR, asOfGen, Some(ok))
+      .select(col("qid"), col("id"))
+    val union = queries.flatMap { case (_, q) =>
+      probeOrder(cents, q, nProbe) }.distinct
+    val rows = liveRows(spark, path, spark.read.parquet(path)
+      .where(col("cluster").isin(union: _*))
+      .select(col("id"), col("vec")), asOfGen)
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+    val kernel = udf { (qid: String, v: Seq[Float]) =>
+      val q = bcQ.value(qid)
+      var d = 0.0
+      var i = 0
+      while (i < q.length) { val t = v(i).toDouble - q(i); d += t * t; i += 1 }
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    // the shortlist is already ⊆ allowed, so the inner join keeps the
+    // re-rank pass filter-correct without a second semi-join
+    rows.join(broadcast(shortlists), "id")
+      .select(col("qid"), col("id"), kernel(col("qid"), col("vec")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .where(col("rk") <= topK).drop("rk")
   }
 }

@@ -276,6 +276,46 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("filtered re-rank: results within the allowed set, all-ids filter equals unfiltered, batch equals per-query") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_rrfilt").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx,
+      storeRaw = true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("d2"))).toSeq
+    val allowed = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val got = pairs(IvfPq.serveRerankedFiltered(spark, idx, cents, pqCents,
+      anchor, nProbe = 3, rerankR = 30, topK = 10,
+      allowed = allowed, id = col("vec_id")))
+    assert(got.nonEmpty && got.forall(_._1 % 3 == 0),
+      s"filtered serve leaked disallowed ids: $got")
+    // an all-ids filter must not change the unfiltered answer
+    val all = pairs(IvfPq.serveRerankedFiltered(spark, idx, cents, pqCents,
+      anchor, nProbe = 3, rerankR = 30, topK = 10,
+      allowed = emb, id = col("vec_id")))
+    val unfiltered = pairs(IvfPq.serveRerankedFromIndex(spark, idx, cents,
+      pqCents, anchor, nProbe = 3, rerankR = 30, topK = 10))
+    assert(all === unfiltered)
+    // batch ≡ per-query under the same shared filter
+    val qs = Seq(0L, 7L, 42L).map { vid =>
+      s"q$vid" -> emb.where(col("vec_id") === vid)
+        .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    }
+    val batched = IvfPq.serveRerankedFilteredBatch(spark, idx, cents, pqCents,
+        qs, nProbe = 3, rerankR = 30, topK = 10,
+        allowed = allowed, id = col("vec_id"))
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("d2")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (p._2, p._1)).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val single = pairs(IvfPq.serveRerankedFiltered(spark, idx, cents,
+        pqCents, qv, nProbe = 3, rerankR = 30, topK = 10,
+        allowed = allowed, id = col("vec_id")))
+        .sortBy(p => (p._2, p._1))
+      assert(batched(qid) === single, s"$qid: filtered batch drifted")
+    }
+  }
+
   test("merge of disjoint vector indexes equals a fresh build; source tombstones apply; raw/code mixing refuses") {
     val a = java.nio.file.Files.createTempDirectory("ivfpq_mrg_a").toString
     val b = java.nio.file.Files.createTempDirectory("ivfpq_mrg_b").toString

@@ -590,8 +590,10 @@ object QueriesLlm {
       .orderBy("media_id")
   }
 
-  val qMultimodalFeaturesSql: String =
-    """WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+  val qMultimodalFeaturesSql: String = multimodalFeaturesSqlWhere("TRUE")
+
+  private def multimodalFeaturesSqlWhere(pred: String): String =
+    s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
       |img AS (
       |  SELECT media_id,
       |    (media_id % 50 + 4)::DOUBLE AS w, (media_id % 40 + 4)::DOUBLE AS h,
@@ -625,7 +627,37 @@ object QueriesLlm {
       |    (f + 8 + 8)::DOUBLE + mean_r
       |  FROM vid)
       |SELECT media_id, mime, dim, round(f2, 4) AS f2, round(fsum, 4) AS fsum
-      |FROM feat ORDER BY media_id""".stripMargin
+      |FROM feat WHERE $pred ORDER BY media_id""".stripMargin
+
+  /** q_multimodal_fetch — the payload STORE + point-lookup fetch
+    * ([[Multimodal.writePayloadStore]]/[[Multimodal.fetchPayloads]],
+    * VERDICT r11 item 8): payloads persist once in an id-bucketed
+    * store, then the fetch routes its ids driver-side to their bucket
+    * directories and decodes ONLY the fetched rows — completing the
+    * "no serve touches a corpus table" story for media columns. The
+    * output decodes the fetched bytes into the closed-form features,
+    * so the oracle (the features SQL restricted to the fetched ids)
+    * hash-checks that the store returned the REAL payloads, not
+    * placeholders; the bucket-pruned read itself is spec-pinned.
+    */
+  val MediaFetchIds: Seq[Long] = (1L to 60L by 3L).toIndexedSeq
+
+  val qMultimodalFetch: Q = (s, dir) => {
+    val store = TempDirs.create("graft_media_store")
+    Multimodal.writePayloadStore(
+      Multimodal.syntheticMedia(Tables.documents(s, dir), col("doc_id")),
+      col("media_id"), store, nBuckets = 16)
+    val fetched = Multimodal.fetchPayloads(s, store, MediaFetchIds)
+    Multimodal.extractFeatures(fetched, col("payload"), col("meta.mime"))
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        size(col("features")).cast("long").as("dim"),
+        round(element_at(col("features"), 3), 4).as("f2"),
+        round(aggregate(col("features"), lit(0d), (a, x) => a + x), 4).as("fsum"))
+      .orderBy("media_id")
+  }
+
+  val qMultimodalFetchSql: String = multimodalFeaturesSqlWhere(
+    s"media_id IN (${MediaFetchIds.mkString(", ")})")
 
   /** q_events_hourly — event-time windowed aggregation (the batch shape of
     * the streaming pipeline; see graft.streaming for the readStream form).
@@ -1332,6 +1364,7 @@ object QueriesLlm {
     "q_embed_neardup" -> qEmbedNeardup,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_fetch" -> qMultimodalFetch,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
@@ -1389,6 +1422,7 @@ object QueriesLlm {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_multimodal_fetch" -> qMultimodalFetchSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_asof_join" -> qAsofJoinSql,
     "q_join_enrich" -> qJoinEnrichSql,

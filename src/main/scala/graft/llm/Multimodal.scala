@@ -310,6 +310,53 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms")))
   }
 
+  // ---------------- payload store (stored fields for media) -------------
+
+  /** PAYLOAD STORE — the stored-fields discipline applied to multimodal
+    * payloads (VERDICT r11 item 8; [[InvertedIndex]]'s `_docs` sidecar
+    * generalized to binary media): payloads persist ONCE in an
+    * id-bucketed layout so a media fetch is k bucket-pruned point
+    * lookups into store-owned files, never a corpus scan — at 100 TB
+    * "fetch these 20 payloads" must not list or read any other
+    * partition. Bucketing is the same driver-evaluable hash the
+    * stored-fields sidecar uses ([[InvertedIndex.docBucketCol]]), so a
+    * fetch routes its ids without a Spark job; the bucket count rides a
+    * one-row `_meta` sidecar.
+    */
+  def writePayloadStore(media: DataFrame, id: Column, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    media.select(id.cast("long").as("media_id"), col("payload"), col("meta"))
+      .withColumn("mbucket", InvertedIndex.docBucketCol(col("media_id"), nBuckets))
+      .write.mode("overwrite").partitionBy("mbucket").parquet(path)
+    import media.sparkSession.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The store's bucket count, from its `_meta` sidecar. */
+  def payloadStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    spark.read.parquet(s"$path/_meta").head().getInt(0)
+
+  /** Point-lookup fetch: (media_id, payload, meta) for `ids` — the ids
+    * route driver-side to their `mbucket` directories
+    * ([[InvertedIndex.docBucketOfLocal]]), so the scan carries a
+    * partition filter plus an id predicate and its cost is ∝ |ids|,
+    * never the store (spec-pinned: only the routed bucket directories
+    * are touched).
+    */
+  def fetchPayloads(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "fetch requires at least one id")
+    val n = payloadStoreBuckets(spark, path)
+    val buckets = ids.map(InvertedIndex.docBucketOfLocal(_, n)).distinct
+    spark.read.parquet(path)
+      .where(col("mbucket").isin(buckets: _*) &&
+        col("media_id").isin(ids: _*))
+      .select("media_id", "payload", "meta")
+  }
+
   /** Frame sampling over video rows: one output row per DECODED frame —
     * (frame_idx, frame_ts_ms, frame mean color). posexplode fans out
     * within partitions, no shuffle; the decode runs once per payload in a

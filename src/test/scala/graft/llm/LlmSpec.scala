@@ -535,6 +535,37 @@ class LlmSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("payload store: fetch returns the stored bytes and touches only the routed bucket directories") {
+    import spark.implicits._
+    val src = (0L until 60L).map(Tuple1(_)).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(src, col("doc_id")).persist()
+    val store = java.nio.file.Files.createTempDirectory("media_store").toString
+    Multimodal.writePayloadStore(media, col("media_id"), store, nBuckets = 8)
+    assert(Multimodal.payloadStoreBuckets(spark, store) === 8)
+    val ids = Seq(3L, 17L, 41L)
+    // fetched payloads are byte-identical to the written ones
+    val want = media.where(col("media_id").isin(ids: _*))
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val got = Multimodal.fetchPayloads(spark, store, ids)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got === want)
+    // bucket pruning: the scan reads ONLY the driver-routed directories
+    val routed = ids.map(InvertedIndex.docBucketOfLocal(_, 8)).distinct.sorted
+    val touched = Multimodal.fetchPayloads(spark, store, ids)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap(f => "mbucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .distinct.sorted.toSeq
+    assert(touched === routed,
+      s"expected only buckets $routed touched, got $touched")
+    // and the store populates more buckets than the fetch routed
+    val all = spark.read.parquet(store).select("mbucket").distinct().count()
+    assert(all > routed.size)
+    media.unpersist()
+  }
+
   test("rrf fuses ranked lists: overlap sums, misses contribute nothing") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")

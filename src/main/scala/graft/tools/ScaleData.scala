@@ -29,11 +29,19 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // --shared-vocab (anywhere in args): documents copies keep their
+    // ORIGINAL words — no ~k suffix — so every term's posting list grows
+    // ×factor with the corpus. This is the LONG-POSTINGS regime the
+    // default perturbation deliberately avoids (disjoint vocab keeps LSH
+    // pair counts linear): use it ONLY for posting-length benchmarks
+    // (tools/LongPostBench), never for the dedup/LSH scaling suite.
+    val sharedVocab = args.contains("--shared-vocab")
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos(0)
+    val dst = pos(1)
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val tableFilter: Option[Set[String]] =
-      args.lift(3).map(_.split(",").map(_.trim).toSet)
+      pos.lift(3).map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = tableFilter.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -68,12 +76,17 @@ object ScaleData {
         .withColumn("user_id", col("user_id") + k.toLong * 10000000L)), "events")
 
     // documents: word-suffix per copy -> cross-copy shingle sets disjoint
+    // (or, under --shared-vocab, verbatim text with disjoint ids -> every
+    // posting list grows ×factor)
     write(copies(spark.read.parquet(s"$src/documents.parquet"))((d, k) =>
       if (k == 0) d
-      else d.withColumn("doc_id", col("doc_id") + k.toLong * 100000L)
-        .withColumn("text",
+      else {
+        val moved = d.withColumn("doc_id", col("doc_id") + k.toLong * 100000L)
+        if (sharedVocab) moved
+        else moved.withColumn("text",
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$k"))), " "))), "documents")
+            w => concat(w, lit(s"~$k"))), " "))
+      }), "documents")
 
     // embeddings: rotate by k mod dim; once rotations wrap, flip the sign
     // of alternating coordinates too (k=r and k=r+dim stay distinct and

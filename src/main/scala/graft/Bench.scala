@@ -7,7 +7,7 @@ object Bench {
     * discarded and re-run. */
   private final case class QueryResult(name: String, min: Double,
       samples: Seq[Double], gcMs: Long, offsetMs: Long,
-      load1: Double, stealMs: Long, stealRetries: Int)
+      load1: Double, stealMs: Long, stealRetries: Int, extCpuMs: Long)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parsed to Int at read time: the raw env string is interpolated into
@@ -74,6 +74,27 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
         if (f.length > 8) f(8).toLong else 0L
       } catch { case _: Throwable => 0L }
+    // NON-STEAL contention provenance (VERDICT r11 item 4: a query read
+    // 2.9/1.6/4.2 s samples with ZERO recorded steal — CPU contention
+    // below the steal counter's visibility). Per query we record
+    // EXTERNAL CPU time: the whole box's busy jiffies minus this JVM's
+    // own process CPU — co-tenant compute the steal counter can't see.
+    // Provenance only (a discard gate on load would misfire during the
+    // bench's own legitimate 32-thread stretches); a contaminated entry
+    // now carries the evidence either way.
+    def busyJiffies(): Long =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        // total minus idle (4) and iowait (5); fields are 1-based after "cpu"
+        val vals = f.drop(1).map(_.toLong)
+        vals.sum - vals(3) - (if (vals.length > 4) vals(4) else 0L)
+      } catch { case _: Throwable => 0L }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuMs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+      case _ => 0L
+    }
     val startedAtMs = System.currentTimeMillis()
     var failures = List.empty[String]
     var errors = Map.empty[String, String]
@@ -97,6 +118,8 @@ object Bench {
       // Catalyst prune the query's own work away
       val gc0 = gcMillis()
       val steal0 = stealJiffies()
+      val busy0 = busyJiffies()
+      val proc0 = procCpuMs()
       val ld = load1()
       val at = System.currentTimeMillis() - startedAtMs
       var retries = 0
@@ -130,7 +153,8 @@ object Bench {
       if (!ok) failures ::= name
       // steal jiffies -> ms at USER_HZ=100
       QueryResult(name, if (ok) samples.min else -1.0, samples,
-        gcMillis() - gc0, at, ld, (stealJiffies() - steal0) * 10, retries)
+        gcMillis() - gc0, at, ld, (stealJiffies() - steal0) * 10, retries,
+        math.max(0L, (busyJiffies() - busy0) * 10 - (procCpuMs() - proc0)))
     }
     // SERVE-LATENCY SIDECAR (VERDICT r9 item 3): the production serving
     // paths — bm25TopK over the persisted inverted index and
@@ -418,6 +442,8 @@ object Bench {
       .mkString("{", ",", "}")
     val retryStr = results.map(r => s"\"" + r.name + "\":" + r.stealRetries)
       .mkString("{", ",", "}")
+    val extCpuStr = results.map(r => s"\"" + r.name + "\":" + r.extCpuMs)
+      .mkString("{", ",", "}")
     val latStr = latencies.map { case (k, v) => s"\"$k\":${fmtMs(v)}" }
       .mkString("{", ",", "}")
     val errStr = errors.toSeq.sortBy(_._1)
@@ -429,7 +455,7 @@ object Bench {
       .collect { case r if r.min >= 0 && SparkEntry.buildQueries(r.name) => r.min }.sum
     val totalServe = total - totalBuild
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"steal_retries":$retryStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"cpus":$cpus,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
+    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"steal_retries":$retryStr,"ext_cpu_ms":$extCpuStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"cpus":$cpus,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
     // full per-query detail (all samples, gc deltas, offsets, error texts):
     // stderr + a repo file, NOT stdout — the driver stores and parses only
     // a 2000-char stdout tail, so stdout must stay a single short line

@@ -109,30 +109,34 @@ object InvertedIndex {
   def isPositional(spark: SparkSession, path: String): Boolean =
     readCached(spark, path, path).schema.fieldNames.contains("positions")
 
-  /** Schema-cached parquet read of an index-owned directory (`dir` is
-    * the postings root or a sidecar under `path`): `spark.read.parquet`
-    * without a schema runs a small Spark JOB per call to infer it
-    * (parquet footer merging), which put one job on EVERY serve's
-    * construction path. The inferred schema is memoized against the
-    * `_stats` directory signature — every verb that could change a
-    * layout (write/append/compact/merge, including a wholesale external
-    * replace) changes that listing, so a stale schema can never serve.
+  /** Relation-cached parquet read of an index-owned directory (`dir` is
+    * the postings root or a sidecar under `path`) — Lucene's
+    * open-index-reader shape: `spark.read.parquet` pays schema
+    * inference (a small Spark JOB) and a fresh file-index listing of
+    * every bucket directory on EVERY call, which put one job plus
+    * O(buckets) driver metadata calls on each serve's construction
+    * path. The resolved DataFrame (schema + file index) is memoized per
+    * (session, dir) against the `_stats` directory signature — every
+    * verb that could change the layout (write/append/compact/merge,
+    * including a wholesale external replace) changes that listing, so a
+    * stale relation can never serve, and a warm serve's construction
+    * makes one single-directory listStatus call per cached read.
     */
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.sql.types.StructType)]()
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (String, DataFrame)]()
 
   private def readCached(spark: SparkSession, path: String,
       dir: String): DataFrame = {
     val sig = statsSignature(spark, path)
-    val hit = schemaCache.get(dir)
-    val schema =
-      if (hit != null && hit._1 == sig) hit._2
-      else {
-        val s = spark.read.parquet(dir).schema
-        schemaCache.put(dir, (sig, s))
-        s
-      }
-    spark.read.schema(schema).parquet(dir)
+    // DataFrames are session-bound: key by session identity too
+    val key = (System.identityHashCode(spark), dir)
+    val hit = relationCache.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val df = spark.read.parquet(dir)
+      relationCache.put(key, (sig, df))
+      df
+    }
   }
 
   private def docsPath(path: String) = s"$path/_docs"

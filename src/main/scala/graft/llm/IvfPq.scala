@@ -68,7 +68,38 @@ object IvfPq {
 
   /** Whether the index stores raw vectors alongside its codes. */
   def hasRaw(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(path).schema.fieldNames.contains("vec")
+    readCached(spark, path).schema.fieldNames.contains("vec")
+
+  /** Relation-cached read of the index ([[graft.llm.InvertedIndex]]'s
+    * readCached discipline — Lucene's open-index-reader shape): an
+    * uncached `spark.read.parquet` pays schema inference (a small Spark
+    * job) AND a fresh file-index listing of every cluster directory on
+    * EVERY call — at √n-sized coarse k that listing alone dominated a
+    * serve's latency. The resolved DataFrame (schema + file index) is
+    * memoized per (session, path) against the `_gen` sidecar's file
+    * listing, which every maintenance verb rewrites ([[writeGen]]), so
+    * a stale relation can never serve; a warm serve's construction makes
+    * one single-directory listStatus call.
+    */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (String, DataFrame)]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    // DataFrames are session-bound: key by session identity too
+    val key = (System.identityHashCode(spark), path)
+    val hit = relationCache.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val df = spark.read.parquet(path)
+      relationCache.put(key, (sig, df))
+      df
+    }
+  }
 
   /** Merge a delta snapshot into an existing index: encode ONLY the
     * delta against the same frozen models and append into the same
@@ -231,7 +262,7 @@ object IvfPq {
       cents: Array[Array[Double]], query: Array[Double],
       nProbe: Int, asOfGen: Option[Long] = None): DataFrame = {
     val probes = probeOrder(cents, query, nProbe)
-    liveRows(spark, path, spark.read.parquet(path)
+    liveRows(spark, path, readCached(spark, path)
       .where(col("cluster").isin(probes: _*)), asOfGen)
   }
 
@@ -320,7 +351,7 @@ object IvfPq {
           (qid, math.floor(adc * 1e6 + 0.5) / 1e6)
       }.toSeq
     }
-    val probed = liveRows(spark, path, spark.read.parquet(path)
+    val probed = liveRows(spark, path, readCached(spark, path)
       .where(col("cluster").isin(union: _*)), asOfGen)
     val rows = allowedIds.fold(probed)(ok =>
       probed.join(ok, Seq("id"), "left_semi"))
@@ -437,7 +468,7 @@ object IvfPq {
       .select(col("qid"), col("id"))
     val union = queries.flatMap { case (_, q) =>
       probeOrder(cents, q, nProbe) }.distinct
-    val rows = liveRows(spark, path, spark.read.parquet(path)
+    val rows = liveRows(spark, path, readCached(spark, path)
       .where(col("cluster").isin(union: _*))
       .select(col("id"), col("vec")), asOfGen)
     val bcQ = spark.sparkContext.broadcast(queries.toMap)
@@ -539,7 +570,7 @@ object IvfPq {
       .select(col("qid"), col("id"))
     val union = queries.flatMap { case (_, q) =>
       probeOrder(cents, q, nProbe) }.distinct
-    val rows = liveRows(spark, path, spark.read.parquet(path)
+    val rows = liveRows(spark, path, readCached(spark, path)
       .where(col("cluster").isin(union: _*))
       .select(col("id"), col("vec")), asOfGen)
     val bcQ = spark.sparkContext.broadcast(queries.toMap)

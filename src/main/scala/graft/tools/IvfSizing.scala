@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The IVF coarse-k SIZING datapoint (VERDICT r11 item 7): SCALING.md's
+  * honesty note says ANN's flat latency curve at fixed k=8 measures the
+  * overhead floor — the probed set is nProbe/k of the corpus, a constant
+  * FRACTION, and the standard deployment lever is k ∝ √n so probed size
+  * stays O(√n). This tool turns that claim into a measurement:
+  * `IvfSizing <embDir> [artifactPath]` fits coarse quantizers at the
+  * suite's fixed k and at ⌈√n⌉ over the SAME embeddings + frozen PQ
+  * codebooks, builds + compacts one raw-stored index per k (outside the
+  * timing), and reports per configuration the probed ROW COUNT, the ADC
+  * serve p50 (steal-resampled), and recall@20 vs the exact scan — the
+  * recall column keeps the tradeoff honest (fewer probed rows at equal
+  * nProbe costs recall; the third row raises nProbe at √n-k to buy it
+  * back while still probing far fewer rows than fixed-k).
+  */
+object IvfSizing {
+
+  def main(args: Array[String]): Unit = {
+    val embDir = args(0)
+    val artifact = args.lift(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_LAT_REPS", "15").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // a √n-sized coarse quantizer means >32 cluster directories, which
+      // trips Spark's parallelPartitionDiscovery threshold: every serve's
+      // file-index construction becomes a LISTING JOB. Serving tiers list
+      // driver-side (the listing is one round of metadata calls, not a
+      // distributed problem) — raise the threshold so the measurement
+      // compares probed-row physics, not listing-job scheduling.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.{Cluster, IvfPq, ProductQuant}
+    import graft.QueriesQuality.{PqM, PqK, PqIters, PqTopK, PqAnchor}
+
+    val emb = graft.Tables.embeddings(spark, embDir)
+    val n = emb.count()
+    val sqrtK = math.ceil(math.sqrt(n.toDouble)).toInt
+    // frozen PQ codebooks shared by every configuration (PQ is
+    // independent of the coarse quantizer)
+    val pqCents = ProductQuant.fit(emb, col("vec_id"), col("embedding"),
+      m = PqM, k = PqK, iters = PqIters)
+    val anchorV = emb.where(col("vec_id") === PqAnchor)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val exact = ProductQuant.exactTopK(emb, col("vec_id"), col("embedding"),
+        anchorV, topK = PqTopK)
+      .collect().map(_.getAs[Long]("id")).toSet
+
+    val lat = new LatSampling()
+    val configs = Seq(
+      ("fixed_k", graft.QueriesPipeline.KmeansK, graft.QueriesQuality.IvfNProbe),
+      ("sqrt_n_k", sqrtK, graft.QueriesQuality.IvfNProbe),
+      ("sqrt_n_k_probe16", sqrtK, 16))
+    // one fit + one index per DISTINCT k; configs differing only in
+    // nProbe share them
+    val byK = configs.map(_._2).distinct.map { k =>
+      val cents = Cluster.fitCentroids(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        k, graft.QueriesPipeline.KmeansIters)
+      val idx = graft.TempDirs.create(s"ivfsizing_k$k")
+      IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+      IvfPq.compact(spark, idx)
+      k -> (cents, idx)
+    }.toMap
+    val rows = configs.map { case (label, k, nProbe) =>
+      val (cents, idx) = byK(k)
+      val probedRows = IvfPq.probedCodes(spark, idx, cents, anchorV, nProbe)
+        .count()
+      val served = IvfPq.serve(spark, idx, cents, pqCents, anchorV, nProbe,
+          PqTopK).collect().map(_.getAs[Long]("id")).toSet
+      val recall = served.intersect(exact).size.toDouble / PqTopK
+      (1 to 2).foreach(_ => lat.runMs(
+        IvfPq.serve(spark, idx, cents, pqCents, anchorV, nProbe, PqTopK)))
+      val samples = (1 to reps).map(_ => lat.sampled(lat.runMs(
+        IvfPq.serve(spark, idx, cents, pqCents, anchorV, nProbe, PqTopK))))
+        .sorted
+      (label, k, nProbe, probedRows, lat.pct(samples, 0.5), recall)
+    }
+    def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    val rowsJson = rows.map { case (label, k, nProbe, pr, p50, rec) =>
+      s"""{"config":"$label","k":$k,"n_probe":$nProbe,"probed_rows":$pr,"ann_p50_ms":${f(p50)},"recall_at_$PqTopK":${BigDecimal(rec).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
+    }.mkString("[", ",", "]")
+    val line =
+      s"""{${Provenance.jsonFields},"metric":"ivf_sizing","n_vectors":$n,"sqrt_n_k":$sqrtK,"rows":$rowsJson,"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$embDir"}"""
+    println(line)
+    artifact.foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
+    spark.stop()
+    sys.exit(0)
+  }
+}

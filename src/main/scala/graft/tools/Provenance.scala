@@ -23,9 +23,26 @@ object Provenance {
 
   def generatedAtUtc: String = java.time.Instant.now().toString
 
-  /** `"_commit":"…","_generated_at_utc":"…"` — splice into any JSON
-    * object literal.
+  /** Whether the working tree differs from the stamped commit — an
+    * artifact generated from a dirty tree carries provenance that
+    * cannot reproduce its content (ADVICE r11: a baseline was
+    * regenerated from an uncommitted tree and stamped with a commit
+    * that lacked one of its queries), so the stamp must say so.
     */
-  def jsonFields: String =
-    s""""_commit":"$commit","_generated_at_utc":"$generatedAtUtc""""
+  def dirty: Boolean =
+    try {
+      val p = new ProcessBuilder("git", "status", "--porcelain")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor()
+      p.exitValue == 0 && out.nonEmpty
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** `"_commit":"…","_generated_at_utc":"…"[,"_dirty_tree":true]` —
+    * splice into any JSON object literal.
+    */
+  def jsonFields: String = {
+    val d = if (dirty) ""","_dirty_tree":true""" else ""
+    s""""_commit":"$commit","_generated_at_utc":"$generatedAtUtc"$d"""
+  }
 }

@@ -1457,6 +1457,52 @@ object QueriesQuality {
     PostingsTerms, 20,
     candFilter = "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')")
 
+  /** q_postings_filt_batch — BATCHED access-controlled lexical serving
+    * ([[graft.llm.InvertedIndex.bm25TopKFilteredBatch]]): many queries,
+    * one allowed-id snapshot (the multi-tenant search endpoint) — ONE
+    * probed scan scores the whole batch with the filter semi-joined
+    * before the per-doc aggregation, corpus stats and df untouched
+    * (Lucene filtered-query semantics). The oracle unions the
+    * single-request filtered oracle per member, so batch ≡ single is
+    * driver-hash-checked like every other batch verb.
+    */
+  lazy val PostFiltBatch: Seq[(String, Seq[String])] =
+    Seq(("qa", PostingsTerms), ("qb", IncrTerms))
+
+  val qPostingsFilteredBatch: Q = (s, dir) => {
+    import s.implicits._
+    val allowed = Tables.documents(s, dir).where(col("lang") === "de")
+    val queriesDf = PostFiltBatch.toDF("qid", "terms")
+    graft.llm.InvertedIndex.bm25TopKFilteredBatch(s,
+        QueriesLlm.hybridIndexOf(s, dir), queriesDf, col("qid"),
+        col("terms"), allowed, col("doc_id"), topK = 20)
+      .select(col("qid"), col("id").as("doc_id"), col("score"))
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
+
+  lazy val qPostingsFilteredBatchSql: String = PostFiltBatch.map { case (m, ts) =>
+    s"""SELECT '$m' AS qid, doc_id, score FROM (
+       |${QueriesCurate.bm25OracleSql(ts, 20,
+          candFilter = "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')")}
+       |) AS member_$m""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY qid, score DESC, doc_id")
+
+  /** q_bm25_auto — the per-query serve-strategy pick
+    * ([[graft.llm.InvertedIndex.bm25TopKAuto]], Lucene's early-
+    * termination flip made automatic): the sidecar's cached term stats
+    * decide plain-vs-MaxScore per request at zero Spark-job cost, and
+    * because BOTH branches are exact the oracle is the plain BM25 SQL —
+    * the driver hash-checks that strategy choice can never change an
+    * answer (the cost side is SCALING.md's LONGPOST crossover table).
+    */
+  val qBm25Auto: Q = (s, dir) =>
+    graft.llm.InvertedIndex.bm25TopKAuto(s, QueriesLlm.hybridIndexOf(s, dir),
+        PostingsTerms, topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  val qBm25AutoSql: String = QueriesCurate.bm25OracleSql(PostingsTerms, 20)
+
   /** q_postings_and — conjunctive (all-MUST) lexical retrieval
     * ([[graft.llm.InvertedIndex.bm25TopKAnd]]): top-20 BM25 among
     * documents containing EVERY query term, served from the same
@@ -2395,6 +2441,8 @@ object QueriesQuality {
     "q_hybrid_indexed_batch" -> qHybridIndexedBatch,
     "q_postings_topk" -> qPostingsTopk,
     "q_postings_filtered" -> qPostingsFiltered,
+    "q_postings_filt_batch" -> qPostingsFilteredBatch,
+    "q_bm25_auto" -> qBm25Auto,
     "q_postings_and" -> qPostingsAnd,
     "q_snippets" -> qSnippets,
     "q_snippets_batch" -> qSnippetsBatch,
@@ -2444,6 +2492,8 @@ object QueriesQuality {
     "q_hybrid_indexed_batch" -> qHybridIndexedBatchSql,
     "q_postings_topk" -> qPostingsTopkSql,
     "q_postings_filtered" -> qPostingsFilteredSql,
+    "q_postings_filt_batch" -> qPostingsFilteredBatchSql,
+    "q_bm25_auto" -> qBm25AutoSql,
     "q_postings_and" -> qPostingsAndSql,
     "q_snippets" -> qSnippetsSql,
     "q_snippets_batch" -> qSnippetsBatchSql,

@@ -838,6 +838,46 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** Whether MaxScore's pruning is worth its extra probe action for
+    * this query, decided from sidecar stats alone: the plain serve's
+    * aggregation shuffles one row per posting of ANY query term, so the
+    * prunable mass is the NON-SEED terms' total df; below a threshold
+    * the probe's fixed job cost dominates (the measured crossover sits
+    * near 10^5 aggregated rows — SCALING.md's LONGPOST table: 1.16× at
+    * 78k non-seed postings, 0.68× at 784k). Pure driver arithmetic over
+    * the cached term stats — deciding costs zero Spark jobs.
+    */
+  private[llm] def maxScoreWorthwhile(dfs: Seq[Double],
+      minPruneRows: Double): Boolean =
+    dfs.size > 1 && (dfs.sum - dfs.min) >= minPruneRows
+
+  /** Per-query serve-strategy pick — Lucene's per-query
+    * early-termination flip made automatic: serve with
+    * [[bm25TopKMaxScore]] when the sidecar says the prunable posting
+    * mass exceeds `minPruneRows` ([[maxScoreWorthwhile]]), else the
+    * plain one-pass [[bm25TopK]]. Both branches are EXACT, so the pick
+    * changes cost, never an answer (spec-pinned); the decision reads
+    * only the cached `_terms` stats, so a warm pick launches no Spark
+    * job. The default threshold encodes the measured crossover
+    * (SCALING.md round 12); deployments tune it per cluster the way
+    * they tune any optimizer cost constant.
+    */
+  def bm25TopKAuto(spark: SparkSession, path: String,
+      queryTerms: Seq[String], topK: Int = 20,
+      asOfGen: Option[Long] = None,
+      minPruneRows: Double = 100000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qts = queryTerms.distinct
+    if (tombstones(spark, path).nonEmpty || !hasTermStats(spark, path))
+      return bm25TopK(spark, path, queryTerms, topK, asOfGen)
+    val st = readStats(spark, path, asOfGen)
+    val dfs = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
+      .valuesIterator.flatten.map(_.df).filter(_ > 0).toSeq
+    if (maxScoreWorthwhile(dfs, minPruneRows))
+      bm25TopKMaxScore(spark, path, queryTerms, topK, asOfGen)
+    else bm25TopK(spark, path, queryTerms, topK, asOfGen)
+  }
+
   /** FILTERED lexical serving — the access-controlled / tenant /
     * freshness retrieval case, the lexical twin of
     * [[graft.llm.IvfPq.serveFiltered]]: top-`topK` among ONLY the ids
@@ -936,7 +976,8 @@ object InvertedIndex {
     */
   private[llm] def bm25TopKBatchLocal(spark: SparkSession, path: String,
       pairs: Seq[(String, String)], topK: Int,
-      asOfGen: Option[Long]): DataFrame = {
+      asOfGen: Option[Long],
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val st = readStats(spark, path, asOfGen)
@@ -944,8 +985,12 @@ object InvertedIndex {
     require(allTerms.nonEmpty, "query batch must carry at least one term")
     val wanted = pairs.toDF("qid", "term")
     val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
+    // df stays WHOLE-corpus df even under a filter (Lucene filtered-query
+    // semantics: candidacy narrows, scoring arithmetic doesn't)
     val dfTable = dfTableFor(spark, path, allTerms, st.nBuckets, asOfGen, post)
-    val scored = post.join(broadcast(dfTable), "term")
+    val cand = allowedIds.fold(post)(ok =>
+      post.join(ok, Seq("doc_id"), "left_semi"))
+    val scored = cand.join(broadcast(dfTable), "term")
       .join(broadcast(wanted), "term") // fan out to interested queries
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("qid"), col("doc_id").as("id"))
@@ -954,6 +999,25 @@ object InvertedIndex {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
       .where(col("rk") <= topK).drop("rk")
+  }
+
+  /** BATCHED filtered lexical serving — [[bm25TopKFiltered]] at
+    * [[bm25TopKBatch]]'s amortization: many queries, one allowed-id
+    * snapshot (the multi-tenant search endpoint), ONE probed scan for
+    * the whole batch with the filter semi-joined before the per-doc
+    * aggregation. Corpus stats and df stay those of the whole index;
+    * per query the rows are EXACTLY [[bm25TopKFiltered]]'s
+    * (spec-pinned).
+    */
+  def bm25TopKFilteredBatch(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, terms: Column,
+      allowed: DataFrame, id: Column, topK: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val pairs = queries.select(qid.as("qid"), explode(terms).as("term"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    val ok = allowed.select(id.cast("long").as("doc_id")).distinct()
+    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen, Some(ok))
   }
 
   /** Exact-phrase top-`topK` over a POSITIONAL index ([[write]] with

@@ -726,6 +726,62 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("auto serve picks a strategy from sidecar stats and never changes an answer") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_auto").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    // both branches are exact, so the pick can never change an answer —
+    // force each branch via the threshold and compare to the plain serve
+    val want = pairs(InvertedIndex.bm25TopK(spark, idx, terms, topK = 20))
+    assert(pairs(InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = 20,
+      minPruneRows = 0.0)) === want)       // forces the MaxScore branch
+    assert(pairs(InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = 20,
+      minPruneRows = 1e12)) === want)      // forces the plain branch
+    // the decision variable is the NON-SEED posting mass (the rows the
+    // pruned aggregation can actually avoid), from cached stats alone
+    assert(!InvertedIndex.maxScoreWorthwhile(Seq(250.0), 100.0),
+      "single term has nothing to prune")
+    assert(!InvertedIndex.maxScoreWorthwhile(Seq(250.0, 3900.0, 3900.0), 100000.0),
+      "7.8k prunable rows sit below the measured crossover")
+    assert(InvertedIndex.maxScoreWorthwhile(Seq(25000.0, 392300.0, 392100.0), 100000.0),
+      "784k prunable rows sit past the crossover")
+    // tombstones pending -> plain fallback, still exact
+    InvertedIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), col("doc_id"))
+    val after = pairs(InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = 20,
+      minPruneRows = 0.0))
+    assert(after === pairs(InvertedIndex.bm25TopK(spark, idx, terms, topK = 20)))
+  }
+
+  test("filtered batch serving equals per-query bm25TopKFiltered under a shared filter") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_fbatch").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val allowed = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select("doc_id")
+    val batch = Seq(("qa", terms), ("qb", Seq("window", "scan", "merge")))
+    val queriesDf = batch.toDF("qid", "terms")
+    val got = InvertedIndex.bm25TopKFilteredBatch(spark, idx, queriesDf,
+        col("qid"), col("terms"), allowed, col("doc_id"), topK = 20)
+      .collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq)
+      .toMap
+    batch.foreach { case (q, ts) =>
+      val single = InvertedIndex.bm25TopKFiltered(spark, idx, ts, allowed,
+          col("doc_id"), topK = 20)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+        .toSeq
+      assert(got(q) === single, s"$q: filtered batch drifted")
+      assert(single.forall(_._1 % 3 != 0), s"$q: disallowed id leaked")
+    }
+  }
+
   test("stats sidecar cache never serves stale values across maintenance verbs") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c d")).toDF("doc_id", "text")

@@ -316,6 +316,31 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("warm vector serve constructs with zero Spark jobs (open-reader relation cache)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_warm").toString
+    IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, idx)
+    // first serve resolves + caches the relation (pays schema inference
+    // and the partition listing once per maintenance generation)
+    IvfPq.serve(spark, idx, cents, pqCents, anchor, nProbe = 2, topK = 10)
+      .collect()
+    spark.sparkContext.setJobGroup("warm_vec_probe", "warm vector routing")
+    val served = IvfPq.serve(spark, idx, cents, pqCents, anchor,
+      nProbe = 2, topK = 10)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("warm_vec_probe")
+    spark.sparkContext.clearJobGroup()
+    assert(jobs.isEmpty, s"warm-serve construction launched jobs: ${jobs.toSeq}")
+    assert(served.limit(1).collect().nonEmpty)
+    // a maintenance verb bumps the generation: the cached relation must
+    // refresh (stale file lists would throw or serve deleted rows)
+    IvfPq.delete(spark, idx, emb.where(col("vec_id") === 0).select("vec_id"),
+      col("vec_id"))
+    val after = IvfPq.serve(spark, idx, cents, pqCents, anchor,
+        nProbe = 2, topK = 10)
+      .collect().map(_.getAs[Long]("id"))
+    assert(!after.contains(0L), "tombstoned id served from a stale relation")
+  }
+
   test("merge of disjoint vector indexes equals a fresh build; source tombstones apply; raw/code mixing refuses") {
     val a = java.nio.file.Files.createTempDirectory("ivfpq_mrg_a").toString
     val b = java.nio.file.Files.createTempDirectory("ivfpq_mrg_b").toString

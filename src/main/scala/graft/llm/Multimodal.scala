@@ -328,32 +328,133 @@ object Multimodal {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     media.select(id.cast("long").as("media_id"), col("payload"), col("meta"))
       .withColumn("mbucket", InvertedIndex.docBucketCol(col("media_id"), nBuckets))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("mbucket").parquet(path)
-    import media.sparkSession.implicits._
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+    writeStoreMeta(media.sparkSession, path, nBuckets, gen = 0L)
+  }
+
+  /** One-row store metadata: bucket count + the maintenance generation
+    * (the [[IvfPq]] `_gen` discipline — every verb rewrites it, which
+    * also keys any external relation cache).
+    */
+  private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, nBuckets: Int, gen: Long): Unit = {
+    import spark.implicits._
+    Seq((nBuckets, gen)).toDF("n_buckets", "gen").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
   /** The store's bucket count, from its `_meta` sidecar. */
   def payloadStoreBuckets(spark: org.apache.spark.sql.SparkSession,
       path: String): Int =
-    spark.read.parquet(s"$path/_meta").head().getInt(0)
+    spark.read.parquet(s"$path/_meta").select("n_buckets").head().getInt(0)
+
+  /** The store's current maintenance generation (0 after write/compact). */
+  def payloadStoreGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    spark.read.parquet(s"$path/_meta").select("gen").head().getLong(0)
+
+  /** Merge NEW media rows into a live store — delta-sized, the
+    * [[InvertedIndex.append]] contract (updates/deletes route through
+    * [[deletePayloads]]/[[applyPayloadChangeFeed]]).
+    */
+  def appendPayloads(media: DataFrame, id: Column, path: String): Unit = {
+    val spark = media.sparkSession
+    val n = payloadStoreBuckets(spark, path)
+    val gen = payloadStoreGen(spark, path) + 1
+    media.select(id.cast("long").as("media_id"), col("payload"), col("meta"))
+      .withColumn("mbucket", InvertedIndex.docBucketCol(col("media_id"), n))
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("mbucket").parquet(path)
+    writeStoreMeta(spark, path, n, gen)
+  }
+
+  /** Lucene-style logical deletes: an O(|delete|) tombstone write makes
+    * the ids invisible to every fetch immediately; [[compactPayloads]]
+    * reclaims the bytes. Generation-stamped, so a later re-append of
+    * the same id (an upsert's second half) stays alive.
+    */
+  def deletePayloads(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, id: Column): Unit = {
+    val n = payloadStoreBuckets(spark, path)
+    val gen = payloadStoreGen(spark, path) + 1
+    ids.select(id.cast("long").as("media_id")).distinct()
+      .withColumn("gen", lit(gen))
+      .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+    writeStoreMeta(spark, path, n, gen)
+  }
+
+  /** Apply an (id, payload, meta, op) change feed: "upsert" replaces or
+    * adds the payload, "delete" removes it — two delta-sized steps
+    * against the live layout, the [[InvertedIndex.applyChangeFeed]]
+    * discipline (tombstone every touched id at generation g, re-append
+    * the upserted rows at g+1).
+    */
+  def applyPayloadChangeFeed(feed: DataFrame, id: Column, op: Column,
+      path: String): Unit = {
+    val spark = feed.sparkSession
+    deletePayloads(spark, path, feed.select(id.as("media_id")),
+      col("media_id"))
+    appendPayloads(feed.where(op === "upsert"), id, path)
+  }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) =>
+        val dead = t.select(col("media_id").as("_t_id"), col("gen").as("_t_gen"))
+        rows.join(org.apache.spark.sql.functions.broadcast(dead),
+          rows("media_id") === col("_t_id") && rows("gen") < col("_t_gen"),
+          "left_anti")
+      case None => rows
+    }
+
+  /** Rewrite the store without tombstoned rows — one store-sized pass,
+    * one file per bucket (healing append's small files), generations
+    * reset; after compact the store equals a fresh
+    * [[writePayloadStore]] over the live rows (spec-pinned).
+    */
+  def compactPayloads(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val n = payloadStoreBuckets(spark, path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    liveRows(spark, path, spark.read.parquet(path))
+      .drop("gen").withColumn("gen", lit(0L))
+      .repartition(col("mbucket"))
+      .write.mode("overwrite").partitionBy("mbucket").parquet(tmp)
+    writeStoreMeta(spark, tmp, n, gen = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
+  }
 
   /** Point-lookup fetch: (media_id, payload, meta) for `ids` — the ids
     * route driver-side to their `mbucket` directories
     * ([[InvertedIndex.docBucketOfLocal]]), so the scan carries a
     * partition filter plus an id predicate and its cost is ∝ |ids|,
     * never the store (spec-pinned: only the routed bucket directories
-    * are touched).
+    * are touched). Tombstoned rows are invisible; an upserted id
+    * returns its newest version (generation ordering).
     */
   def fetchPayloads(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[Long]): DataFrame = {
     require(ids.nonEmpty, "fetch requires at least one id")
     val n = payloadStoreBuckets(spark, path)
     val buckets = ids.map(InvertedIndex.docBucketOfLocal(_, n)).distinct
-    spark.read.parquet(path)
-      .where(col("mbucket").isin(buckets: _*) &&
-        col("media_id").isin(ids: _*))
+    liveRows(spark, path,
+      spark.read.parquet(path)
+        .where(col("mbucket").isin(buckets: _*) &&
+          col("media_id").isin(ids: _*)))
       .select("media_id", "payload", "meta")
   }
 

@@ -566,6 +566,43 @@ class LlmSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("payload store maintenance: upserts surface past their tombstone, deletes vanish, compact equals a rebuild") {
+    import spark.implicits._
+    val src = (0L until 40L).map(Tuple1(_)).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(src, col("doc_id")).persist()
+    val store = java.nio.file.Files.createTempDirectory("media_maint").toString
+    Multimodal.writePayloadStore(media, col("media_id"), store, nBuckets = 8)
+    // change feed: upsert ids 3 and 5 with DIFFERENT payloads (the
+    // recipe of id+100), delete id 7
+    val replacements = Multimodal.syntheticMedia(
+        Seq(103L, 105L).toDF("doc_id"), col("doc_id"))
+      .select((col("media_id") - 100L).as("media_id"), col("payload"),
+        col("meta"), lit("upsert").as("op"))
+    val feed = replacements.unionByName(
+      Multimodal.syntheticMedia(Seq(7L).toDF("doc_id"), col("doc_id"))
+        .select(col("media_id"), col("payload"), col("meta"),
+          lit("delete").as("op")))
+    Multimodal.applyPayloadChangeFeed(feed, col("media_id"), col("op"), store)
+    def fetched(ids: Seq[Long]) = Multimodal.fetchPayloads(spark, store, ids)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val got = fetched(Seq(3L, 5L, 7L, 11L))
+    assert(!got.contains(7L), "deleted id still fetchable")
+    val want103 = Multimodal.syntheticMedia(Seq(103L).toDF("doc_id"),
+      col("doc_id")).select("payload").head.getAs[Array[Byte]](0).toSeq
+    assert(got(3L) === want103, "upsert did not replace the payload")
+    val want11 = media.where(col("media_id") === 11L).select("payload")
+      .head.getAs[Array[Byte]](0).toSeq
+    assert(got(11L) === want11, "untouched id changed")
+    // compact makes the removal physical and equals a rebuild over the
+    // live rows: same fetches, tombstones gone, generation reset
+    Multimodal.compactPayloads(spark, store)
+    assert(Multimodal.payloadStoreGen(spark, store) === 0L)
+    assert(fetched(Seq(3L, 5L, 7L, 11L)) === got)
+    assert(spark.read.parquet(store).where(col("media_id") === 7L).count() === 0L,
+      "compact left dead bytes")
+    media.unpersist()
+  }
+
   test("rrf fuses ranked lists: overlap sums, misses contribute nothing") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")

@@ -60,7 +60,10 @@ object Fusion {
   def rrfFromIndex(spark: SparkSession, indexPath: String,
       queryTerms: Seq[String], topK: Int, dense: DataFrame,
       k: Int = 60): DataFrame = {
-    val lexical = InvertedIndex.bm25TopK(spark, indexPath, queryTerms, topK)
+    // auto strategy: the per-query plain-vs-MaxScore pick is zero-cost
+    // and exact, so hybrid requests get early termination for free on
+    // long-postings corpora
+    val lexical = InvertedIndex.bm25TopKAuto(spark, indexPath, queryTerms, topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
       .select("id", "rank")
@@ -86,7 +89,7 @@ object Fusion {
       queryVec: Array[Double], cents: Array[Array[Double]],
       pqCents: Array[Array[Array[Double]]], nProbe: Int, rerankR: Int,
       topK: Int, k: Int = 60): DataFrame = {
-    val lexical = InvertedIndex.bm25TopK(spark, lexIndexPath, queryTerms, topK)
+    val lexical = InvertedIndex.bm25TopKAuto(spark, lexIndexPath, queryTerms, topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
       .select("id", "rank")

@@ -1146,7 +1146,9 @@ object InvertedIndex {
     require(pad >= 0 && maxSpan >= 0, "pad and maxSpan must be >= 0")
     import spark.implicits._
     val st = readStats(spark, path, asOfGen)
-    val hits = bm25TopK(spark, path, queryTerms, topK, asOfGen).collect()
+    // auto strategy: the ranked phase flips to MaxScore when the sidecar
+    // says pruning pays (exact either way — the fetch is rank-agnostic)
+    val hits = bm25TopKAuto(spark, path, queryTerms, topK, asOfGen).collect()
     if (hits.isEmpty)
       return Seq.empty[(Long, Double, Int, Int, String)]
         .toDF("id", "score", "lo", "hi", "snippet")

@@ -170,6 +170,35 @@ object IncrBench {
         IvfPq.merge(spark, Seq(ivf, vSmall), vMerged)
       }
       vFeed.unpersist()
+
+      // payload-store maintenance symmetry (round 12): the media store
+      // runs the same fixed-size verbs — its build is payload-encode
+      // bound (real PNG/WAV bytes), so the delta-flat claim matters
+      // even more than for the slim posting/code rows
+      import graft.llm.Multimodal
+      val media = Multimodal.syntheticMedia(docs, col("doc_id"))
+      val mediaDelta = Multimodal.syntheticMedia(docDelta, col("doc_id"))
+      val store = graft.TempDirs.create(s"incr_media_$label")
+      out(s"media_build_$label") = timed {
+        Multimodal.writePayloadStore(media, col("media_id"), store,
+          nBuckets = 16)
+      }
+      out(s"media_append_$label") = timed1 {
+        Multimodal.appendPayloads(mediaDelta, col("media_id"), store)
+      }
+      val mFeed = mediaDelta.limit(500)
+        .select((col("media_id") + 1000000000L).as("media_id"),
+          col("payload"), col("meta"), lit("upsert").as("op"))
+        .unionByName(media.select(col("media_id"), col("payload"),
+          col("meta"), lit("delete").as("op"))
+          .orderBy("media_id").limit(500))
+      out(s"media_cdc_$label") = timed1 {
+        Multimodal.applyPayloadChangeFeed(mFeed, col("media_id"),
+          col("op"), store)
+      }
+      out(s"media_compact_$label") = timed1 {
+        Multimodal.compactPayloads(spark, store)
+      }
     }
     val json = out.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)

@@ -152,6 +152,34 @@ object DocStream {
         cents, pqCents, path)
     }
 
+  /** The payload-store twin of [[postingsDeltaSink]]: merge each
+    * micro-batch of (media_id, payload, meta) rows into a persisted
+    * media store via [[graft.llm.Multimodal.appendPayloads]] — the
+    * ingest tier for multimodal corpora, delta-priced by construction
+    * (IncrBench pins that append never pays the store's encode-bound
+    * build cost). Same `_applied` marker replay guard and
+    * at-least-once caveat as the index sinks.
+    */
+  def payloadDeltaSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Multimodal.appendPayloads(batch, col("media_id"), path)
+    }
+
+  /** The CRUD streaming twin of [[payloadDeltaSink]]: each micro-batch
+    * is a (media_id, payload, meta, op) change feed applied through
+    * [[graft.llm.Multimodal.applyPayloadChangeFeed]] — upserts replace
+    * payloads via the generation ordering, deletes tombstone. Same
+    * per-micro-batch well-formed-feed contract and `_applied` guard as
+    * [[postingsFeedSink]].
+    */
+  def payloadFeedSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => appliedOnce(batch, path, batchId) {
+      import org.apache.spark.sql.functions.col
+      graft.llm.Multimodal.applyPayloadChangeFeed(batch, col("media_id"),
+        col("op"), path)
+    }
+
   /** Streaming sketch maintenance: each micro-batch's items are reduced
     * to their ≤ depth×width CMS cell table and APPENDED under `path` —
     * the log-structured twin of [[graft.llm.Sketches.cmsCells]], folded

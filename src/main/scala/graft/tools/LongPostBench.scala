@@ -67,32 +67,11 @@ object LongPostBench {
     val got = rows(InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k))
     require(got == want, s"MaxScore != plain on $corpusDir for $terms")
 
-    // steal-resampled latency reps (Bench's discipline, minimal form)
-    def stealJiffies(): Long =
-      try {
-        val f = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        if (f.length > 8) f(8).toLong else 0L
-      } catch { case _: Throwable => 0L }
-    var retries = 0
-    def sampled(f: => Double): Double = {
-      var out = Double.NaN
-      while (out.isNaN) {
-        val s0 = stealJiffies()
-        val v = f
-        val st = (stealJiffies() - s0) * 10
-        if (st > 50 && st > 0.15 * v && retries < 40) retries += 1
-        else out = v
-      }
-      out
-    }
-    def runMs(df: => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.queryExecution.toRdd.foreach(_ => ())
-      (System.nanoTime() - t0) / 1e6
-    }
-    def pct(sorted: IndexedSeq[Double], p: Double): Double =
-      sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
+    // steal-resampled latency reps (Bench's discipline via LatSampling)
+    val lat = new LatSampling()
+    def sampled(f: => Double): Double = lat.sampled(f)
+    def runMs(df: => org.apache.spark.sql.DataFrame): Double = lat.runMs(df)
+    def pct(sorted: IndexedSeq[Double], p: Double): Double = lat.pct(sorted, p)
     // warm both paths (JIT + caches) before measuring
     (1 to 2).foreach { _ =>
       runMs(InvertedIndex.bm25TopK(spark, idx, terms, topK = k))
@@ -107,7 +86,7 @@ object LongPostBench {
     def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     val dfStr = terms.map(t => s""""$t":${dfs(t)}""").mkString("{", ",", "}")
     val line =
-      s"""{${Provenance.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"${rare._1}","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"ratio_p50":${f(pct(wand, 0.5) / pct(plain, 0.5) * 100).toDouble / 100},"reps":$reps,"steal_retries":$retries,"cpus":$cpus,"corpus":"$corpusDir"}"""
+      s"""{${Provenance.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"${rare._1}","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"ratio_p50":${f(pct(wand, 0.5) / pct(plain, 0.5) * 100).toDouble / 100},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

@@ -81,12 +81,20 @@ object LongPostBench {
       InvertedIndex.bm25TopK(spark, idx, terms, topK = k)))).sorted
     val wand = (1 to reps).map(_ => sampled(runMs(
       InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k)))).sorted
+    // the AUTO pick's row: its p50 should track whichever branch is
+    // cheaper at this scale point — the measured validation of the
+    // default crossover threshold
+    val auto = (1 to reps).map(_ => sampled(runMs(
+      InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = k)))).sorted
+    // which branch auto took (recomputed from the same stats it reads)
+    val nonSeedMass = terms.map(t => dfs(t).toDouble).sorted.drop(1).sum
+    val autoPick = if (nonSeedMass >= 100000.0) "maxscore" else "plain"
 
     val nDocs = InvertedIndex.readStats(spark, idx).nDocs.toLong
     def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     val dfStr = terms.map(t => s""""$t":${dfs(t)}""").mkString("{", ",", "}")
     val line =
-      s"""{${Provenance.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"${rare._1}","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"ratio_p50":${f(pct(wand, 0.5) / pct(plain, 0.5) * 100).toDouble / 100},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
+      s"""{${Provenance.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"${rare._1}","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${f(pct(wand, 0.5) / pct(plain, 0.5) * 100).toDouble / 100},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

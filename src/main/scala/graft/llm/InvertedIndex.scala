@@ -809,10 +809,15 @@ object InvertedIndex {
       .orderBy(col("part").desc).limit(topK).collect()
     if (probeTop.length < topK)
       return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    // snap the bound DOWN onto the 4-dp score grid: k docs' rounded
-    // full scores are ≥ this grid point (rounding is monotone), and the
-    // half-ulp margin below makes pruning strict even under the grid
-    val theta = math.floor(probeTop.last.getDouble(0) * 1e4 + 0.5) / 1e4
+    // snap the bound onto the 4-dp score grid with EXACTLY the engine's
+    // rounding (Spark's round(x,4) = BigDecimal HALF_UP of the double —
+    // a float-arithmetic snap like floor(x*1e4+0.5)/1e4 can disagree by
+    // one grid step at exact-.5 representation boundaries, which would
+    // break the tie argument below): k docs' rounded full scores are ≥
+    // this grid point (rounding is monotone), and the half-ulp margin
+    // below makes pruning strict even under the grid
+    val theta = BigDecimal(probeTop.last.getDouble(0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     // maximal low-UB suffix (seed excluded — it anchors the candidates)
     // with ΣUB strictly under θ minus a half-ulp of the 4-dp grid: a
     // raw score below that margin cannot ROUND up to θ, so a pruned doc

@@ -86,9 +86,16 @@ object Bench {
       try {
         val f = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        // total minus idle (4) and iowait (5); fields are 1-based after "cpu"
+        // fields after "cpu": user nice system idle(3) iowait(4) irq
+        // softirq steal(7) guest(8) guest_nice(9). Busy = compute the
+        // host actually ran for someone: exclude idle/iowait, but ALSO
+        // steal (recorded separately as steal_ms — summing it here
+        // double-reported contention) and guest/guest_nice (already
+        // accounted inside user/nice, so adding them double-counts VM
+        // compute) — ADVICE r12
         val vals = f.drop(1).map(_.toLong)
-        vals.sum - vals(3) - (if (vals.length > 4) vals(4) else 0L)
+        def at(i: Int) = if (vals.length > i) vals(i) else 0L
+        vals.sum - at(3) - at(4) - at(7) - at(8) - at(9)
       } catch { case _: Throwable => 0L }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def procCpuMs(): Long = osBean match {

@@ -81,8 +81,7 @@ object IvfPq {
     * a stale relation can never serve; a warm serve's construction makes
     * one single-directory listStatus call.
     */
-  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (String, DataFrame)]()
+  private val relationCache = new RelationCache()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_gen")
@@ -90,15 +89,7 @@ object IvfPq {
     val sig = fs.listStatus(p).map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
-    // DataFrames are session-bound: key by session identity too
-    val key = (System.identityHashCode(spark), path)
-    val hit = relationCache.get(key)
-    if (hit != null && hit._1 == sig) hit._2
-    else {
-      val df = spark.read.parquet(path)
-      relationCache.put(key, (sig, df))
-      df
-    }
+    relationCache.getOrResolve(spark, path, sig)(spark.read.parquet(path))
   }
 
   /** Merge a delta snapshot into an existing index: encode ONLY the

@@ -9,17 +9,29 @@ package graft.tools
   */
 object Provenance {
 
-  /** HEAD commit of the git repo at the process CWD, or "unknown" when
-    * git is unavailable (e.g. artifacts regenerated outside the repo).
+  /** The repo root git commands run against — pinned rather than
+    * inherited from the process CWD (ADVICE r12: a bench tool launched
+    * from outside the repo silently stamped artifacts "clean" because
+    * `git status` ran in a non-repo directory).
     */
-  def commit: String =
+  private def repoRoot: java.io.File =
+    new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo"))
+
+  private def git(args: String*): Option[String] =
     try {
-      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
-        .redirectErrorStream(true).start()
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .directory(repoRoot).redirectErrorStream(true).start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       p.waitFor()
-      if (p.exitValue == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
-    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+      if (p.exitValue == 0) Some(out) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** HEAD commit of the repo at [[repoRoot]], or "unknown" when git is
+    * unavailable (e.g. artifacts regenerated outside the repo).
+    */
+  def commit: String =
+    git("rev-parse", "HEAD").filter(_.matches("[0-9a-f]{40}"))
+      .getOrElse("unknown")
 
   def generatedAtUtc: String = java.time.Instant.now().toString
 
@@ -28,21 +40,21 @@ object Provenance {
     * cannot reproduce its content (ADVICE r11: a baseline was
     * regenerated from an uncommitted tree and stamped with a commit
     * that lacked one of its queries), so the stamp must say so.
+    * None = git itself failed, which must surface as "unknown" rather
+    * than silently clean (ADVICE r12) — the flag exists precisely for
+    * the runs where provenance is in doubt.
     */
-  def dirty: Boolean =
-    try {
-      val p = new ProcessBuilder("git", "status", "--porcelain")
-        .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      p.waitFor()
-      p.exitValue == 0 && out.nonEmpty
-    } catch { case scala.util.control.NonFatal(_) => false }
+  def dirty: Option[Boolean] = git("status", "--porcelain").map(_.nonEmpty)
 
-  /** `"_commit":"…","_generated_at_utc":"…"[,"_dirty_tree":true]` —
-    * splice into any JSON object literal.
+  /** `"_commit":"…","_generated_at_utc":"…"[,"_dirty_tree":true|"unknown"]`
+    * — splice into any JSON object literal.
     */
   def jsonFields: String = {
-    val d = if (dirty) ""","_dirty_tree":true""" else ""
+    val d = dirty match {
+      case Some(true) => ""","_dirty_tree":true"""
+      case Some(false) => ""
+      case None => ""","_dirty_tree":"unknown""""
+    }
     s""""_commit":"$commit","_generated_at_utc":"$generatedAtUtc"$d"""
   }
 }

@@ -122,21 +122,12 @@ object InvertedIndex {
     * stale relation can never serve, and a warm serve's construction
     * makes one single-directory listStatus call per cached read.
     */
-  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (String, DataFrame)]()
+  private val relationCache = new RelationCache()
 
   private def readCached(spark: SparkSession, path: String,
       dir: String): DataFrame = {
     val sig = statsSignature(spark, path)
-    // DataFrames are session-bound: key by session identity too
-    val key = (System.identityHashCode(spark), dir)
-    val hit = relationCache.get(key)
-    if (hit != null && hit._1 == sig) hit._2
-    else {
-      val df = spark.read.parquet(dir)
-      relationCache.put(key, (sig, df))
-      df
-    }
+    relationCache.getOrResolve(spark, dir, sig)(spark.read.parquet(dir))
   }
 
   private def docsPath(path: String) = s"$path/_docs"
@@ -203,27 +194,56 @@ object InvertedIndex {
       .partitionBy("dbucket").parquet(docsPath(path))
   }
 
+  /** How many top-impact (tf, dl) pairs each `_terms` row stores —
+    * covers the default topK = 20 with headroom; a serve asking for a
+    * deeper k than the stored impacts falls back to the probe-derived
+    * bound.
+    */
+  private val StoredImpacts = 32
+
   /** PER-TERM STATS SIDECAR (`_terms`, VERDICT r10 item 3): df is index
     * metadata, not per-request work — Lucene serves it from TermStates,
     * and so does this layout. One row per (bucket, term, generation):
     * document frequency plus the WAND-style score-bound ingredients
     * (max tf, min dl — the per-term partial score is monotone up in tf,
     * down in dl, so f(tf_max, dl_min) bounds every posting's
-    * contribution under ANY current avgdl). Write/compact/merge compute
-    * it from the just-written postings (index-sized read-back, the
-    * compact-stats discipline); append adds delta-sized rows, and a
-    * reader folds generations exactly (df sums, max of maxes, min of
-    * mins). Serving uses it ONLY while no tombstones are pending:
-    * logical deletes change live df, so a tombstoned index falls back
-    * to exact live-postings df until [[compact]] (which also rewrites
-    * this sidecar).
+    * contribution under ANY current avgdl), plus the term's top
+    * [[StoredImpacts]] (tf, dl) posting pairs by tf — Lucene's
+    * impact/block-max metadata re-expressed for this layout (round 13):
+    * the pairs are REAL postings of distinct documents, so at serve
+    * time their partial scores under the CURRENT corpus scalars are
+    * exact per-doc score lower bounds, and MaxScore's θ threshold
+    * derives from cached sidecar stats with ZERO Spark jobs (the old
+    * θ-probe was a whole TakeOrdered action per request).
+    * Write/compact/merge compute it all from the just-written postings
+    * (index-sized read-back, the compact-stats discipline); append adds
+    * delta-sized rows, and a reader folds generations exactly (df sums,
+    * max of maxes, min of mins, union of impact pairs — append ids are
+    * NEW, so pairs across generations stay distinct documents).
+    * Serving uses it ONLY while no tombstones are pending: logical
+    * deletes change live df (and can kill a stored pair's doc), so a
+    * tombstoned index falls back to exact live-postings df until
+    * [[compact]] (which also rewrites this sidecar).
     */
   private def writeTermStats(spark: SparkSession, path: String,
       postRows: DataFrame, gen: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // top-impact rank INSIDE the same (bucket, term) shuffle the
+    // aggregation needs — the window's partitioning is reused by the
+    // groupBy, so the impact metadata costs no extra exchange; the
+    // collect_list is bounded at StoredImpacts rows per term (never a
+    // whole posting list — a corpus-frequent term at 100 TB would
+    // otherwise make this agg unbounded)
+    val rn = row_number().over(Window.partitionBy("bucket", "term")
+      .orderBy(col("tf").desc, col("dl").asc, col("doc_id")))
     postRows
+      .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
+      .withColumn("_rn", rn)
       .groupBy("bucket", "term")
       .agg(count(lit(1)).cast("double").as("df"),
-        max("tf").as("tf_max"), min("dl").as("dl_min"))
+        max("tf").as("tf_max"), min("dl").as("dl_min"),
+        sort_array(collect_list(when(col("_rn") <= StoredImpacts,
+          struct(col("tf"), col("dl")))), asc = false).as("tops"))
       .withColumn("gen", lit(gen))
       .write.mode(if (gen == 0L) "overwrite" else "append")
       .partitionBy("bucket").parquet(termsPath(path))
@@ -231,8 +251,12 @@ object InvertedIndex {
     ()
   }
 
-  /** Folded per-term stats, driver-side. */
-  final case class TermStats(df: Double, tfMax: Double, dlMin: Double)
+  /** Folded per-term stats, driver-side. `tops` = stored top-impact
+    * (tf, dl) pairs (distinct live documents; possibly fewer than
+    * [[StoredImpacts]] for rare terms, empty for pre-r13 sidecars).
+    */
+  final case class TermStats(df: Double, tfMax: Double, dlMin: Double,
+      tops: Seq[(Double, Double)] = Seq.empty)
 
   /** Serve-side per-term stats cache (the [[statsCache]] move): repeat
     * serves of warm terms pay ZERO Spark jobs for df. Misses trigger ONE
@@ -277,28 +301,32 @@ object InvertedIndex {
       // explicit schema: an all-tombstoned compact leaves an EMPTY
       // `_terms` directory, where inference would fail and "no stats
       // rows" is the true answer
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("term",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("df",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("tf_max",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("dl_min",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("gen",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.IntegerType)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("term", StringType),
+        StructField("df", DoubleType),
+        StructField("tf_max", DoubleType),
+        StructField("dl_min", DoubleType),
+        // absent in pre-r13 sidecars -> null, folded away by collect_list
+        StructField("tops", ArrayType(StructType(Seq(
+          StructField("tf", DoubleType), StructField("dl", DoubleType))))),
+        StructField("gen", LongType),
+        StructField("bucket", IntegerType)))
       val base = spark.read.schema(schema).parquet(termsPath(path))
         .where(col("bucket").isin(buckets: _*) && col("term").isin(want: _*))
       asOfGen.fold(base)(g => base.where(col("gen") <= g))
         .groupBy("term")
         .agg(sum("df").as("df"), max("tf_max").as("tf_max"),
-          min("dl_min").as("dl_min"))
+          min("dl_min").as("dl_min"),
+          flatten(collect_list(col("tops"))).as("tops"))
         .collect()
-        .map(r => r.getString(0) -> TermStats(r.getDouble(1),
-          r.getDouble(2), r.getDouble(3))).toMap
+        .map { r =>
+          val tops = Option(r.getSeq[org.apache.spark.sql.Row](4))
+            .getOrElse(Seq.empty)
+            .map(p => (p.getDouble(0), p.getDouble(1)))
+          r.getString(0) -> TermStats(r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), tops)
+        }.toMap
     }
     if (asOfGen.isDefined)
       return terms.map(t => t -> None).toMap ++
@@ -739,6 +767,127 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** The engine's 4-dp score-grid snap — EXACTLY Spark's round(x,4)
+    * (BigDecimal HALF_UP of the double; a float-arithmetic snap like
+    * floor(x*1e4+0.5)/1e4 can disagree by one grid step at exact-.5
+    * representation boundaries, which would break MaxScore's tie
+    * argument).
+    */
+  private def grid4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def idfOf(st: Stats)(df: Double): Double =
+    math.log((st.nDocs - df + 0.5) / (df + 0.5) + 1)
+
+  /** The per-posting BM25 partial, driver-side — the same arithmetic as
+    * [[bm25Part]] with the corpus scalars applied.
+    */
+  private def partOf(st: Stats, df: Double)(tf: Double, dl: Double): Double =
+    idfOf(st)(df) * tf * (Bm25.K1 + 1) /
+      (tf + Bm25.K1 * (1 - Bm25.B + Bm25.B * dl / st.avgdl))
+
+  /** MaxScore's θ threshold from the sidecar's stored impact pairs —
+    * ZERO Spark jobs (round 13; the old per-request θ-probe was a whole
+    * TakeOrdered action). For each query term with ≥ k stored (tf, dl)
+    * pairs, those pairs are real postings of k DISTINCT documents, so
+    * each doc's full score under the CURRENT scalars is ≥ its partial:
+    * the k-th largest stored partial lower-bounds the final k-th score.
+    * θ = the best such bound across the query's terms, snapped onto the
+    * engine's 4-dp grid (rounding is monotone, so the k backing docs'
+    * ROUNDED scores are ≥ this grid point too). None when no term
+    * stores k pairs (rare-terms-only query, pre-r13 sidecar, or
+    * topK > [[StoredImpacts]]) — callers fall back to the probe.
+    *
+    * NOT valid under an allowed-id filter: a stored pair's doc may be
+    * disallowed, and a θ backed by disallowed docs can exceed the true
+    * filtered k-th score and over-prune — filtered serves must probe.
+    */
+  private def thetaFromStats(stats: Map[String, TermStats], st: Stats,
+      topK: Int): Option[Double] = {
+    val lbs = stats.valuesIterator.flatMap { ts =>
+      if (ts.tops.length < topK) None
+      else Some(ts.tops.map { case (tf, dl) => partOf(st, ts.df)(tf, dl) }
+        .sorted(Ordering[Double].reverse)(topK - 1))
+    }.toSeq
+    if (lbs.isEmpty) None else Some(grid4(lbs.max))
+  }
+
+  /** θ from a probe over the rarest present term's postings — the
+    * fallback when stored impacts can't bound (and the ONLY sound θ
+    * under an allowed filter, which then restricts the probe): one slim
+    * TakeOrdered action, df a driver literal from the sidecar. None
+    * when the (allowed) seed postings hold fewer than k docs.
+    */
+  private def probeTheta(spark: SparkSession, path: String,
+      stats: Map[String, TermStats], st: Stats, topK: Int,
+      asOfGen: Option[Long], allowed: Option[DataFrame]): Option[Double] = {
+    val seed = stats.minBy { case (t, ts) => (ts.df, t) }._1
+    val post0 = probedPostings(spark, path, Seq(seed), st.nBuckets, asOfGen)
+    val post = allowed.fold(post0)(ok =>
+      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val probeTop = post
+      .select((lit(idfOf(st)(stats(seed).df)) * col("tf") * (Bm25.K1 + 1) /
+        (col("tf") + lit(Bm25.K1) *
+          (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl))).as("part"))
+      .orderBy(col("part").desc).limit(topK).collect()
+    if (probeTop.length < topK) None
+    else Some(grid4(probeTop.last.getDouble(0)))
+  }
+
+  /** Per-term partial-score upper bounds under the current scalars:
+    * UB_t = idf_t·(K1+1)·tf_max/(tf_max + K1·(1−B+B·dl_min/avgdl)) —
+    * the partial is monotone up in tf and down in dl, so f(tf_max,
+    * dl_min) bounds every posting's contribution.
+    */
+  private def ubOf(stats: Map[String, TermStats], st: Stats): Map[String, Double] =
+    stats.map { case (t, ts) => t -> partOf(st, ts.df)(ts.tfMax, ts.dlMin) }
+
+  /** The maximal low-UB suffix with ΣUB strictly under θ minus a
+    * half-ulp of the 4-dp grid: a doc appearing ONLY in these terms has
+    * raw score below that margin, so it cannot ROUND up to θ — it can't
+    * even tie the k-th result. No anchor term is needed: θ's k backing
+    * docs score ≥ θ > ΣUB(non-essential), so each must appear in some
+    * essential list, which also proves the suffix can never swallow
+    * every term under an honest θ.
+    */
+  private def nonEssentialSuffix(stats: Map[String, TermStats],
+      ub: Map[String, Double], theta: Double): Set[String] = {
+    val byUbAsc = stats.keys.toSeq.sortBy(t => (ub(t), t))
+    var acc = 0.0
+    byUbAsc.takeWhile { t => acc += ub(t); acc < theta - 0.00005 }.toSet
+  }
+
+  /** The pruned serving plan shared by the single, filtered, and
+    * batched MaxScore paths: candidates = docs seen in an essential
+    * term's (allowed-filtered) postings, semi-joined back onto the full
+    * probed rows before the per-doc aggregation — the aggregation/
+    * shuffle no longer grows with the COMMON terms' posting lengths.
+    * None when nothing is prunable under θ (callers serve plain).
+    */
+  private def maxScorePlan(spark: SparkSession, path: String,
+      qts: Seq[String], stats: Map[String, TermStats], st: Stats,
+      theta: Double, topK: Int, asOfGen: Option[Long],
+      allowed: Option[DataFrame]): Option[DataFrame] = {
+    val nonEssential = nonEssentialSuffix(stats, ubOf(stats, st), theta)
+    if (nonEssential.isEmpty || nonEssential.size == stats.size) return None
+    val essential = stats.keys.filterNot(nonEssential).toSeq
+    val post0 = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
+    // candidacy narrows under a filter; df stays whole-corpus (Lucene
+    // filtered-query semantics), served from the sidecar cache
+    val post = allowed.fold(post0)(ok =>
+      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post0)
+    val candidates = post.where(col("term").isin(essential: _*))
+      .select("doc_id")
+    Some(post.join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
+      .join(broadcast(dfTable), "term")
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK))
+  }
+
   /** MaxScore / WAND-lite serving (VERDICT r10 item 3's early-
     * termination ask, re-expressed for a set-oriented engine): EXACTLY
     * [[bm25TopK]]'s answer — same scores, same rounding, same
@@ -747,39 +896,30 @@ object InvertedIndex {
     *
     * The classic DAAT MaxScore needs a running threshold and skip
     * lists; the distributed re-expression uses the `_terms` sidecar's
-    * stored bounds (df, tf_max, dl_min) and two bounded actions
-    * (VERDICT r11 item 1 collapsed the old three-job plan):
+    * stored bounds alone (round 13 — the r11/r12 versions paid a
+    * θ-probe action per request):
     *
-    *  1. θ-probe: the k-th largest SEED-TERM PARTIAL among the rarest
-    *     query term's postings — one TakeOrdered over a single term's
-    *     bucket-pruned list, df a driver literal from the sidecar: no
-    *     join, no aggregation, no broadcast build. Each of those k docs'
-    *     FULL score is ≥ its seed partial (partials are non-negative),
-    *     so θ = round₄(kth partial) lower-bounds the final k-th ROUNDED
-    *     score (rounding is monotone).
-    *  2. Partition the NON-SEED terms by their upper bound
-    *     UB_t = idf_t·(K1+1)·tf_max/(tf_max + K1·(1−B+B·dl_min/avgdl))
-    *     (monotone up in tf, down in dl, so it bounds every posting's
-    *     partial under the CURRENT scalars): the maximal low-UB suffix
-    *     with ΣUB < θ − ε is non-essential — a doc appearing ONLY there
-    *     scores strictly under the 4-dp grid point θ sits on, so even
-    *     the id tie-break can't resurrect it. The seed is always
-    *     essential, so the probe's docs stay candidates by construction
-    *     and the final pass scores exactly the docs seen in an
-    *     essential list.
+    *  1. θ from STORED IMPACTS ([[thetaFromStats]]): each term's
+    *     persisted top-k (tf, dl) pairs are real postings of distinct
+    *     docs, so their partials under the current scalars are per-doc
+    *     score lower bounds — the max k-th across the query's terms is
+    *     a sound θ with zero Spark jobs (warm serve: zero driver jobs
+    *     for the whole routing). Probe fallback when no term stores k
+    *     pairs.
+    *  2. The maximal low-UB suffix with ΣUB < θ − ε is non-essential
+    *     ([[nonEssentialSuffix]]); the final pass scores exactly the
+    *     docs seen in an essential list ([[maxScorePlan]]).
     *
-    * Cost: the probe reads one term's postings and moves k scalars; the
-    * final pass aggregates candidate-sized rows instead of every doc
-    * any query term touches — the aggregation/shuffle no longer grows
-    * with the COMMON terms' posting lengths, which is the regime the
-    * operator exists for (posting lists that grow with the corpus; the
-    * long-postings latency table in SCALING.md measures the crossover).
-    * (The probed SCAN still reads the same buckets — skip-list reads
-    * inside a parquet scan would need a custom reader; the
-    * impact-ordered layout keeps that door open.) Falls back to
+    * Cost: ONE action, same as the plain serve, but the aggregation
+    * moves candidate-sized rows instead of every doc any query term
+    * touches — the regime the operator exists for (posting lists that
+    * grow with the corpus; the LONGPOST artifacts measure the
+    * crossover). (The probed SCAN still reads the same buckets —
+    * skip-list reads inside a parquet scan would need a custom reader;
+    * the impact-ordered layout keeps that door open.) Falls back to
     * [[bm25TopK]] when the sidecar is unusable (tombstones pending) or
-    * pruning can't help (≤ 1 present term, or fewer than k probe docs,
-    * or nothing prunable under θ).
+    * pruning can't help (≤ 1 present term, no θ, or nothing prunable
+    * under θ).
     */
   def bm25TopKMaxScore(spark: SparkSession, path: String,
       queryTerms: Seq[String], topK: Int = 20,
@@ -793,54 +933,11 @@ object InvertedIndex {
       .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
     if (stats.size <= 1)
       return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    def idf(df: Double): Double =
-      math.log((st.nDocs - df + 0.5) / (df + 0.5) + 1)
-    val ub: Map[String, Double] = stats.map { case (t, ts) =>
-      t -> idf(ts.df) * (Bm25.K1 + 1) * ts.tfMax /
-        (ts.tfMax + Bm25.K1 * (1 - Bm25.B + Bm25.B * ts.dlMin / st.avgdl))
-    }
-    val seed = stats.minBy { case (t, ts) => (ts.df, t) }._1
-    // θ-probe: one slim TakeOrdered over the seed term's postings —
-    // the partial formula inlined with the sidecar df as a literal
-    val probeTop = probedPostings(spark, path, Seq(seed), st.nBuckets, asOfGen)
-      .select((lit(idf(stats(seed).df)) * col("tf") * (Bm25.K1 + 1) /
-        (col("tf") + lit(Bm25.K1) *
-          (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl))).as("part"))
-      .orderBy(col("part").desc).limit(topK).collect()
-    if (probeTop.length < topK)
-      return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    // snap the bound onto the 4-dp score grid with EXACTLY the engine's
-    // rounding (Spark's round(x,4) = BigDecimal HALF_UP of the double —
-    // a float-arithmetic snap like floor(x*1e4+0.5)/1e4 can disagree by
-    // one grid step at exact-.5 representation boundaries, which would
-    // break the tie argument below): k docs' rounded full scores are ≥
-    // this grid point (rounding is monotone), and the half-ulp margin
-    // below makes pruning strict even under the grid
-    val theta = BigDecimal(probeTop.last.getDouble(0))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // maximal low-UB suffix (seed excluded — it anchors the candidates)
-    // with ΣUB strictly under θ minus a half-ulp of the 4-dp grid: a
-    // raw score below that margin cannot ROUND up to θ, so a pruned doc
-    // can't even tie the k-th candidate
-    val byUbAsc = stats.keys.filterNot(_ == seed).toSeq.sortBy(t => (ub(t), t))
-    var acc = 0.0
-    val nonEssential = byUbAsc.takeWhile { t =>
-      acc += ub(t); acc < theta - 0.00005
-    }.toSet
-    if (nonEssential.isEmpty)
-      return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    val essential = stats.keys.filterNot(nonEssential).toSeq
-    val post = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
-    val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post)
-    val candidates = post.where(col("term").isin(essential: _*))
-      .select("doc_id")
-    post.join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
-      .join(broadcast(dfTable), "term")
-      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
-      .groupBy(col("doc_id").as("id"))
-      .agg(round(sum("part"), 4).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
+    thetaFromStats(stats, st, topK)
+      .orElse(probeTheta(spark, path, stats, st, topK, asOfGen, None))
+      .flatMap(theta =>
+        maxScorePlan(spark, path, qts, stats, st, theta, topK, asOfGen, None))
+      .getOrElse(bm25TopK(spark, path, queryTerms, topK, asOfGen))
   }
 
   /** Whether MaxScore's pruning is worth its extra probe action for
@@ -856,6 +953,32 @@ object InvertedIndex {
       minPruneRows: Double): Boolean =
     dfs.size > 1 && (dfs.sum - dfs.min) >= minPruneRows
 
+  /** The default [[maxScoreWorthwhile]] crossover: prunable posting
+    * mass (non-seed df sum) below this serves plain. Encodes the
+    * measured crossover (SCALING.md round 12); deployments tune it per
+    * cluster the way they tune any optimizer cost constant.
+    */
+  val DefaultMinPruneRows = 100000.0
+
+  /** The serve-strategy decision itself ("maxscore" | "plain"), exposed
+    * so callers measuring or logging the pick read the SAME source the
+    * engine serves from (ADVICE r12: LongPostBench re-derived the pick
+    * from a corpus df table and could drift from the sidecar the engine
+    * actually reads). Pure driver arithmetic over the cached `_terms`
+    * stats — a warm decision launches zero Spark jobs.
+    */
+  def pickStrategy(spark: SparkSession, path: String,
+      queryTerms: Seq[String], asOfGen: Option[Long] = None,
+      minPruneRows: Double = DefaultMinPruneRows): String = {
+    if (tombstones(spark, path).nonEmpty || !hasTermStats(spark, path))
+      return "plain"
+    val st = readStats(spark, path, asOfGen)
+    val dfs = termStatsFor(spark, path, queryTerms.distinct, st.nBuckets,
+        asOfGen)
+      .valuesIterator.flatten.map(_.df).filter(_ > 0).toSeq
+    if (maxScoreWorthwhile(dfs, minPruneRows)) "maxscore" else "plain"
+  }
+
   /** Per-query serve-strategy pick — Lucene's per-query
     * early-termination flip made automatic: serve with
     * [[bm25TopKMaxScore]] when the sidecar says the prunable posting
@@ -863,22 +986,14 @@ object InvertedIndex {
     * plain one-pass [[bm25TopK]]. Both branches are EXACT, so the pick
     * changes cost, never an answer (spec-pinned); the decision reads
     * only the cached `_terms` stats, so a warm pick launches no Spark
-    * job. The default threshold encodes the measured crossover
-    * (SCALING.md round 12); deployments tune it per cluster the way
-    * they tune any optimizer cost constant.
+    * job.
     */
   def bm25TopKAuto(spark: SparkSession, path: String,
       queryTerms: Seq[String], topK: Int = 20,
       asOfGen: Option[Long] = None,
-      minPruneRows: Double = 100000.0): DataFrame = {
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val qts = queryTerms.distinct
-    if (tombstones(spark, path).nonEmpty || !hasTermStats(spark, path))
-      return bm25TopK(spark, path, queryTerms, topK, asOfGen)
-    val st = readStats(spark, path, asOfGen)
-    val dfs = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
-      .valuesIterator.flatten.map(_.df).filter(_ > 0).toSeq
-    if (maxScoreWorthwhile(dfs, minPruneRows))
+    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows) == "maxscore")
       bm25TopKMaxScore(spark, path, queryTerms, topK, asOfGen)
     else bm25TopK(spark, path, queryTerms, topK, asOfGen)
   }
@@ -900,12 +1015,33 @@ object InvertedIndex {
     */
   def bm25TopKFiltered(spark: SparkSession, path: String,
       queryTerms: Seq[String], allowed: DataFrame, id: Column,
-      topK: Int = 20, asOfGen: Option[Long] = None): DataFrame = {
+      topK: Int = 20, asOfGen: Option[Long] = None,
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val ok = allowed.select(id.cast("long").as("doc_id")).distinct()
+    // per-query strategy pick (VERDICT r12 item 4): in the long-postings
+    // regime the filtered serve prunes exactly like the unfiltered one —
+    // but θ must come from an ALLOWED-restricted probe ([[probeTheta]]):
+    // stored impact pairs may be disallowed docs, whose scores don't
+    // count in the filtered ranking, so a jobless θ could over-prune.
+    // The probe action is gated on the same worthwhile() crossover, so
+    // short-postings queries never pay it. Exact either way
+    // (spec-pinned ≡ the plain filtered serve).
+    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows) == "maxscore") {
+      val qts = queryTerms.distinct
+      val st = readStats(spark, path, asOfGen)
+      val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
+        .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+      if (stats.size > 1) {
+        val pruned = probeTheta(spark, path, stats, st, topK, asOfGen, Some(ok))
+          .flatMap(theta => maxScorePlan(spark, path, qts, stats, st, theta,
+            topK, asOfGen, Some(ok)))
+        if (pruned.isDefined) return pruned.get
+      }
+    }
     val st = readStats(spark, path, asOfGen)
     val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
     val dfTable = dfTableFor(spark, path, queryTerms, st.nBuckets, asOfGen, post)
-    val ok = allowed.select(id.cast("long").as("doc_id")).distinct()
     post.join(ok, Seq("doc_id"), "left_semi")
       .join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
@@ -960,7 +1096,8 @@ object InvertedIndex {
     */
   def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qid: Column, terms: Column, topK: Int = 20,
-      asOfGen: Option[Long] = None): DataFrame = {
+      asOfGen: Option[Long] = None,
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     // the batch's (qid, term) pairs drive the one probed scan; a query
     // batch is request-sized (thousands of terms at most), so collecting
     // it ONCE is bounded by construction — and materializing here means
@@ -970,7 +1107,8 @@ object InvertedIndex {
     val pairs = queries.select(qid.as("qid"), explode(terms).as("term"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
-    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen)
+    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen,
+      minPruneRows = minPruneRows)
   }
 
   /** [[bm25TopKBatch]] over an already-materialized (qid, term) pair
@@ -978,16 +1116,92 @@ object InvertedIndex {
     * must score and window the SAME batch without re-evaluating the
     * caller's queries plan. The pair list broadcasts from a local
     * relation: no Spark job to route the batch.
+    *
+    * PER-QUERY strategy pick inside the batch (VERDICT r12 item 4: the
+    * production batch endpoint kept the expensive plan in exactly the
+    * long-postings regime MaxScore wins): each query decides
+    * plain-vs-MaxScore from the same cached sidecar stats as
+    * [[bm25TopKAuto]] — zero extra jobs for unfiltered batches (θ from
+    * stored impacts; filtered batches pay ONE windowed probe action for
+    * all their MaxScore queries together) — and the batch splits into at
+    * most two subplans, one per strategy, unioned. Per query the rows
+    * are EXACTLY the single-query auto serve's (spec-pinned); the index
+    * scan count stays a plan constant (≤ 2 strategy groups), never a
+    * function of batch size.
     */
   private[llm] def bm25TopKBatchLocal(spark: SparkSession, path: String,
       pairs: Seq[(String, String)], topK: Int,
       asOfGen: Option[Long],
-      allowedIds: Option[DataFrame] = None): DataFrame = {
+      allowedIds: Option[DataFrame] = None,
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
+    val st = readStats(spark, path, asOfGen)
+    require(pairs.map(_._2).distinct.nonEmpty,
+      "query batch must carry at least one term")
+    if (tombstones(spark, path).nonEmpty || !hasTermStats(spark, path))
+      return bm25TopKBatchPlain(spark, path, pairs, topK, asOfGen,
+        allowedIds, st)
+    val allTerms = pairs.map(_._2).distinct
+    val stats = termStatsFor(spark, path, allTerms, st.nBuckets, asOfGen)
+      .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+    val termsByQid = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // the same decision the single-query auto serve makes, per query
+    val msEligible = termsByQid.keysIterator.filter { q =>
+      val present = termsByQid(q).filter(stats.contains)
+      present.size > 1 &&
+        maxScoreWorthwhile(present.map(stats(_).df), minPruneRows)
+    }.toSet
+    // θ per MaxScore-eligible query: jobless from stored impacts when
+    // unfiltered; one batched allowed-restricted probe action otherwise
+    val thetas: Map[String, Double] = allowedIds match {
+      case None =>
+        msEligible.iterator.flatMap { q =>
+          val sub = termsByQid(q).filter(stats.contains)
+            .map(t => t -> stats(t)).toMap
+          thetaFromStats(sub, st, topK).map(q -> _)
+        }.toMap
+      case Some(ok) if msEligible.nonEmpty =>
+        val seeds = msEligible.iterator.map { q =>
+          q -> termsByQid(q).filter(stats.contains)
+            .minBy(t => (stats(t).df, t))
+        }.toMap
+        val byTerm = probeThetaBatch(spark, path, seeds.values.toSeq.distinct,
+          stats, st, topK, asOfGen, ok)
+        seeds.flatMap { case (q, t) => byTerm.get(t).map(q -> _) }
+      case _ => Map.empty
+    }
+    // per-query essential split; queries with no θ or nothing prunable
+    // serve plain (exact either way)
+    val essByQid: Map[String, Seq[String]] = thetas.flatMap { case (q, th) =>
+      val present = termsByQid(q).filter(stats.contains)
+      val sub = present.map(t => t -> stats(t)).toMap
+      val nonEss = nonEssentialSuffix(sub, ubOf(sub, st), th)
+      if (nonEss.isEmpty || nonEss.size == sub.size) None
+      else Some(q -> present.filterNot(nonEss))
+    }
+    val msQids = essByQid.keySet
+    if (msQids.isEmpty)
+      return bm25TopKBatchPlain(spark, path, pairs, topK, asOfGen,
+        allowedIds, st)
+    val msPairs = pairs.filter(p => msQids(p._1))
+    val plainPairs = pairs.filterNot(p => msQids(p._1))
+    val essPairs = essByQid.toSeq.flatMap { case (q, ts) => ts.map((q, _)) }
+    val ms = bm25TopKBatchMaxScore(spark, path, msPairs, essPairs, topK,
+      asOfGen, allowedIds, st)
+    if (plainPairs.isEmpty) ms
+    else ms.unionByName(bm25TopKBatchPlain(spark, path, plainPairs, topK,
+      asOfGen, allowedIds, st))
+  }
+
+  /** The one-scan batch scoring plan (the pre-r13 batch serve): union
+    * probed scan, df once per distinct term, batch-sized fan-out join,
+    * per-query rank window.
+    */
+  private def bm25TopKBatchPlain(spark: SparkSession, path: String,
+      pairs: Seq[(String, String)], topK: Int, asOfGen: Option[Long],
+      allowedIds: Option[DataFrame], st: Stats): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val st = readStats(spark, path, asOfGen)
     val allTerms = pairs.map(_._2).distinct.toIndexedSeq
-    require(allTerms.nonEmpty, "query batch must carry at least one term")
     val wanted = pairs.toDF("qid", "term")
     val post = probedPostings(spark, path, allTerms, st.nBuckets, asOfGen)
     // df stays WHOLE-corpus df even under a filter (Lucene filtered-query
@@ -1006,6 +1220,65 @@ object InvertedIndex {
       .where(col("rk") <= topK).drop("rk")
   }
 
+  /** The pruned batch scoring plan: candidates per (qid, doc) from the
+    * batch's essential (qid, term) pairs, semi-joined onto the fanned
+    * rows before the per-(qid, doc) aggregation — [[maxScorePlan]]'s
+    * discipline at batch amortization. Exactly the plain batch's rows
+    * per query (spec-pinned).
+    */
+  private def bm25TopKBatchMaxScore(spark: SparkSession, path: String,
+      msPairs: Seq[(String, String)], essPairs: Seq[(String, String)],
+      topK: Int, asOfGen: Option[Long], allowedIds: Option[DataFrame],
+      st: Stats): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val terms = msPairs.map(_._2).distinct.toIndexedSeq
+    val wanted = msPairs.toDF("qid", "term")
+    val ess = essPairs.toDF("qid", "term")
+    val post0 = probedPostings(spark, path, terms, st.nBuckets, asOfGen)
+    val post = allowedIds.fold(post0)(ok =>
+      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val dfTable = dfTableFor(spark, path, terms, st.nBuckets, asOfGen, post0)
+    val candidates = post.join(broadcast(ess), "term")
+      .select("qid", "doc_id").distinct()
+    post.join(broadcast(wanted), "term")
+      .join(broadcast(candidates), Seq("qid", "doc_id"), "left_semi")
+      .join(broadcast(dfTable), "term")
+      .withColumn("part", bm25Part(st.nDocs, st.avgdl))
+      .groupBy(col("qid"), col("doc_id").as("id"))
+      .agg(round(sum("part"), 4).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+      .where(col("rk") <= topK).drop("rk")
+  }
+
+  /** One windowed probe action serving θ for EVERY filtered MaxScore
+    * query in a batch: the distinct seed terms' allowed postings, partial
+    * per row (per-term idf from a broadcast local table), ranked within
+    * term — the row at rank k IS that term's θ. Terms with fewer than k
+    * allowed postings yield no row (their queries serve plain).
+    */
+  private def probeThetaBatch(spark: SparkSession, path: String,
+      seedTerms: Seq[String], stats: Map[String, TermStats], st: Stats,
+      topK: Int, asOfGen: Option[Long],
+      allowed: DataFrame): Map[String, Double] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val idfDf = seedTerms.map(t => (t, idfOf(st)(stats(t).df)))
+      .toDF("term", "_idf")
+    probedPostings(spark, path, seedTerms, st.nBuckets, asOfGen)
+      .join(allowed, Seq("doc_id"), "left_semi")
+      .join(broadcast(idfDf), "term")
+      .select(col("term"), (col("_idf") * col("tf") * (Bm25.K1 + 1) /
+        (col("tf") + lit(Bm25.K1) *
+          (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl))).as("part"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("part").desc)))
+      .where(col("rn") === topK)
+      .select("term", "part").collect()
+      .map(r => r.getString(0) -> grid4(r.getDouble(1))).toMap
+  }
+
   /** BATCHED filtered lexical serving — [[bm25TopKFiltered]] at
     * [[bm25TopKBatch]]'s amortization: many queries, one allowed-id
     * snapshot (the multi-tenant search endpoint), ONE probed scan for
@@ -1017,12 +1290,14 @@ object InvertedIndex {
   def bm25TopKFilteredBatch(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, terms: Column,
       allowed: DataFrame, id: Column, topK: Int = 20,
-      asOfGen: Option[Long] = None): DataFrame = {
+      asOfGen: Option[Long] = None,
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     val pairs = queries.select(qid.as("qid"), explode(terms).as("term"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
     val ok = allowed.select(id.cast("long").as("doc_id")).distinct()
-    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen, Some(ok))
+    bm25TopKBatchLocal(spark, path, pairs, topK, asOfGen, Some(ok),
+      minPruneRows)
   }
 
   /** Exact-phrase top-`topK` over a POSITIONAL index ([[write]] with
@@ -1176,13 +1451,19 @@ object InvertedIndex {
         fps(id) = (math.min(cur._1, fp), math.max(cur._2, fp))
       } else toksByDoc(id) = r.getSeq[String](3)
     }
-    hits.toIndexedSeq.map { h =>
+    hits.toIndexedSeq.flatMap { h =>
       val id = h.getLong(0)
-      val (lo0, hi0) = fps(id)
-      val lo = math.max(0, lo0 - pad)
-      val hi = math.min(hi0, lo0 + maxSpan) + pad
-      (id, h.getDouble(1), lo, hi,
-        snippetOf(toksByDoc.getOrElse(id, Seq.empty), lo, hi))
+      // fps.get, not a direct apply (ADVICE r12): if maintenance
+      // (delete/compact) races between the ranked collect and the fused
+      // fetch, a hit id can be missing from the fetched positions — drop
+      // the row (the batched variant's `if (fps.isEmpty) None` handling)
+      // instead of crashing the request
+      fps.get(id).map { case (lo0, hi0) =>
+        val lo = math.max(0, lo0 - pad)
+        val hi = math.min(hi0, lo0 + maxSpan) + pad
+        (id, h.getDouble(1), lo, hi,
+          snippetOf(toksByDoc.getOrElse(id, Seq.empty), lo, hi))
+      }
     }.toDF("id", "score", "lo", "hi", "snippet")
   }
 

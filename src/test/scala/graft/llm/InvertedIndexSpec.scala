@@ -808,4 +808,143 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.write(docs2, col("doc_id"), col("text"), idx, nBuckets = 2)
     assert(InvertedIndex.readStats(spark, idx) === InvertedIndex.Stats(1.0, 1.0, 2))
   }
+
+  // ---- round-13 strategy routing: batch/filtered serves pick per query ----
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+
+  test("warm MaxScore routing launches zero Spark jobs at construction (jobless θ from stored impacts)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_theta").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    // high-df terms with small k: the sidecar's stored impact pairs must
+    // cover k, so θ derives on the driver and the old per-request
+    // θ-probe ACTION is gone — a regression to the probe would collect
+    // during construction and fail the zero-jobs pin below
+    val byDf = docs
+      .select(explode(TextStats.tokens(lower(col("text")))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"))
+      .limit(3).collect().map(_.getString(0)).toSeq
+    val k = 5
+    // warm every cache (stats log, term stats, relation)
+    val want = pairsOf(InvertedIndex.bm25TopK(spark, idx, byDf, topK = k))
+    assert(pairsOf(InvertedIndex.bm25TopKMaxScore(spark, idx, byDf,
+      topK = k)) === want)
+    spark.sparkContext.setJobGroup("ms_construct", "warm MaxScore construction")
+    val plan = InvertedIndex.bm25TopKMaxScore(spark, idx, byDf, topK = k)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("ms_construct")
+    spark.sparkContext.clearJobGroup()
+    assert(jobs.isEmpty,
+      s"warm MaxScore construction launched jobs (θ-probe regression?): ${jobs.toSeq}")
+    assert(pairsOf(plan) === want)
+  }
+
+  test("MaxScore θ folds stored impacts across append generations and stays exact") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_topsgen").toString
+    InvertedIndex.write(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), idx, nBuckets = 16)
+    InvertedIndex.append(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"), idx)
+    for (k <- Seq(5, 20)) {
+      val want = pairsOf(InvertedIndex.bm25TopK(spark, idx, terms, topK = k))
+      assert(pairsOf(InvertedIndex.bm25TopKMaxScore(spark, idx, terms,
+        topK = k)) === want, s"k=$k drifted after append")
+    }
+  }
+
+  test("batch serving routed onto MaxScore equals per-query auto rows exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_msbatch").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val byDf = docs
+      .select(explode(TextStats.tokens(lower(col("text")))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .collect().map(_.getString(0))
+    val batch = Seq(
+      ("qa", terms),                                  // serving mix
+      ("qb", Seq(byDf.head, byDf(1), byDf.last)),     // common+common+rare
+      ("qc", Seq(byDf.last)),                         // single term: always plain
+      ("qd", Seq("no_such_term_x", byDf.head, "scan")))
+    val queriesDf = batch.toDF("qid", "terms")
+    // force the MaxScore branch everywhere the decision allows: per
+    // query the batch must return EXACTLY the single-query auto rows
+    for (mpr <- Seq(0.0, InvertedIndex.DefaultMinPruneRows)) {
+      val got = InvertedIndex.bm25TopKBatch(spark, idx, queriesDf,
+          col("qid"), col("terms"), topK = 20, minPruneRows = mpr)
+        .collect()
+        .map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+          r.getAs[Double]("score")))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq)
+        .toMap
+      batch.foreach { case (q, ts) =>
+        val single = pairsOf(InvertedIndex.bm25TopKAuto(spark, idx, ts,
+          topK = 20, minPruneRows = mpr))
+        assert(got.getOrElse(q, Seq.empty) === single,
+          s"$q drifted from single-query auto at minPruneRows=$mpr")
+      }
+    }
+  }
+
+  test("filtered serving routed onto MaxScore stays exact under the allowed-set probe") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_msfilt").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    // several selectivities, including one tight enough that the allowed
+    // probe underfills k and the serve must fall back plain — exactness
+    // is the contract either way
+    for (m <- Seq(2, 3, 50)) {
+      val allowed = docs.where(pmod(col("doc_id"), lit(m)) =!= 0)
+        .select("doc_id")
+      val want = pairsOf(InvertedIndex.bm25TopKFiltered(spark, idx, terms,
+        allowed, col("doc_id"), topK = 20,
+        minPruneRows = 1e12))                          // plain branch
+      val got = pairsOf(InvertedIndex.bm25TopKFiltered(spark, idx, terms,
+        allowed, col("doc_id"), topK = 20,
+        minPruneRows = 0.0))                           // MaxScore branch
+      assert(got === want, s"filtered MaxScore drifted at selectivity 1/$m")
+      assert(want.forall(_._1 % m != 0), "disallowed id leaked")
+    }
+    // batched filtered, forced onto MaxScore: per query ≡ single filtered
+    val allowed = docs.where(pmod(col("doc_id"), lit(3)) =!= 0).select("doc_id")
+    val batch = Seq(("qa", terms), ("qb", Seq("window", "scan", "merge")))
+    val got = InvertedIndex.bm25TopKFilteredBatch(spark, idx,
+        batch.toDF("qid", "terms"), col("qid"), col("terms"), allowed,
+        col("doc_id"), topK = 20, minPruneRows = 0.0)
+      .collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq)
+      .toMap
+    batch.foreach { case (q, ts) =>
+      val single = pairsOf(InvertedIndex.bm25TopKFiltered(spark, idx, ts,
+        allowed, col("doc_id"), topK = 20))
+      assert(got.getOrElse(q, Seq.empty) === single,
+        s"$q: forced-MaxScore filtered batch drifted")
+    }
+  }
+
+  test("pickStrategy reads the engine's own sidecar decision") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_pick").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+      minPruneRows = 0.0) === "maxscore")
+    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+      minPruneRows = 1e12) === "plain")
+    // single present term: nothing to prune, whatever the threshold
+    assert(InvertedIndex.pickStrategy(spark, idx, Seq("scan"),
+      minPruneRows = 0.0) === "plain")
+    // tombstones pending: the sidecar is unusable, the pick must say so
+    InvertedIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), col("doc_id"))
+    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+      minPruneRows = 0.0) === "plain")
+  }
 }

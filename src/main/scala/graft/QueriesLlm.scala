@@ -593,22 +593,33 @@ object QueriesLlm {
   val qMultimodalFeaturesSql: String = multimodalFeaturesSqlWhere("TRUE")
 
   private def multimodalFeaturesSqlWhere(pred: String): String =
-    s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+    multimodalFeaturesSqlFrom("media_id", pred)
+
+  /** The closed-form feature oracle with the recipe SOURCE id decoupled
+    * from the row id: `srcExpr` (over `media_id`) names which recipe the
+    * row's payload encodes — identity for the plain corpus, a shifted id
+    * for rows a change feed upserted with replacement content
+    * (q_multimodal_maintain).
+    */
+  private def multimodalFeaturesSqlFrom(srcExpr: String, pred: String): String =
+    s"""WITH m AS (SELECT media_id, src, src % 3 AS k FROM (
+      |  SELECT doc_id AS media_id, ($srcExpr) AS src
+      |  FROM (SELECT doc_id, doc_id AS media_id FROM documents))),
       |img AS (
       |  SELECT media_id,
-      |    (media_id % 50 + 4)::DOUBLE AS w, (media_id % 40 + 4)::DOUBLE AS h,
-      |    (media_id % 199)::DOUBLE AS rb, (media_id * 3 % 199)::DOUBLE AS gb,
-      |    (media_id * 7 % 256)::DOUBLE AS bb
+      |    (src % 50 + 4)::DOUBLE AS w, (src % 40 + 4)::DOUBLE AS h,
+      |    (src % 199)::DOUBLE AS rb, (src * 3 % 199)::DOUBLE AS gb,
+      |    (src * 7 % 256)::DOUBLE AS bb
       |  FROM m WHERE k = 0),
       |aud AS (
       |  SELECT media_id,
-      |    list_transform(range(0, (media_id % 500 + 100)::INT),
-      |      t -> ((media_id + 3 * t) % 256 - 128)::DOUBLE) AS s
+      |    list_transform(range(0, (src % 500 + 100)::INT),
+      |      t -> ((src + 3 * t) % 256 - 128)::DOUBLE) AS s
       |  FROM m WHERE k = 1),
       |vid AS (
-      |  SELECT media_id, (media_id % 3 + 2) AS f,
-      |    list_aggregate(list_transform(range(0, (media_id % 3 + 2)::INT),
-      |      i -> ((media_id + 17 * i) % 256)::DOUBLE), 'avg') AS mean_r
+      |  SELECT media_id, (src % 3 + 2) AS f,
+      |    list_aggregate(list_transform(range(0, (src % 3 + 2)::INT),
+      |      i -> ((src + 17 * i) % 256)::DOUBLE), 'avg') AS mean_r
       |  FROM m WHERE k = 2),
       |feat AS (
       |  SELECT media_id, 'image/png' AS mime, 5::BIGINT AS dim,
@@ -658,6 +669,94 @@ object QueriesLlm {
 
   val qMultimodalFetchSql: String = multimodalFeaturesSqlWhere(
     s"media_id IN (${MediaFetchIds.mkString(", ")})")
+
+  /** q_multimodal_maintain — the payload store's FULL maintenance loop
+    * under the oracle hash (VERDICT r12 item 7): write → CDC feed
+    * (upserts replace ~10% of payloads with DIFFERENT recipe content,
+    * deletes kill the %7=3 ids) → the tombstone-debt policy triggers a
+    * compaction ([[Multimodal.compactPayloadsIfNeeded]] — the feed
+    * tombstones >10% of stored rows) → point-lookup fetch + decode. The
+    * oracle predicts the decoded features from the POST-FEED corpus:
+    * upserted ids must decode to the replacement recipe (id + shift),
+    * deleted ids must be absent, untouched ids unchanged — maintain ≡
+    * rebuild, hash-checked through real PNG/WAV bytes.
+    */
+  val MediaShift = 5000000L
+  val MediaMaintFetchIds: Seq[Long] = (1L to 80L).toIndexedSeq
+
+  private def mediaUpsertPred = pmod(col("doc_id"), lit(10)) === 0 &&
+    pmod(col("doc_id"), lit(7)) =!= 3
+  private def mediaDeletePred = pmod(col("doc_id"), lit(7)) === 3
+
+  private def mediaFeedStore(s: SparkSession, dir: String,
+      tag: String): String = {
+    val store = TempDirs.create(tag)
+    val docs = Tables.documents(s, dir)
+    Multimodal.writePayloadStore(
+      Multimodal.syntheticMedia(docs, col("doc_id")),
+      col("media_id"), store, nBuckets = 16)
+    // upserts carry the SHIFTED id's recipe stored under the original id
+    // (payload, meta, and even modality class change — shift % 3 = 2)
+    val upserts = Multimodal.syntheticMedia(
+        docs.where(mediaUpsertPred)
+          .select((col("doc_id") + MediaShift).as("doc_id")),
+        col("doc_id"))
+      .select((col("media_id") - MediaShift).as("media_id"),
+        col("payload"), col("meta"), lit("upsert").as("op"))
+    val deletes = docs.where(mediaDeletePred)
+      .select(col("doc_id").as("media_id"),
+        lit(null).cast("binary").as("payload"),
+        lit(null).cast(Multimodal.mediaMetaType).as("meta"),
+        lit("delete").as("op"))
+    Multimodal.applyPayloadChangeFeed(upserts.unionByName(deletes),
+      col("media_id"), col("op"), store)
+    store
+  }
+
+  val qMultimodalMaintain: Q = (s, dir) => {
+    val store = mediaFeedStore(s, dir, "graft_media_maint")
+    // the feed tombstoned every touched id (~24% of stored rows) — the
+    // debt policy must fire, and the fetch below reads the COMPACTED
+    // store (maintain ≡ rebuild over the post-feed corpus)
+    require(Multimodal.compactPayloadsIfNeeded(s, store, maxDeadFrac = 0.1),
+      "tombstone debt above threshold must trigger compaction")
+    val fetched = Multimodal.fetchPayloads(s, store, MediaMaintFetchIds)
+    Multimodal.extractFeatures(fetched, col("payload"), col("meta.mime"))
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        size(col("features")).cast("long").as("dim"),
+        round(element_at(col("features"), 3), 4).as("f2"),
+        round(aggregate(col("features"), lit(0d), (a, x) => a + x), 4).as("fsum"))
+      .orderBy("media_id")
+  }
+
+  val qMultimodalMaintainSql: String = multimodalFeaturesSqlFrom(
+    s"CASE WHEN media_id % 10 = 0 AND media_id % 7 <> 3 " +
+      s"THEN media_id + $MediaShift ELSE media_id END",
+    s"media_id IN (${MediaMaintFetchIds.mkString(", ")}) AND media_id % 7 <> 3")
+
+  /** q_multimodal_describe — the store's segment-info view
+    * ([[Multimodal.describePayloadStore]]) after the same feed WITHOUT
+    * compacting: n_rows is the Lucene-stale stored count (original +
+    * upserted versions; deletes not yet subtracted), gen counts the
+    * feed's two maintenance steps, n_tombstoned every touched id — all
+    * recomputed by the oracle from raw corpus arithmetic, so the
+    * sidecar's exact row accounting is a hash-checked fact (the
+    * q_index_stats discipline at media parity).
+    */
+  val qMultimodalDescribe: Q = (s, dir) => {
+    val store = mediaFeedStore(s, dir, "graft_media_desc")
+    Multimodal.describePayloadStore(s, store)
+  }
+
+  val qMultimodalDescribeSql: String =
+    """WITH ups AS (SELECT count(*) AS c FROM documents
+      |             WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3),
+      |del AS (SELECT count(*) AS c FROM documents WHERE doc_id % 7 = 3)
+      |SELECT
+      |  ((SELECT count(*) FROM documents) + (SELECT c FROM ups))::BIGINT AS n_rows,
+      |  16 AS n_buckets,
+      |  2::BIGINT AS gen,
+      |  ((SELECT c FROM ups) + (SELECT c FROM del))::BIGINT AS n_tombstoned""".stripMargin
 
   /** q_events_hourly — event-time windowed aggregation (the batch shape of
     * the streaming pipeline; see graft.streaming for the readStream form).
@@ -1365,6 +1464,8 @@ object QueriesLlm {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_fetch" -> qMultimodalFetch,
+    "q_multimodal_maintain" -> qMultimodalMaintain,
+    "q_multimodal_describe" -> qMultimodalDescribe,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
@@ -1423,6 +1524,8 @@ object QueriesLlm {
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_multimodal_fetch" -> qMultimodalFetchSql,
+    "q_multimodal_maintain" -> qMultimodalMaintainSql,
+    "q_multimodal_describe" -> qMultimodalDescribeSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_asof_join" -> qAsofJoinSql,
     "q_join_enrich" -> qJoinEnrichSql,

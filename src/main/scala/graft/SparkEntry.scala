@@ -37,5 +37,6 @@ object SparkEntry {
     "q_ivfpq_filtered", "q_ivfpq_stats", "q_ivfpq_delete", "q_ivfpq_merge",
     "q_postings_topk", "q_postings_batch", "q_phrase_search",
     "q_index_incr", "q_index_delete", "q_index_upsert", "q_index_asof",
-    "q_index_merge", "q_index_stats", "q_multimodal_fetch")
+    "q_index_merge", "q_index_stats", "q_multimodal_fetch",
+    "q_multimodal_maintain", "q_multimodal_describe")
 }

@@ -603,6 +603,40 @@ class LlmSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("payload store describe + tombstone-debt policy: sidecar-sized Lucene-stale counts, debt-priced trigger") {
+    import spark.implicits._
+    val src = (0L until 40L).map(Tuple1(_)).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(src, col("doc_id"))
+    val store = java.nio.file.Files.createTempDirectory("media_desc").toString
+    Multimodal.writePayloadStore(media, col("media_id"), store, nBuckets = 8)
+    def d(): (Long, Int, Long, Long) = {
+      val r = Multimodal.describePayloadStore(spark, store).head()
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    }
+    assert(d() === ((40L, 8, 0L, 0L)))
+    Multimodal.appendPayloads(
+      Multimodal.syntheticMedia((100L until 105L).map(Tuple1(_)).toDF("doc_id"),
+        col("doc_id")), col("media_id"), store)
+    assert(d() === ((45L, 8, 1L, 0L)))
+    // logical deletes: n_rows stays Lucene-stale, debt surfaces
+    Multimodal.deletePayloads(spark, store,
+      Seq(1L, 2L).toDF("media_id"), col("media_id"))
+    assert(d() === ((45L, 8, 2L, 2L)))
+    // 2/45 < 10% -> below the debt threshold: a no-op (gen untouched)
+    assert(!Multimodal.compactPayloadsIfNeeded(spark, store, maxDeadFrac = 0.1))
+    assert(d() === ((45L, 8, 2L, 2L)))
+    // push debt past the threshold -> compacts: exact survivor count,
+    // generations reset, debt spent
+    Multimodal.deletePayloads(spark, store,
+      Seq(3L, 4L, 5L).toDF("media_id"), col("media_id"))
+    assert(Multimodal.compactPayloadsIfNeeded(spark, store, maxDeadFrac = 0.1))
+    assert(d() === ((40L, 8, 0L, 0L)))
+    // and the compacted store still serves: deleted gone, survivors intact
+    val got = Multimodal.fetchPayloads(spark, store, Seq(1L, 6L, 100L))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(6L, 100L))
+  }
+
   test("rrf fuses ranked lists: overlap sums, misses contribute nothing") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")

@@ -14,6 +14,11 @@ object Bench {
     // both JSON artifacts, so a non-numeric value ('4g', empty) must fail
     // fast here rather than corrupt bench_detail.json (ADVICE r11)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(4)
+    // wait (bounded) for a quiet host before measuring anything: the
+    // per-sample steal discard below can only re-run samples, not stop a
+    // whole run from starting inside a storm (VERDICT r12 item 3); the
+    // spend and final readings land in the artifact either way
+    val quiet = graft.tools.QuietGate.await()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -462,7 +467,7 @@ object Bench {
       .collect { case r if r.min >= 0 && SparkEntry.buildQueries(r.name) => r.min }.sum
     val totalServe = total - totalBuild
     val failStr = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{${graft.tools.Provenance.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"steal_retries":$retryStr,"ext_cpu_ms":$extCpuStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"cpus":$cpus,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
+    val detail = s"""{${graft.tools.Provenance.jsonFields},${quiet.jsonFields},"metric":"total","value":$total,"unit":"sec","total_build":${fmtSec(totalBuild)},"total_serve":${fmtSec(totalServe)},"queries":$qs,"samples":$sampleStr,"gc_ms":$gcStr,"offset_ms":$atStr,"load1":$loadStr,"steal_ms":$stealStr,"steal_retries":$retryStr,"ext_cpu_ms":$extCpuStr,"serve_latency_ms":$latStr,"started_at_ms":$startedAtMs,"reps":$reps,"lat_reps":$latReps,"cpus":$cpus,"sf":"$sfDir","failures":$failStr,"errors":$errStr}"""
     // full per-query detail (all samples, gc deltas, offsets, error texts):
     // stderr + a repo file, NOT stdout — the driver stores and parses only
     // a 2000-char stdout tail, so stdout must stay a single short line

@@ -877,7 +877,12 @@ object InvertedIndex {
     val post = allowed.fold(post0)(ok =>
       post0.join(ok, Seq("doc_id"), "left_semi"))
     val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post0)
-    val candidates = post.where(col("term").isin(essential: _*))
+    // candidates from a scan pruned to the ESSENTIAL terms' buckets only
+    // (essential terms are the rare ones — the broadcast build never
+    // reads a common term's bucket)
+    val essPost0 = probedPostings(spark, path, essential, st.nBuckets, asOfGen)
+    val candidates = allowed.fold(essPost0)(ok =>
+        essPost0.join(ok, Seq("doc_id"), "left_semi"))
       .select("doc_id")
     Some(post.join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
       .join(broadcast(dfTable), "term")
@@ -1239,7 +1244,14 @@ object InvertedIndex {
     val post = allowedIds.fold(post0)(ok =>
       post0.join(ok, Seq("doc_id"), "left_semi"))
     val dfTable = dfTableFor(spark, path, terms, st.nBuckets, asOfGen, post0)
-    val candidates = post.join(broadcast(ess), "term")
+    // candidates from a scan pruned to the batch's ESSENTIAL terms'
+    // buckets only (the rare ones), fanned to the queries that hold
+    // each term essential
+    val essPost0 = probedPostings(spark, path, essPairs.map(_._2).distinct,
+      st.nBuckets, asOfGen)
+    val candidates = allowedIds.fold(essPost0)(ok =>
+        essPost0.join(ok, Seq("doc_id"), "left_semi"))
+      .join(broadcast(ess), "term")
       .select("qid", "doc_id").distinct()
     post.join(broadcast(wanted), "term")
       .join(broadcast(candidates), Seq("qid", "doc_id"), "left_semi")

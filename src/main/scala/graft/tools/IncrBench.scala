@@ -196,13 +196,26 @@ object IncrBench {
         Multimodal.applyPayloadChangeFeed(mFeed, col("media_id"),
           col("op"), store)
       }
+      val mDelIds = docs.select(col("doc_id").as("media_id"))
+        .orderBy(col("media_id").desc).limit(500)
+      out(s"media_delete_$label") = timed1 {
+        Multimodal.deletePayloads(spark, store, mDelIds, col("media_id"))
+      }
+      // the debt-policy DECISION (round 13): a threshold the feed's debt
+      // never reaches times the pure sidecar probe — flat across 100×
+      // (delete-sized tombstone count + one meta row), proving the
+      // policy itself costs nothing until debt warrants the rewrite
+      out(s"media_policy_$label") = timed1 {
+        require(!Multimodal.compactPayloadsIfNeeded(spark, store,
+          maxDeadFrac = 0.99), "0.99 debt threshold unexpectedly triggered")
+      }
       out(s"media_compact_$label") = timed1 {
         Multimodal.compactPayloads(spark, store)
       }
     }
-    val json = out.map { case (k, v) =>
+    val json = "{" + Provenance.jsonFields + "," + out.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    }.mkString("{", ",", "}")
+    }.mkString(",") + "}"
     println(json)
     spark.stop()
     sys.exit(0)

@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   * terms (the rare+common mix where essential/non-essential pruning has
   * work to do) — asserts plain ≡ MaxScore row-for-row on that corpus
   * (the equality contract, re-checked at every scale point), then
-  * reports steal-resampled p50/p95 per serve and the terms' dfs. One
-  * JSON line on stdout; optionally written to `artifactPath`.
+  * reports steal-resampled p50/p95 per serve. Round-13 methodology
+  * fixes: a bounded [[QuietGate]] holds the start until the host reads
+  * quiet; the plain/MaxScore/auto reps INTERLEAVE round-robin so every
+  * strategy's percentile sees the same cache/JIT state (the r12
+  * artifact measured auto last, and it looked faster than the branch it
+  * delegates to); `auto_pick` comes from the engine's own
+  * [[graft.llm.InvertedIndex.pickStrategy]] rather than a re-derived
+  * threshold; and a BATCH row pins that the batched endpoint takes the
+  * picked branch too (forced-plain vs auto, per-request ms). One JSON
+  * line on stdout; optionally written to `artifactPath`.
   */
 object LongPostBench {
 
@@ -37,6 +45,7 @@ object LongPostBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.llm.{InvertedIndex, TextStats}
+    import spark.implicits._
 
     val docs = graft.Tables.documents(spark, corpusDir)
     val idx = graft.TempDirs.create("longpost_idx")
@@ -55,9 +64,10 @@ object LongPostBench {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val k = 20
     val common = byDf.take(2).map(_._1).toSeq
-    val rare = byDf.reverse.find(_._2 >= 3L * k)
+    val rares = byDf.reverse.filter(_._2 >= 3L * k).take(3).map(_._1).toSeq
+    val rare = rares.headOption
       .getOrElse(sys.error(s"no term with df >= ${3 * k} in $corpusDir"))
-    val terms = rare._1 +: common
+    val terms = rare +: common
     val dfs = byDf.toMap
 
     // the equality contract, re-checked at this scale point
@@ -67,34 +77,73 @@ object LongPostBench {
     val got = rows(InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k))
     require(got == want, s"MaxScore != plain on $corpusDir for $terms")
 
+    // the BATCH endpoints under measurement: distinct rare seeds over
+    // the shared common terms (each member is the long-postings shape)
+    val batch = rares.zipWithIndex.map { case (r, i) => (s"q$i", r +: common) }
+    val queriesDf = batch.toDF("qid", "terms")
+    def batchDf(minPrune: Double) =
+      InvertedIndex.bm25TopKBatch(spark, idx, queriesDf, col("qid"),
+        col("terms"), topK = k, minPruneRows = minPrune)
+    // batch equality contract: forced-plain ≡ auto-routed, per member
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"))).sorted.toSeq
+    require(brows(batchDf(Double.MaxValue)) ==
+      brows(batchDf(InvertedIndex.DefaultMinPruneRows)),
+      s"strategy-routed batch != plain batch on $corpusDir")
+
+    // which branch the ENGINE picks (ADVICE r12: read the decision from
+    // the same sidecar source the serve routes on, not a re-derived
+    // threshold over a corpus df table)
+    val autoPick = InvertedIndex.pickStrategy(spark, idx, terms)
+
+    // hold the start until the host reads quiet (bounded; readings are
+    // stamped in the artifact either way) — builds above are untimed
+    val quiet = QuietGate.await()
+
     // steal-resampled latency reps (Bench's discipline via LatSampling)
     val lat = new LatSampling()
     def sampled(f: => Double): Double = lat.sampled(f)
     def runMs(df: => org.apache.spark.sql.DataFrame): Double = lat.runMs(df)
     def pct(sorted: IndexedSeq[Double], p: Double): Double = lat.pct(sorted, p)
-    // warm both paths (JIT + caches) before measuring
+    def plainOnce() = InvertedIndex.bm25TopK(spark, idx, terms, topK = k)
+    def wandOnce() = InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k)
+    def autoOnce() = InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = k)
+    // warm every path (JIT + caches) before measuring
     (1 to 2).foreach { _ =>
-      runMs(InvertedIndex.bm25TopK(spark, idx, terms, topK = k))
-      runMs(InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k))
+      runMs(plainOnce()); runMs(wandOnce()); runMs(autoOnce())
+      runMs(batchDf(Double.MaxValue))
+      runMs(batchDf(InvertedIndex.DefaultMinPruneRows))
     }
-    val plain = (1 to reps).map(_ => sampled(runMs(
-      InvertedIndex.bm25TopK(spark, idx, terms, topK = k)))).sorted
-    val wand = (1 to reps).map(_ => sampled(runMs(
-      InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k)))).sorted
-    // the AUTO pick's row: its p50 should track whichever branch is
-    // cheaper at this scale point — the measured validation of the
-    // default crossover threshold
-    val auto = (1 to reps).map(_ => sampled(runMs(
-      InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = k)))).sorted
-    // which branch auto took (recomputed from the same stats it reads)
-    val nonSeedMass = terms.map(t => dfs(t).toDouble).sorted.drop(1).sum
-    val autoPick = if (nonSeedMass >= 100000.0) "maxscore" else "plain"
+    // INTERLEAVED reps: each rep measures every strategy back to back,
+    // so all percentiles see the same cache state and a load wave hits
+    // the strategies evenly instead of whichever ran last
+    val plainS = collection.mutable.ArrayBuffer.empty[Double]
+    val wandS = collection.mutable.ArrayBuffer.empty[Double]
+    val autoS = collection.mutable.ArrayBuffer.empty[Double]
+    val bPlainS = collection.mutable.ArrayBuffer.empty[Double]
+    val bAutoS = collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { _ =>
+      plainS += sampled(runMs(plainOnce()))
+      wandS += sampled(runMs(wandOnce()))
+      autoS += sampled(runMs(autoOnce()))
+      bPlainS += sampled(runMs(batchDf(Double.MaxValue))) / batch.size
+      bAutoS += sampled(runMs(
+        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size
+    }
+    val plain = plainS.sorted.toIndexedSeq
+    val wand = wandS.sorted.toIndexedSeq
+    val auto = autoS.sorted.toIndexedSeq
+    val bPlain = bPlainS.sorted.toIndexedSeq
+    val bAuto = bAutoS.sorted.toIndexedSeq
 
     val nDocs = InvertedIndex.readStats(spark, idx).nDocs.toLong
     def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    def ratio(a: Double, b: Double) =
+      BigDecimal(a / b).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val dfStr = terms.map(t => s""""$t":${dfs(t)}""").mkString("{", ",", "}")
     val line =
-      s"""{${Provenance.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"${rare._1}","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${f(pct(wand, 0.5) / pct(plain, 0.5) * 100).toDouble / 100},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
+      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"$rare","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${ratio(pct(wand, 0.5), pct(plain, 0.5))},"batch_n":${batch.size},"batch_plain_ms_per_req_p50":${f(pct(bPlain, 0.5))},"batch_auto_ms_per_req_p50":${f(pct(bAuto, 0.5))},"batch_ratio_p50":${ratio(pct(bAuto, 0.5), pct(bPlain, 0.5))},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

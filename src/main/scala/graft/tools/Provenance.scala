@@ -43,8 +43,20 @@ object Provenance {
     * None = git itself failed, which must surface as "unknown" rather
     * than silently clean (ADVICE r12) — the flag exists precisely for
     * the runs where provenance is in doubt.
+    *
+    * UNTRACKED non-build files don't count (round 13): a multi-artifact
+    * bench session writes its first artifact into the repo, which made
+    * every later sibling stamp dirty (the r12 LAT sf1/sf10 problem)
+    * even though the commit reproduces the code exactly. Tracked
+    * modifications always count; untracked files count only where they
+    * could change the build (src/tools/project/build.sbt).
     */
-  def dirty: Option[Boolean] = git("status", "--porcelain").map(_.nonEmpty)
+  def dirty: Option[Boolean] = git("status", "--porcelain").map { out =>
+    out.linesIterator.exists { l =>
+      !l.startsWith("??") ||
+        l.drop(3).matches("(src/|tools/|project/|build\\.sbt).*")
+    }
+  }
 
   /** `"_commit":"…","_generated_at_utc":"…"[,"_dirty_tree":true|"unknown"]`
     * — splice into any JSON object literal.

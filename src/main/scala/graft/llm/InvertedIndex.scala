@@ -1253,7 +1253,14 @@ object InvertedIndex {
         essPost0.join(ok, Seq("doc_id"), "left_semi"))
       .join(broadcast(ess), "term")
       .select("qid", "doc_id").distinct()
-    post.join(broadcast(wanted), "term")
+    // doc-level pre-filter BEFORE the per-query fan: the fan duplicates
+    // every common-term posting once per interested query, so filtering
+    // to ANY query's candidate docs first keeps the duplication
+    // candidate-sized instead of posting-sized (at sv10 this is the
+    // difference between fanning 2.3M rows and fanning ~0.5M)
+    post.join(broadcast(candidates.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(wanted), "term")
       .join(broadcast(candidates), Seq("qid", "doc_id"), "left_semi")
       .join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))

@@ -115,21 +115,28 @@ object LongPostBench {
       runMs(batchDf(Double.MaxValue))
       runMs(batchDf(InvertedIndex.DefaultMinPruneRows))
     }
-    // INTERLEAVED reps: each rep measures every strategy back to back,
-    // so all percentiles see the same cache state and a load wave hits
-    // the strategies evenly instead of whichever ran last
+    // INTERLEAVED reps with a ROTATING order: each rep measures every
+    // strategy back to back so all percentiles see the same cache
+    // state, and the starting strategy rotates per rep so adjacency
+    // warm-up (running right after a sibling leaves its broadcast/
+    // codegen hot) spreads evenly instead of always favoring whichever
+    // runs last
     val plainS = collection.mutable.ArrayBuffer.empty[Double]
     val wandS = collection.mutable.ArrayBuffer.empty[Double]
     val autoS = collection.mutable.ArrayBuffer.empty[Double]
     val bPlainS = collection.mutable.ArrayBuffer.empty[Double]
     val bAutoS = collection.mutable.ArrayBuffer.empty[Double]
-    (1 to reps).foreach { _ =>
-      plainS += sampled(runMs(plainOnce()))
-      wandS += sampled(runMs(wandOnce()))
-      autoS += sampled(runMs(autoOnce()))
-      bPlainS += sampled(runMs(batchDf(Double.MaxValue))) / batch.size
-      bAutoS += sampled(runMs(
-        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size
+    val singles: Vector[() => Unit] = Vector(
+      () => plainS += sampled(runMs(plainOnce())),
+      () => wandS += sampled(runMs(wandOnce())),
+      () => autoS += sampled(runMs(autoOnce())))
+    val batches: Vector[() => Unit] = Vector(
+      () => bPlainS += sampled(runMs(batchDf(Double.MaxValue))) / batch.size,
+      () => bAutoS += sampled(runMs(
+        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size)
+    (0 until reps).foreach { i =>
+      (0 until 3).foreach(j => singles((i + j) % 3)())
+      (0 until 2).foreach(j => batches((i + j) % 2)())
     }
     val plain = plainS.sorted.toIndexedSeq
     val wand = wandS.sorted.toIndexedSeq

@@ -857,6 +857,35 @@ object InvertedIndex {
     byUbAsc.takeWhile { t => acc += ub(t); acc < theta - 0.00005 }.toSet
   }
 
+  /** The COST-BASED routing core (round 13): the essential terms iff the
+    * pruned plan should actually win. The pruned plan saves the
+    * NON-ESSENTIAL terms' posting rows from the per-doc aggregation but
+    * pays a candidates broadcast build over the ESSENTIAL terms'
+    * postings, so the net benefit is Σdf(pruned) − Σdf(essential) — a
+    * query whose prunable term is one of three common terms (essential
+    * mass ≫ pruned mass) must serve plain even though something is
+    * "prunable" (measured at sv10: routing such a query onto the pruned
+    * plan cost 1.6× plain). Pure driver arithmetic over cached stats;
+    * None = serve plain.
+    */
+  private def essentialIfProfitable(stats: Map[String, TermStats],
+      st: Stats, theta: Double, minPruneRows: Double): Option[Seq[String]] = {
+    val nonEss = nonEssentialSuffix(stats, ubOf(stats, st), theta)
+    if (nonEss.isEmpty || nonEss.size == stats.size) None
+    else {
+      val pruned = nonEss.iterator.map(stats(_).df).sum
+      val ess = stats.keys.filterNot(nonEss).toSeq
+      if (pruned - ess.iterator.map(stats(_).df).sum >= minPruneRows) Some(ess)
+      else None
+    }
+  }
+
+  /** [[essentialIfProfitable]] under the jobless stored-impacts θ. */
+  private def pruneProfit(stats: Map[String, TermStats], st: Stats,
+      topK: Int, minPruneRows: Double): Option[Seq[String]] =
+    thetaFromStats(stats, st, topK)
+      .flatMap(essentialIfProfitable(stats, st, _, minPruneRows))
+
   /** The pruned serving plan shared by the single, filtered, and
     * batched MaxScore paths: candidates = docs seen in an essential
     * term's (allowed-filtered) postings, semi-joined back onto the full
@@ -970,18 +999,27 @@ object InvertedIndex {
     * engine serves from (ADVICE r12: LongPostBench re-derived the pick
     * from a corpus df table and could drift from the sidecar the engine
     * actually reads). Pure driver arithmetic over the cached `_terms`
-    * stats — a warm decision launches zero Spark jobs.
+    * stats — a warm decision launches zero Spark jobs. Two gates:
+    * [[maxScoreWorthwhile]] (enough prunable mass to matter), then the
+    * NET-profit check under the jobless θ ([[pruneProfit]] — the pruned
+    * plan's candidate build must cost less than the aggregation rows it
+    * saves). When stored impacts can't produce a θ the decision stays
+    * optimistic ("maxscore") and the serve's own probe falls back.
     */
   def pickStrategy(spark: SparkSession, path: String,
       queryTerms: Seq[String], asOfGen: Option[Long] = None,
-      minPruneRows: Double = DefaultMinPruneRows): String = {
+      minPruneRows: Double = DefaultMinPruneRows, topK: Int = 20): String = {
     if (tombstones(spark, path).nonEmpty || !hasTermStats(spark, path))
       return "plain"
     val st = readStats(spark, path, asOfGen)
-    val dfs = termStatsFor(spark, path, queryTerms.distinct, st.nBuckets,
+    val stats = termStatsFor(spark, path, queryTerms.distinct, st.nBuckets,
         asOfGen)
-      .valuesIterator.flatten.map(_.df).filter(_ > 0).toSeq
-    if (maxScoreWorthwhile(dfs, minPruneRows)) "maxscore" else "plain"
+      .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+    if (!maxScoreWorthwhile(stats.values.map(_.df).toSeq, minPruneRows))
+      return "plain"
+    if (thetaFromStats(stats, st, topK).isEmpty) "maxscore"
+    else if (pruneProfit(stats, st, topK, minPruneRows).isDefined) "maxscore"
+    else "plain"
   }
 
   /** Per-query serve-strategy pick — Lucene's per-query
@@ -998,7 +1036,8 @@ object InvertedIndex {
       asOfGen: Option[Long] = None,
       minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows) == "maxscore")
+    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows,
+        topK) == "maxscore")
       bm25TopKMaxScore(spark, path, queryTerms, topK, asOfGen)
     else bm25TopK(spark, path, queryTerms, topK, asOfGen)
   }
@@ -1032,13 +1071,17 @@ object InvertedIndex {
     // The probe action is gated on the same worthwhile() crossover, so
     // short-postings queries never pay it. Exact either way
     // (spec-pinned ≡ the plain filtered serve).
-    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows) == "maxscore") {
+    if (pickStrategy(spark, path, queryTerms, asOfGen, minPruneRows,
+        topK) == "maxscore") {
       val qts = queryTerms.distinct
       val st = readStats(spark, path, asOfGen)
       val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
         .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
       if (stats.size > 1) {
+        // the probed (allowed-restricted) θ re-checks profit: the
+        // jobless screen above used the unfiltered θ, an upper bound
         val pruned = probeTheta(spark, path, stats, st, topK, asOfGen, Some(ok))
+          .filter(essentialIfProfitable(stats, st, _, minPruneRows).isDefined)
           .flatMap(theta => maxScorePlan(spark, path, qts, stats, st, theta,
             topK, asOfGen, Some(ok)))
         if (pruned.isDefined) return pruned.get
@@ -1149,39 +1192,49 @@ object InvertedIndex {
     val stats = termStatsFor(spark, path, allTerms, st.nBuckets, asOfGen)
       .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
     val termsByQid = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // the same decision the single-query auto serve makes, per query
+    def subStats(q: String): Map[String, TermStats] =
+      termsByQid(q).filter(stats.contains).map(t => t -> stats(t)).toMap
+    // the same decision the single-query auto serve makes, per query:
+    // worthwhile prunable mass AND net profit (pruned aggregation rows
+    // saved must exceed the candidate-build rows paid)
     val msEligible = termsByQid.keysIterator.filter { q =>
-      val present = termsByQid(q).filter(stats.contains)
-      present.size > 1 &&
-        maxScoreWorthwhile(present.map(stats(_).df), minPruneRows)
+      val sub = subStats(q)
+      sub.size > 1 &&
+        maxScoreWorthwhile(sub.values.map(_.df).toSeq, minPruneRows)
     }.toSet
-    // θ per MaxScore-eligible query: jobless from stored impacts when
-    // unfiltered; one batched allowed-restricted probe action otherwise
-    val thetas: Map[String, Double] = allowedIds match {
+    // per-query essential split; queries with no θ, nothing prunable,
+    // or negative net profit serve plain (exact either way). Unfiltered
+    // batches decide joblessly from stored impacts; filtered batches
+    // pay ONE windowed allowed-restricted probe action for all their
+    // candidates together (the jobless θ screens first — it upper-
+    // bounds the filtered θ, so a query it rejects can't profit).
+    val essByQid: Map[String, Seq[String]] = allowedIds match {
       case None =>
         msEligible.iterator.flatMap { q =>
-          val sub = termsByQid(q).filter(stats.contains)
-            .map(t => t -> stats(t)).toMap
-          thetaFromStats(sub, st, topK).map(q -> _)
+          pruneProfit(subStats(q), st, topK, minPruneRows).map(q -> _)
         }.toMap
       case Some(ok) if msEligible.nonEmpty =>
-        val seeds = msEligible.iterator.map { q =>
-          q -> termsByQid(q).filter(stats.contains)
-            .minBy(t => (stats(t).df, t))
-        }.toMap
-        val byTerm = probeThetaBatch(spark, path, seeds.values.toSeq.distinct,
-          stats, st, topK, asOfGen, ok)
-        seeds.flatMap { case (q, t) => byTerm.get(t).map(q -> _) }
+        val screened = msEligible.filter { q =>
+          thetaFromStats(subStats(q), st, topK) match {
+            case Some(th) =>
+              essentialIfProfitable(subStats(q), st, th, minPruneRows).isDefined
+            case None => true // no jobless screen; the probe decides
+          }
+        }
+        if (screened.isEmpty) Map.empty
+        else {
+          val seeds = screened.iterator.map { q =>
+            q -> subStats(q).minBy { case (t, ts) => (ts.df, t) }._1
+          }.toMap
+          val byTerm = probeThetaBatch(spark, path,
+            seeds.values.toSeq.distinct, stats, st, topK, asOfGen, ok)
+          seeds.iterator.flatMap { case (q, t) =>
+            byTerm.get(t).flatMap(th =>
+              essentialIfProfitable(subStats(q), st, th, minPruneRows))
+              .map(q -> _)
+          }.toMap
+        }
       case _ => Map.empty
-    }
-    // per-query essential split; queries with no θ or nothing prunable
-    // serve plain (exact either way)
-    val essByQid: Map[String, Seq[String]] = thetas.flatMap { case (q, th) =>
-      val present = termsByQid(q).filter(stats.contains)
-      val sub = present.map(t => t -> stats(t)).toMap
-      val nonEss = nonEssentialSuffix(sub, ubOf(sub, st), th)
-      if (nonEss.isEmpty || nonEss.size == sub.size) None
-      else Some(q -> present.filterNot(nonEss))
     }
     val msQids = essByQid.keySet
     if (msQids.isEmpty)
@@ -1253,15 +1306,15 @@ object InvertedIndex {
         essPost0.join(ok, Seq("doc_id"), "left_semi"))
       .join(broadcast(ess), "term")
       .select("qid", "doc_id").distinct()
-    // doc-level pre-filter BEFORE the per-query fan: the fan duplicates
-    // every common-term posting once per interested query, so filtering
-    // to ANY query's candidate docs first keeps the duplication
-    // candidate-sized instead of posting-sized (at sv10 this is the
-    // difference between fanning 2.3M rows and fanning ~0.5M)
-    post.join(broadcast(candidates.select("doc_id").distinct()),
-        Seq("doc_id"), "left_semi")
-      .join(broadcast(wanted), "term")
-      .join(broadcast(candidates), Seq("qid", "doc_id"), "left_semi")
+    // the candidates join IS the fan: an inner broadcast join on doc_id
+    // emits one row per (posting, candidate qid) — never one per
+    // (posting, interested qid) like the plain fan, so common-term
+    // postings of non-candidate docs cost a hash probe, not a duplicated
+    // row (at sv10: ~0.2M joined rows instead of 2.3M fanned) — and the
+    // (qid, term) membership filter is a local-relation semi-join. One
+    // data-derived broadcast build total (the candidate pairs).
+    post.join(broadcast(candidates), Seq("doc_id"))
+      .join(broadcast(wanted), Seq("qid", "term"), "left_semi")
       .join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("qid"), col("doc_id").as("id"))

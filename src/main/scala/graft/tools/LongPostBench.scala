@@ -64,9 +64,8 @@ object LongPostBench {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val k = 20
     val common = byDf.take(2).map(_._1).toSeq
-    val rares = byDf.reverse.filter(_._2 >= 3L * k).take(3).map(_._1).toSeq
-    val rare = rares.headOption
-      .getOrElse(sys.error(s"no term with df >= ${3 * k} in $corpusDir"))
+    val rare = byDf.reverse.find(_._2 >= 3L * k)
+      .getOrElse(sys.error(s"no term with df >= ${3 * k} in $corpusDir"))._1
     val terms = rare +: common
     val dfs = byDf.toMap
 
@@ -77,9 +76,16 @@ object LongPostBench {
     val got = rows(InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k))
     require(got == want, s"MaxScore != plain on $corpusDir for $terms")
 
-    // the BATCH endpoints under measurement: distinct rare seeds over
-    // the shared common terms (each member is the long-postings shape)
-    val batch = rares.zipWithIndex.map { case (r, i) => (s"q$i", r +: common) }
+    // the BATCH endpoints under measurement: every member is the
+    // long-postings shape (the shared rare seed with varying common
+    // terms — the corpus's shared-vocab construction leaves only one
+    // rare band, so seeds can't vary; the commons can)
+    val commons4 = byDf.take(4).map(_._1).toSeq
+    require(commons4.size >= 4, s"need >= 4 common terms in $corpusDir")
+    val batch = Seq(
+      ("q0", Seq(rare, commons4(0), commons4(1))),
+      ("q1", Seq(rare, commons4(2), commons4(3))),
+      ("q2", Seq(rare, commons4(0), commons4(2))))
     val queriesDf = batch.toDF("qid", "terms")
     def batchDf(minPrune: Double) =
       InvertedIndex.bm25TopKBatch(spark, idx, queriesDf, col("qid"),

@@ -930,21 +930,37 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
-  test("pickStrategy reads the engine's own sidecar decision") {
+  test("pickStrategy reads the engine's own sidecar decision, net profit included") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("invidx_pick").toString
     InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
-    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+    // the regime's shape: a rare term (df >= k so θ derives joblessly)
+    // plus the two most common terms — pruned mass (the commons) far
+    // exceeds the candidate build (the rare term's postings)
+    val byDf = docs
+      .select(explode(array_distinct(
+        TextStats.tokens(lower(col("text"))))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rare = byDf.reverse.find(_._2 >= 20L).get._1
+    val mix = Seq(rare, byDf(0)._1, byDf(1)._1)
+    assert(InvertedIndex.pickStrategy(spark, idx, mix,
       minPruneRows = 0.0) === "maxscore")
-    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+    assert(InvertedIndex.pickStrategy(spark, idx, mix,
       minPruneRows = 1e12) === "plain")
+    // all-common mix: one term may be "prunable" under θ but the
+    // essential mass dwarfs it — the net-profit gate must serve plain
+    // (the sv10 measurement: routing this shape cost 1.6× plain)
+    val commons = byDf.take(3).map(_._1).toSeq
+    assert(InvertedIndex.pickStrategy(spark, idx, commons,
+      minPruneRows = 1.0) === "plain")
     // single present term: nothing to prune, whatever the threshold
     assert(InvertedIndex.pickStrategy(spark, idx, Seq("scan"),
       minPruneRows = 0.0) === "plain")
     // tombstones pending: the sidecar is unusable, the pick must say so
     InvertedIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), col("doc_id"))
-    assert(InvertedIndex.pickStrategy(spark, idx, terms,
+    assert(InvertedIndex.pickStrategy(spark, idx, mix,
       minPruneRows = 0.0) === "plain")
   }
 }

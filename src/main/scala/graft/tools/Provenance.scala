@@ -35,26 +35,25 @@ object Provenance {
 
   def generatedAtUtc: String = java.time.Instant.now().toString
 
-  /** Whether the working tree differs from the stamped commit — an
-    * artifact generated from a dirty tree carries provenance that
-    * cannot reproduce its content (ADVICE r11: a baseline was
-    * regenerated from an uncommitted tree and stamped with a commit
-    * that lacked one of its queries), so the stamp must say so.
-    * None = git itself failed, which must surface as "unknown" rather
-    * than silently clean (ADVICE r12) — the flag exists precisely for
-    * the runs where provenance is in doubt.
+  /** Whether the working tree's BUILD-RELEVANT files differ from the
+    * stamped commit — an artifact generated from code the commit can't
+    * reproduce must say so (ADVICE r11: a baseline was regenerated from
+    * an uncommitted tree and stamped with a commit that lacked one of
+    * its queries). None = git itself failed, which must surface as
+    * "unknown" rather than silently clean (ADVICE r12).
     *
-    * UNTRACKED non-build files don't count (round 13): a multi-artifact
-    * bench session writes its first artifact into the repo, which made
-    * every later sibling stamp dirty (the r12 LAT sf1/sf10 problem)
-    * even though the commit reproduces the code exactly. Tracked
-    * modifications always count; untracked files count only where they
-    * could change the build (src/tools/project/build.sbt).
+    * Scoped to src/tools/project/build.sbt (round 13): the flag exists
+    * to catch UNREPRODUCIBLE MEASUREMENT CODE, and the two false-dirty
+    * modes that plagued r12 artifacts are exactly files that can't
+    * change a measurement — a sibling artifact written seconds earlier
+    * in the same bench session (the r12 LAT sf1/sf10 stamps), and the
+    * tool's own tracked output file (bench_detail.json modifies itself
+    * by existing). Doc edits are likewise stamp-irrelevant. Any change
+    * under the build-relevant paths counts, tracked or untracked.
     */
   def dirty: Option[Boolean] = git("status", "--porcelain").map { out =>
     out.linesIterator.exists { l =>
-      !l.startsWith("??") ||
-        l.drop(3).matches("(src/|tools/|project/|build\\.sbt).*")
+      l.drop(3).matches("(src/|tools/|project/|build\\.sbt).*")
     }
   }
 

@@ -801,26 +801,39 @@ object InvertedIndex {
     * NOT valid under an allowed-id filter: a stored pair's doc may be
     * disallowed, and a θ backed by disallowed docs can exceed the true
     * filtered k-th score and over-prune — filtered serves must probe.
+    *
+    * Returns (θ, anchor): the anchor is the term whose stored pairs
+    * back θ — its posting list provably holds the k θ-reaching docs, so
+    * pruning keeps it essential STRUCTURALLY (ADVICE r13), not merely
+    * by the floating-point margin argument.
     */
   private def thetaFromStats(stats: Map[String, TermStats], st: Stats,
-      topK: Int): Option[Double] = {
-    val lbs = stats.valuesIterator.flatMap { ts =>
+      topK: Int): Option[(Double, String)] = {
+    val lbs = stats.iterator.flatMap { case (t, ts) =>
       if (ts.tops.length < topK) None
-      else Some(ts.tops.map { case (tf, dl) => partOf(st, ts.df)(tf, dl) }
+      else Some(t -> ts.tops.map { case (tf, dl) => partOf(st, ts.df)(tf, dl) }
         .sorted(Ordering[Double].reverse)(topK - 1))
     }.toSeq
-    if (lbs.isEmpty) None else Some(grid4(lbs.max))
+    if (lbs.isEmpty) None
+    else {
+      // deterministic argmax: highest bound, term name breaking ties
+      val (t, x) = lbs.maxBy { case (t, x) => (x, t) }
+      Some((grid4(x), t))
+    }
   }
 
   /** θ from a probe over the rarest present term's postings — the
     * fallback when stored impacts can't bound (and the ONLY sound θ
     * under an allowed filter, which then restricts the probe): one slim
     * TakeOrdered action, df a driver literal from the sidecar. None
-    * when the (allowed) seed postings hold fewer than k docs.
+    * when the (allowed) seed postings hold fewer than k docs. Returns
+    * (θ, seed): the seed term's list holds the k backing docs, so it is
+    * the structural anchor exactly as in [[thetaFromStats]].
     */
   private def probeTheta(spark: SparkSession, path: String,
       stats: Map[String, TermStats], st: Stats, topK: Int,
-      asOfGen: Option[Long], allowed: Option[DataFrame]): Option[Double] = {
+      asOfGen: Option[Long],
+      allowed: Option[DataFrame]): Option[(Double, String)] = {
     val seed = stats.minBy { case (t, ts) => (ts.df, t) }._1
     val post0 = probedPostings(spark, path, Seq(seed), st.nBuckets, asOfGen)
     val post = allowed.fold(post0)(ok =>
@@ -831,7 +844,7 @@ object InvertedIndex {
           (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl))).as("part"))
       .orderBy(col("part").desc).limit(topK).collect()
     if (probeTop.length < topK) None
-    else Some(grid4(probeTop.last.getDouble(0)))
+    else Some((grid4(probeTop.last.getDouble(0)), seed))
   }
 
   /** Per-term partial-score upper bounds under the current scalars:
@@ -845,14 +858,17 @@ object InvertedIndex {
   /** The maximal low-UB suffix with ΣUB strictly under θ minus a
     * half-ulp of the 4-dp grid: a doc appearing ONLY in these terms has
     * raw score below that margin, so it cannot ROUND up to θ — it can't
-    * even tie the k-th result. No anchor term is needed: θ's k backing
-    * docs score ≥ θ > ΣUB(non-essential), so each must appear in some
-    * essential list, which also proves the suffix can never swallow
-    * every term under an honest θ.
+    * even tie the k-th result. The θ-backing ANCHOR term (stored-
+    * impacts winner or probe seed) is excluded up front (ADVICE r13):
+    * its list provably holds θ's k backing docs, so keeping it
+    * essential is a STRUCTURAL guarantee of candidate coverage — the
+    * FP-margin argument (double-accumulated ΣUB vs a grid-snapped θ)
+    * remains as belt-and-braces, not as the only line of defense, and
+    * the suffix can never swallow every term.
     */
   private def nonEssentialSuffix(stats: Map[String, TermStats],
-      ub: Map[String, Double], theta: Double): Set[String] = {
-    val byUbAsc = stats.keys.toSeq.sortBy(t => (ub(t), t))
+      ub: Map[String, Double], theta: Double, anchor: String): Set[String] = {
+    val byUbAsc = stats.keys.toSeq.filter(_ != anchor).sortBy(t => (ub(t), t))
     var acc = 0.0
     byUbAsc.takeWhile { t => acc += ub(t); acc < theta - 0.00005 }.toSet
   }
@@ -869,8 +885,9 @@ object InvertedIndex {
     * None = serve plain.
     */
   private def essentialIfProfitable(stats: Map[String, TermStats],
-      st: Stats, theta: Double, minPruneRows: Double): Option[Seq[String]] = {
-    val nonEss = nonEssentialSuffix(stats, ubOf(stats, st), theta)
+      st: Stats, theta: Double, anchor: String,
+      minPruneRows: Double): Option[Seq[String]] = {
+    val nonEss = nonEssentialSuffix(stats, ubOf(stats, st), theta, anchor)
     if (nonEss.isEmpty || nonEss.size == stats.size) None
     else {
       val pruned = nonEss.iterator.map(stats(_).df).sum
@@ -883,33 +900,142 @@ object InvertedIndex {
   /** [[essentialIfProfitable]] under the jobless stored-impacts θ. */
   private def pruneProfit(stats: Map[String, TermStats], st: Stats,
       topK: Int, minPruneRows: Double): Option[Seq[String]] =
-    thetaFromStats(stats, st, topK)
-      .flatMap(essentialIfProfitable(stats, st, _, minPruneRows))
+    thetaFromStats(stats, st, topK).flatMap { case (theta, anchor) =>
+      essentialIfProfitable(stats, st, theta, anchor, minPruneRows)
+    }
+
+  /** The scan-skip margin: a row is dropped only when its doc's best
+    * possible total sits below θ by MORE than the 4-dp grid's half-step
+    * (5e-5), so a dropped doc's ROUNDED score is strictly below θ and
+    * can't even tie the k-th result — the extra 1e-5 over the half-step
+    * absorbs the (≈1e-12) difference between the driver's threshold
+    * arithmetic and the codegen'd per-row partial.
+    */
+  private val RowSkipMargin = 0.00006
+
+  /** BLOCK-MAX pruning pushed into the postings SCAN (VERDICT r13 item
+    * 2): per-term minimum tf a posting row must carry to possibly help
+    * any doc reach θ. A row of term t can only matter if
+    * part(tf, dl) + Σ UB(other query terms) ≥ θ − margin; the partial is
+    * monotone up in tf, down in dl, so with the term's sidecar dl_min
+    * the condition relaxes to the SINGLE-COLUMN test tf ≥ cutoff(t),
+    * solved in closed form on the driver (zero jobs — df/dl_min come
+    * from the cached `_terms` stats). Dropping a failing row implies its
+    * doc's TOTAL raw score < θ − margin: every θ-reaching doc (the k
+    * backing docs included) keeps ALL its rows and scores exactly, and
+    * a partially-dropped doc's truncated score still lands strictly
+    * below every θ-reaching doc after rounding — the serve stays exact
+    * row-for-row (spec-pinned).
+    *
+    * tf IS the persisted quantized impact: the layout already sorts
+    * each bucket by (term, tf desc) — the impact-ordered layout :479
+    * was built for this — so `term = t AND tf >= c` lands on parquet
+    * row-group/page min-max stats as a skippable range predicate (the
+    * P5 bbox-pushdown discipline applied to postings): a common term's
+    * long tf-1 tail never leaves the file. A separate stored max-impact
+    * column would only tighten the bound by per-row dl, at the cost of
+    * duplicating tf's stats — dl folds into the driver-side cutoff via
+    * the term's exact dl_min instead.
+    *
+    * Map semantics: absent term → no cutoff (keep all rows);
+    * +Infinity → no posting of t can matter (the whole list skips).
+    */
+  private def tfCutoffs(stats: Map[String, TermStats], st: Stats,
+      theta: Double): Map[String, Double] = {
+    val ub = ubOf(stats, st)
+    val ubSum = ub.values.sum
+    stats.flatMap { case (t, ts) =>
+      val thr = theta - RowSkipMargin - (ubSum - ub(t))
+      if (thr <= 0) None
+      else {
+        // part(tf, dl_min) = a·tf/(tf + c) ≥ thr  ⟺  tf ≥ thr·c/(a − thr)
+        val a = idfOf(st)(ts.df) * (Bm25.K1 + 1)
+        val c = Bm25.K1 * (1 - Bm25.B + Bm25.B * ts.dlMin / st.avgdl)
+        if (a <= thr) Some(t -> Double.PositiveInfinity)
+        else {
+          val m = thr * c / (a - thr)
+          if (m > 1.0) Some(t -> m) else None
+        }
+      }
+    }
+  }
+
+  /** The pushable per-term scan predicate for [[tfCutoffs]]: an
+    * OR-of-ANDs over the present terms — Catalyst pushes it to the
+    * parquet source whole (sources.Or of Eq/GtEq atoms), where
+    * row-group and page stats evaluate it (explain-pinned).
+    */
+  private def skipFilterCol(terms: Seq[String],
+      cutoffs: Map[String, Double]): Column =
+    terms.map { t =>
+      cutoffs.get(t) match {
+        case Some(m) => col("term") === t && col("tf") >= lit(m)
+        case None => col("term") === t
+      }
+    }.reduce(_ || _)
+
+  /** The SINGLE-PRESENT-TERM impact-pruned serve — block-max pruning in
+    * its purest form (round 14): with one term, a posting's partial IS
+    * the doc's whole score, so the stored-impacts θ turns directly into
+    * a [[tfCutoffs]] floor and the plan collapses to scan → project →
+    * TakeOrdered: NO df join, NO per-doc aggregation, NO exchange at
+    * all — and the pushed `tf >= cutoff` predicate lets the
+    * impact-ordered layout skip every row group/page of the list's
+    * low-tf tail, which for a corpus-frequent term is most of its
+    * bytes. Exact vs the plain serve (spec-pinned): the scoring
+    * expression is [[bm25Part]]'s with df as a literal (sum over one
+    * row = the row), and a dropped row's doc scores strictly below the
+    * k stored-impact backing docs after rounding (the [[RowSkipMargin]]
+    * argument with ΣUB(others) = 0). None when no cutoff can prune
+    * (θ underivable or the floor sits at 1) — callers serve plain.
+    */
+  private def singleTermPlan(spark: SparkSession, path: String,
+      term: String, ts: TermStats, st: Stats, topK: Int,
+      asOfGen: Option[Long]): Option[DataFrame] =
+    thetaFromStats(Map(term -> ts), st, topK).flatMap { case (theta, _) =>
+      tfCutoffs(Map(term -> ts), st, theta).get(term).map { m =>
+        probedPostings(spark, path, Seq(term), st.nBuckets, asOfGen)
+          .where(col("tf") >= lit(m))
+          .select(col("doc_id").as("id"),
+            round(lit(idfOf(st)(ts.df)) * col("tf") * (Bm25.K1 + 1) /
+              (col("tf") + lit(Bm25.K1) *
+                (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / st.avgdl)), 4)
+              .as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(topK)
+      }
+    }
 
   /** The pruned serving plan shared by the single, filtered, and
     * batched MaxScore paths: candidates = docs seen in an essential
     * term's (allowed-filtered) postings, semi-joined back onto the full
     * probed rows before the per-doc aggregation — the aggregation/
-    * shuffle no longer grows with the COMMON terms' posting lengths.
-    * None when nothing is prunable under θ (callers serve plain).
+    * shuffle no longer grows with the COMMON terms' posting lengths —
+    * with [[tfCutoffs]]' θ-derived tf floor pushed into BOTH scans, so
+    * the storage layer skips the row groups/pages no reachable doc
+    * lives in. None when nothing is prunable under θ (callers serve
+    * plain).
     */
   private def maxScorePlan(spark: SparkSession, path: String,
       qts: Seq[String], stats: Map[String, TermStats], st: Stats,
-      theta: Double, topK: Int, asOfGen: Option[Long],
+      theta: Double, anchor: String, topK: Int, asOfGen: Option[Long],
       allowed: Option[DataFrame]): Option[DataFrame] = {
-    val nonEssential = nonEssentialSuffix(stats, ubOf(stats, st), theta)
+    val nonEssential = nonEssentialSuffix(stats, ubOf(stats, st), theta, anchor)
     if (nonEssential.isEmpty || nonEssential.size == stats.size) return None
     val essential = stats.keys.filterNot(nonEssential).toSeq
+    val cutoffs = tfCutoffs(stats, st, theta)
     val post0 = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
+    val postSkip = post0.where(skipFilterCol(stats.keys.toSeq, cutoffs))
     // candidacy narrows under a filter; df stays whole-corpus (Lucene
     // filtered-query semantics), served from the sidecar cache
-    val post = allowed.fold(post0)(ok =>
-      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val post = allowed.fold(postSkip)(ok =>
+      postSkip.join(ok, Seq("doc_id"), "left_semi"))
     val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post0)
     // candidates from a scan pruned to the ESSENTIAL terms' buckets only
     // (essential terms are the rare ones — the broadcast build never
-    // reads a common term's bucket)
+    // reads a common term's bucket), tf-floored like the scoring scan
     val essPost0 = probedPostings(spark, path, essential, st.nBuckets, asOfGen)
+      .where(skipFilterCol(essential, cutoffs))
     val candidates = allowed.fold(essPost0)(ok =>
         essPost0.join(ok, Seq("doc_id"), "left_semi"))
       .select("doc_id")
@@ -948,12 +1074,14 @@ object InvertedIndex {
     * moves candidate-sized rows instead of every doc any query term
     * touches — the regime the operator exists for (posting lists that
     * grow with the corpus; the LONGPOST artifacts measure the
-    * crossover). (The probed SCAN still reads the same buckets —
-    * skip-list reads inside a parquet scan would need a custom reader;
-    * the impact-ordered layout keeps that door open.) Falls back to
-    * [[bm25TopK]] when the sidecar is unusable (tombstones pending) or
-    * pruning can't help (≤ 1 present term, no θ, or nothing prunable
-    * under θ).
+    * crossover) — and the probed SCAN itself no longer reads every byte
+    * of the query terms' buckets: [[tfCutoffs]]' θ-derived per-term tf
+    * floor pushes into the parquet source, where the impact-ordered
+    * layout (:479) turns it into row-group/page skips over each list's
+    * low-tf tail (block-max WAND at the storage layer, round 14). Falls
+    * back to [[bm25TopK]] when the sidecar is unusable (tombstones
+    * pending) or pruning can't help (≤ 1 present term, no θ, or nothing
+    * prunable under θ).
     */
   def bm25TopKMaxScore(spark: SparkSession, path: String,
       queryTerms: Seq[String], topK: Int = 20,
@@ -965,12 +1093,19 @@ object InvertedIndex {
     val st = readStats(spark, path, asOfGen)
     val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
       .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
-    if (stats.size <= 1)
+    if (stats.isEmpty)
       return bm25TopK(spark, path, queryTerms, topK, asOfGen)
+    if (stats.size == 1) {
+      val (t, ts) = stats.head
+      return singleTermPlan(spark, path, t, ts, st, topK, asOfGen)
+        .getOrElse(bm25TopK(spark, path, queryTerms, topK, asOfGen))
+    }
     thetaFromStats(stats, st, topK)
       .orElse(probeTheta(spark, path, stats, st, topK, asOfGen, None))
-      .flatMap(theta =>
-        maxScorePlan(spark, path, qts, stats, st, theta, topK, asOfGen, None))
+      .flatMap { case (theta, anchor) =>
+        maxScorePlan(spark, path, qts, stats, st, theta, anchor, topK,
+          asOfGen, None)
+      }
       .getOrElse(bm25TopK(spark, path, queryTerms, topK, asOfGen))
   }
 
@@ -1015,6 +1150,17 @@ object InvertedIndex {
     val stats = termStatsFor(spark, path, queryTerms.distinct, st.nBuckets,
         asOfGen)
       .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+    // single present term: the impact-pruned no-shuffle plan, worthwhile
+    // when the list is long enough to matter and a cutoff exists (both
+    // jobless reads of the same cached stats)
+    if (stats.size == 1) {
+      val (_, ts) = stats.head
+      val prunable = ts.df >= minPruneRows &&
+        thetaFromStats(stats, st, topK).exists { case (theta, t) =>
+          tfCutoffs(stats, st, theta).contains(t)
+        }
+      return if (prunable) "maxscore" else "plain"
+    }
     if (!maxScoreWorthwhile(stats.values.map(_.df).toSeq, minPruneRows))
       return "plain"
     if (thetaFromStats(stats, st, topK).isEmpty) "maxscore"
@@ -1078,12 +1224,18 @@ object InvertedIndex {
       val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
         .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
       if (stats.size > 1) {
-        // the probed (allowed-restricted) θ re-checks profit: the
-        // jobless screen above used the unfiltered θ, an upper bound
+        // the probed (allowed-restricted) θ re-checks profit — the
+        // pickStrategy screen above reasoned under the UNFILTERED
+        // stored-impacts θ, a heuristic for the filtered case
         val pruned = probeTheta(spark, path, stats, st, topK, asOfGen, Some(ok))
-          .filter(essentialIfProfitable(stats, st, _, minPruneRows).isDefined)
-          .flatMap(theta => maxScorePlan(spark, path, qts, stats, st, theta,
-            topK, asOfGen, Some(ok)))
+          .filter { case (theta, anchor) =>
+            essentialIfProfitable(stats, st, theta, anchor,
+              minPruneRows).isDefined
+          }
+          .flatMap { case (theta, anchor) =>
+            maxScorePlan(spark, path, qts, stats, st, theta, anchor,
+              topK, asOfGen, Some(ok))
+          }
         if (pruned.isDefined) return pruned.get
       }
     }
@@ -1109,16 +1261,46 @@ object InvertedIndex {
     * that sums the score — no second pass, no self-join; duplicate
     * query terms collapse first so they can't inflate the required
     * count.
+    *
+    * RAREST-LIST candidacy (VERDICT r13 item 5): under AND semantics
+    * the rarest term's posting list IS a complete candidate superset —
+    * every qualifying doc contains every term, the rarest included — so
+    * when the sidecar says the other terms' posting mass clears the
+    * [[maxScoreWorthwhile]] crossover, the rarest list's doc ids
+    * broadcast-semi-join the probed rows BEFORE the per-doc aggregation
+    * (the [[maxScorePlan]] candidates discipline, θ-free: no bound
+    * arithmetic is needed because candidacy here is set containment,
+    * not a score argument). AND is the long-postings case where this
+    * matters most: a query of common terms aggregates Σdf rows plain
+    * but only |rarest| candidates' rows pruned. Exact regardless of
+    * which term the (possibly delete-stale) sidecar calls rarest — ANY
+    * term's list is a complete superset — so the pick tolerates pending
+    * tombstones; scoring df still routes through [[dfTableFor]]'s
+    * exactness rules.
     */
   def bm25TopKAnd(spark: SparkSession, path: String,
       queryTerms: Seq[String], topK: Int = 20,
-      asOfGen: Option[Long] = None): DataFrame = {
+      asOfGen: Option[Long] = None,
+      minPruneRows: Double = DefaultMinPruneRows): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val need = queryTerms.distinct.size
+    val qts = queryTerms.distinct
+    val need = qts.size
     val st = readStats(spark, path, asOfGen)
     val post = probedPostings(spark, path, queryTerms, st.nBuckets, asOfGen)
     val dfTable = dfTableFor(spark, path, queryTerms, st.nBuckets, asOfGen, post)
-    post.join(broadcast(dfTable), "term")
+    val pruned: Option[DataFrame] =
+      if (need > 1 && hasTermStats(spark, path)) {
+        val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
+          .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+        if (stats.nonEmpty &&
+            maxScoreWorthwhile(stats.values.map(_.df).toSeq, minPruneRows)) {
+          val rarest = stats.minBy { case (t, ts) => (ts.df, t) }._1
+          val cand = probedPostings(spark, path, Seq(rarest), st.nBuckets,
+            asOfGen).select("doc_id").distinct()
+          Some(post.join(broadcast(cand), Seq("doc_id"), "left_semi"))
+        } else None
+      } else None
+    pruned.getOrElse(post).join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("doc_id").as("id"))
       .agg(round(sum("part"), 4).as("score"),
@@ -1191,6 +1373,14 @@ object InvertedIndex {
     val allTerms = pairs.map(_._2).distinct
     val stats = termStatsFor(spark, path, allTerms, st.nBuckets, asOfGen)
       .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
+    // batch-level short-circuit (VERDICT r13 item 7): a query's prunable
+    // mass is at most the WHOLE batch's Σdf, so a short-postings batch
+    // under the crossover skips the per-query decision loop entirely —
+    // the stats map was already needed for the plain plan's df table,
+    // so the screen costs one summation over cached driver rows
+    if (stats.valuesIterator.map(_.df).sum < minPruneRows)
+      return bm25TopKBatchPlain(spark, path, pairs, topK, asOfGen,
+        allowedIds, st)
     val termsByQid = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def subStats(q: String): Map[String, TermStats] =
       termsByQid(q).filter(stats.contains).map(t => t -> stats(t)).toMap
@@ -1206,18 +1396,28 @@ object InvertedIndex {
     // or negative net profit serve plain (exact either way). Unfiltered
     // batches decide joblessly from stored impacts; filtered batches
     // pay ONE windowed allowed-restricted probe action for all their
-    // candidates together (the jobless θ screens first — it upper-
-    // bounds the filtered θ, so a query it rejects can't profit).
-    val essByQid: Map[String, Seq[String]] = allowedIds match {
+    // candidates together, pre-screened by the jobless θ — a HEURISTIC
+    // screen, not a bound (ADVICE r13): stored pairs are top-by-tf, not
+    // top-by-partial, so a low-tf/low-dl allowed posting can push the
+    // filtered probe θ ABOVE the stored-impacts θ and a screened-out
+    // query may forgo profitable pruning — it still serves exactly,
+    // via the plain plan, and the screen keeps hopeless queries out of
+    // the probe action.
+    val essByQid: Map[String, (Seq[String], Double, String)] = allowedIds match {
       case None =>
         msEligible.iterator.flatMap { q =>
-          pruneProfit(subStats(q), st, topK, minPruneRows).map(q -> _)
+          val sub = subStats(q)
+          thetaFromStats(sub, st, topK).flatMap { case (th, anc) =>
+            essentialIfProfitable(sub, st, th, anc, minPruneRows)
+              .map(ess => q -> ((ess, th, anc)))
+          }
         }.toMap
       case Some(ok) if msEligible.nonEmpty =>
         val screened = msEligible.filter { q =>
           thetaFromStats(subStats(q), st, topK) match {
-            case Some(th) =>
-              essentialIfProfitable(subStats(q), st, th, minPruneRows).isDefined
+            case Some((th, anc)) =>
+              essentialIfProfitable(subStats(q), st, th, anc,
+                minPruneRows).isDefined
             case None => true // no jobless screen; the probe decides
           }
         }
@@ -1230,8 +1430,8 @@ object InvertedIndex {
             seeds.values.toSeq.distinct, stats, st, topK, asOfGen, ok)
           seeds.iterator.flatMap { case (q, t) =>
             byTerm.get(t).flatMap(th =>
-              essentialIfProfitable(subStats(q), st, th, minPruneRows))
-              .map(q -> _)
+              essentialIfProfitable(subStats(q), st, th, t, minPruneRows)
+                .map(ess => q -> ((ess, th, t))))
           }.toMap
         }
       case _ => Map.empty
@@ -1242,9 +1442,24 @@ object InvertedIndex {
         allowedIds, st)
     val msPairs = pairs.filter(p => msQids(p._1))
     val plainPairs = pairs.filterNot(p => msQids(p._1))
-    val essPairs = essByQid.toSeq.flatMap { case (q, ts) => ts.map((q, _)) }
-    val ms = bm25TopKBatchMaxScore(spark, path, msPairs, essPairs, topK,
-      asOfGen, allowedIds, st)
+    val essPairs = essByQid.toSeq.flatMap { case (q, (ts, _, _)) =>
+      ts.map((q, _)) }
+    // the batch scan's pushed tf floor: a term's rows may skip only when
+    // EVERY MaxScore query holding that term agrees (min of the
+    // per-query [[tfCutoffs]]) — per-query exactness then follows from
+    // the single-serve argument query by query
+    val cutoffByQid = essByQid.map { case (q, (_, th, _)) =>
+      q -> tfCutoffs(subStats(q), st, th)
+    }
+    val batchCutoffs: Map[String, Double] =
+      msPairs.map(_._2).distinct.flatMap { t =>
+        val holders = msQids.toSeq.filter(q => termsByQid(q).contains(t))
+        val cs = holders.map(q => cutoffByQid(q).get(t))
+        if (cs.nonEmpty && cs.forall(_.isDefined)) Some(t -> cs.map(_.get).min)
+        else None
+      }.toMap
+    val ms = bm25TopKBatchMaxScore(spark, path, msPairs, essPairs,
+      batchCutoffs, topK, asOfGen, allowedIds, st)
     if (plainPairs.isEmpty) ms
     else ms.unionByName(bm25TopKBatchPlain(spark, path, plainPairs, topK,
       asOfGen, allowedIds, st))
@@ -1286,22 +1501,25 @@ object InvertedIndex {
     */
   private def bm25TopKBatchMaxScore(spark: SparkSession, path: String,
       msPairs: Seq[(String, String)], essPairs: Seq[(String, String)],
-      topK: Int, asOfGen: Option[Long], allowedIds: Option[DataFrame],
-      st: Stats): DataFrame = {
+      cutoffs: Map[String, Double], topK: Int, asOfGen: Option[Long],
+      allowedIds: Option[DataFrame], st: Stats): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val terms = msPairs.map(_._2).distinct.toIndexedSeq
     val wanted = msPairs.toDF("qid", "term")
     val ess = essPairs.toDF("qid", "term")
     val post0 = probedPostings(spark, path, terms, st.nBuckets, asOfGen)
+      .where(skipFilterCol(terms, cutoffs))
     val post = allowedIds.fold(post0)(ok =>
       post0.join(ok, Seq("doc_id"), "left_semi"))
-    val dfTable = dfTableFor(spark, path, terms, st.nBuckets, asOfGen, post0)
+    val dfTable = dfTableFor(spark, path, terms, st.nBuckets, asOfGen,
+      probedPostings(spark, path, terms, st.nBuckets, asOfGen))
     // candidates from a scan pruned to the batch's ESSENTIAL terms'
     // buckets only (the rare ones), fanned to the queries that hold
-    // each term essential
-    val essPost0 = probedPostings(spark, path, essPairs.map(_._2).distinct,
-      st.nBuckets, asOfGen)
+    // each term essential, tf-floored like the scoring scan
+    val essTerms = essPairs.map(_._2).distinct
+    val essPost0 = probedPostings(spark, path, essTerms,
+      st.nBuckets, asOfGen).where(skipFilterCol(essTerms, cutoffs))
     val candidates = allowedIds.fold(essPost0)(ok =>
         essPost0.join(ok, Seq("doc_id"), "left_semi"))
       .join(broadcast(ess), "term")

@@ -50,6 +50,10 @@ object IvfSizing {
     spark.sparkContext.setLogLevel("WARN")
     import graft.llm.{Cluster, IvfPq, ProductQuant}
     import graft.QueriesQuality.{PqM, PqK, PqIters, PqTopK, PqAnchor, IvfRerankR}
+    // the sweep serves at the suite's default probe breadth — the r13
+    // finding is precisely that recall is flat in nProbe, so the sweep
+    // varies the OTHER two levers at fixed probing
+    val QueriesQualityProbe = graft.QueriesQuality.IvfNProbe
 
     val emb = graft.Tables.embeddings(spark, embDir)
     val n = emb.count()
@@ -82,15 +86,44 @@ object IvfSizing {
       k -> (cents, idx)
     }.toMap
 
+    // PQ DISTORTION × RERANK-DEPTH SWEEP (VERDICT r13 item 1): the r13
+    // table exposed rerank recall stuck at 0.40 FLAT from nProbe 2 → 16,
+    // which indicts the m-subquantizer shortlist ordering feeding a
+    // fixed R — not probe breadth. Sweep m (codebooks refit per m; the
+    // coarse quantizer and index assignment are m-independent, but the
+    // stored codes aren't, so each m gets its own √n-k raw-stored
+    // index) × rerank R at the √n-k default probe, measuring the
+    // END-TO-END rerank tier: recall@20 and p50 per (m, R).
+    val sweepMs = sys.env.getOrElse("SPARK_GRAFT_PQ_SWEEP_M", "4,8,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val sweepRs = sys.env.getOrElse("SPARK_GRAFT_PQ_SWEEP_R", "50,100,200")
+      .split(",").map(_.trim.toInt).toSeq
+    val sqrtCents = byK(sqrtK)._1
+    val byM = sweepMs.map { m =>
+      val pq = if (m == PqM) pqCents
+        else ProductQuant.fit(emb, col("vec_id"), col("embedding"),
+          m = m, k = PqK, iters = PqIters)
+      val idx =
+        if (m == PqM) byK(sqrtK)._2
+        else {
+          val d = graft.TempDirs.create(s"ivfsizing_m$m")
+          IvfPq.write(emb, col("vec_id"), col("embedding"), sqrtCents, pq, d,
+            storeRaw = true)
+          IvfPq.compact(spark, d)
+          d
+        }
+      m -> (pq, idx)
+    }.toMap
+
     // builds done — hold for a quiet host before the timed section
     val quiet = QuietGate.await()
     val lat = new LatSampling()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("id")).toSet
     val rows = configs.map { case (label, k, nProbe) =>
       val (cents, idx) = byK(k)
       val probedRows = IvfPq.probedCodes(spark, idx, cents, anchorV, nProbe)
         .count()
-      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
-        df.collect().map(_.getAs[Long]("id")).toSet
       val adcRecall = ids(IvfPq.serve(spark, idx, cents, pqCents, anchorV,
         nProbe, PqTopK)).intersect(exact).size.toDouble / PqTopK
       val rerankRecall = ids(IvfPq.serveRerankedFromIndex(spark, idx, cents,
@@ -104,13 +137,27 @@ object IvfSizing {
       (label, k, nProbe, probedRows, lat.pct(samples, 0.5), adcRecall,
         rerankRecall)
     }
+    val sweepReps = math.max(5, reps / 2)
+    val sweep = for (m <- sweepMs; r <- sweepRs) yield {
+      val (pq, idx) = byM(m)
+      def serveOnce() = IvfPq.serveRerankedFromIndex(spark, idx, sqrtCents,
+        pq, anchorV, QueriesQualityProbe, r, PqTopK)
+      val recall = ids(serveOnce()).intersect(exact).size.toDouble / PqTopK
+      (1 to 2).foreach(_ => lat.runMs(serveOnce()))
+      val samples = (1 to sweepReps)
+        .map(_ => lat.sampled(lat.runMs(serveOnce()))).sorted
+      (m, r, recall, lat.pct(samples, 0.5))
+    }
     def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     def r2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val rowsJson = rows.map { case (label, k, nProbe, pr, p50, adc, rr) =>
       s"""{"config":"$label","k":$k,"n_probe":$nProbe,"probed_rows":$pr,"ann_p50_ms":${f(p50)},"adc_recall_at_$PqTopK":${r2(adc)},"rerank_recall_at_$PqTopK":${r2(rr)}}"""
     }.mkString("[", ",", "]")
+    val sweepJson = sweep.map { case (m, r, rec, p50) =>
+      s"""{"pq_m":$m,"rerank_r":$r,"rerank_recall_at_$PqTopK":${r2(rec)},"rerank_p50_ms":${f(p50)}}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"ivf_sizing","n_vectors":$n,"sqrt_n_k":$sqrtK,"rerank_r":$IvfRerankR,"rows":$rowsJson,"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$embDir"}"""
+      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"ivf_sizing","n_vectors":$n,"sqrt_n_k":$sqrtK,"rerank_r":$IvfRerankR,"rows":$rowsJson,"pq_sweep_k":$sqrtK,"pq_sweep_n_probe":$QueriesQualityProbe,"pq_sweep":$sweepJson,"reps":$reps,"sweep_reps":$sweepReps,"steal_retries":${lat.retries},"steal_discard_ms":${f(lat.discardMs)},"cpus":$cpus,"corpus":"$embDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

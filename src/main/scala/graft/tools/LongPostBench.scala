@@ -156,7 +156,7 @@ object LongPostBench {
       BigDecimal(a / b).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val dfStr = terms.map(t => s""""$t":${dfs(t)}""").mkString("{", ",", "}")
     val line =
-      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"$rare","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${ratio(pct(wand, 0.5), pct(plain, 0.5))},"batch_n":${batch.size},"batch_plain_ms_per_req_p50":${f(pct(bPlain, 0.5))},"batch_auto_ms_per_req_p50":${f(pct(bAuto, 0.5))},"batch_ratio_p50":${ratio(pct(bAuto, 0.5), pct(bPlain, 0.5))},"reps":$reps,"steal_retries":${lat.retries},"cpus":$cpus,"corpus":"$corpusDir"}"""
+      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"$rare","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${ratio(pct(wand, 0.5), pct(plain, 0.5))},"batch_n":${batch.size},"batch_plain_ms_per_req_p50":${f(pct(bPlain, 0.5))},"batch_auto_ms_per_req_p50":${f(pct(bAuto, 0.5))},"batch_ratio_p50":${ratio(pct(bAuto, 0.5), pct(bPlain, 0.5))},"reps":$reps,"steal_retries":${lat.retries},"steal_discard_ms":${f(lat.discardMs)},"cpus":$cpus,"corpus":"$corpusDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

@@ -9,22 +9,31 @@ package graft.tools
   */
 object Provenance {
 
-  /** The repo root git commands run against — pinned rather than
-    * inherited from the process CWD (ADVICE r12: a bench tool launched
-    * from outside the repo silently stamped artifacts "clean" because
-    * `git status` ran in a non-repo directory).
-    */
-  private def repoRoot: java.io.File =
-    new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo"))
-
-  private def git(args: String*): Option[String] =
+  private def gitIn(dir: Option[java.io.File], args: String*): Option[String] =
     try {
-      val p = new ProcessBuilder(("git" +: args): _*)
-        .directory(repoRoot).redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(("git" +: args): _*).redirectErrorStream(true)
+      dir.foreach(pb.directory)
+      val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       p.waitFor()
       if (p.exitValue == 0) Some(out) else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The repo root git commands run against: the repository enclosing
+    * the process CWD (`git rev-parse --show-toplevel`), falling back to
+    * SPARK_GRAFT_REPO_ROOT. ADVICE r13: a hardcoded default root would
+    * stamp artifacts with the WRONG repo's commit when the checkout
+    * being measured lives elsewhere — worse than the honest "unknown"
+    * that None yields here (ADVICE r12 pinned that fallback for the
+    * no-repo case).
+    */
+  private lazy val repoRoot: Option[java.io.File] =
+    gitIn(None, "rev-parse", "--show-toplevel").map(new java.io.File(_))
+      .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT").map(new java.io.File(_))
+        .filter(d => new java.io.File(d, ".git").exists))
+
+  private def git(args: String*): Option[String] =
+    repoRoot.flatMap(root => gitIn(Some(root), args: _*))
 
   /** HEAD commit of the repo at [[repoRoot]], or "unknown" when git is
     * unavailable (e.g. artifacts regenerated outside the repo).
@@ -50,11 +59,24 @@ object Provenance {
     * tool's own tracked output file (bench_detail.json modifies itself
     * by existing). Doc edits are likewise stamp-irrelevant. Any change
     * under the build-relevant paths counts, tracked or untracked.
+    *
+    * Parsed from `--porcelain -z` (ADVICE r13): the newline format
+    * quotes special-char paths and prints renames as `old -> new`, so a
+    * file renamed INTO src/ or a quoted src/ path stamped false-clean.
+    * With -z nothing is quoted and a rename's two paths arrive as two
+    * NUL-separated tokens (new path carries the status prefix, origin
+    * path follows bare) — both sides get the prefix test.
     */
-  def dirty: Option[Boolean] = git("status", "--porcelain").map { out =>
-    out.linesIterator.exists { l =>
-      l.drop(3).matches("(src/|tools/|project/|build\\.sbt).*")
+  def dirty: Option[Boolean] = git("status", "--porcelain", "-z").map { out =>
+    val toks = out.split('\u0000').iterator.filter(_.nonEmpty)
+    val paths = scala.collection.mutable.ListBuffer.empty[String]
+    while (toks.hasNext) {
+      val header = toks.next() // "XY <path>"
+      paths += header.drop(3)
+      if (header.take(2).exists(c => c == 'R' || c == 'C') && toks.hasNext)
+        paths += toks.next() // rename/copy origin path, no status prefix
     }
+    paths.exists(_.matches("(src/|tools/|project/|build\\.sbt).*"))
   }
 
   /** `"_commit":"…","_generated_at_utc":"…"[,"_dirty_tree":true|"unknown"]`

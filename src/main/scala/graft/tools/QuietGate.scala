@@ -26,7 +26,8 @@ object QuietGate {
       def f(d: Double, dp: Int) =
         BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       val t = if (quiet) "" else ""","_quiet_timeout":true"""
-      s""""_quiet_wait_ms":$waitedMs,"_quiet_load1":${f(load1, 2)},"_quiet_steal_frac":${f(stealFrac, 4)}$t"""
+      val u = if (load1 < 0) ""","_quiet_load_unreadable":true""" else ""
+      s""""_quiet_wait_ms":$waitedMs,"_quiet_load1":${f(load1, 2)},"_quiet_steal_frac":${f(stealFrac, 4)}$t$u"""
     }
   }
 
@@ -65,13 +66,18 @@ object QuietGate {
     val ncpu = Runtime.getRuntime.availableProcessors
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1000000L
+    // ADVICE r13: an unreadable /proc/loadavg (load1 = -1) must not spin
+    // the full wait budget — gate on steal alone and let the stamped
+    // negative load1 (+_quiet_load_unreadable) surface the degraded probe.
+    def isQuiet(ld: Double, sf: Double) =
+      (ld < 0 || ld <= maxLoad1) && sf <= maxStealFrac
     var (ld, sf) = probe(probeMs, ncpu)
-    var quiet = (ld >= 0 && ld <= maxLoad1) && sf <= maxStealFrac
+    var quiet = isQuiet(ld, sf)
     while (!quiet && waited < maxWaitMs) {
       System.err.println(f"[quiet-gate] waiting: load1=$ld%.2f steal_frac=$sf%.4f (${waited}ms)")
       val next = probe(probeMs, ncpu)
       ld = next._1; sf = next._2
-      quiet = (ld >= 0 && ld <= maxLoad1) && sf <= maxStealFrac
+      quiet = isQuiet(ld, sf)
     }
     Reading(waited, ld, sf, quiet)
   }

@@ -955,12 +955,178 @@ class InvertedIndexSpec extends SparkSpec {
     val commons = byDf.take(3).map(_._1).toSeq
     assert(InvertedIndex.pickStrategy(spark, idx, commons,
       minPruneRows = 1.0) === "plain")
-    // single present term: nothing to prune, whatever the threshold
+    // single present term: the impact-pruned plan may route (round 14),
+    // but never under a mass threshold the list can't clear
     assert(InvertedIndex.pickStrategy(spark, idx, Seq("scan"),
-      minPruneRows = 0.0) === "plain")
+      minPruneRows = 1e12) === "plain")
     // tombstones pending: the sidecar is unusable, the pick must say so
     InvertedIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), col("doc_id"))
     assert(InvertedIndex.pickStrategy(spark, idx, mix,
       minPruneRows = 0.0) === "plain")
+  }
+
+  /** A long-postings fixture built for STORAGE-LEVEL pruning: one
+    * dominant term whose tf spreads 1..9 at constant dl (so partials
+    * strictly order by tf), plus two universal companions whose UB is
+    * ~zero (df = corpus size → idf ≈ 1e-4) — the regime where θ exceeds
+    * the other terms' summed bounds and [[InvertedIndex]]'s tfCutoffs
+    * can fire. dl is held constant by doc-unique filler tokens.
+    */
+  private def dominantFixture(n: Int = 3600) = {
+    import spark.implicits._
+    // dom lives in HALF the docs (df = n/2 keeps idf ≈ ln 2 — a
+    // universal dom would shrink every partial under the 4-dp output
+    // grid and blunt θ); u1/u2 are universal so their UB ≈ 1e-4
+    (0 until n).map { i =>
+      val tf = 1 + (i % 9)
+      val text =
+        if (i % 2 == 0)
+          (Seq.fill(tf)("dom") ++ Seq("u1", "u2") ++
+            Seq.fill(10 - tf)(s"f$i")).mkString(" ")
+        else (Seq("u1", "u2") ++ Seq.fill(10)(s"f$i")).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("single-term serve: impact-pruned plan is exact, shuffle-free, and pushes the tf floor") {
+    val docs = dominantFixture()
+    val idx = java.nio.file.Files.createTempDirectory("invidx_single").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val want = pairs(InvertedIndex.bm25TopK(spark, idx, Seq("dom"), topK = 20))
+    val served = InvertedIndex.bm25TopKMaxScore(spark, idx, Seq("dom"), topK = 20)
+    assert(pairs(served) === want, "single-term impact-pruned serve drifted")
+    // the routing agrees it's worth it (3600-row list, cutoff exists)
+    assert(InvertedIndex.pickStrategy(spark, idx, Seq("dom"),
+      minPruneRows = 1000.0) === "maxscore")
+    // plan shape: no exchange anywhere (scan → project → TakeOrdered)
+    // and the θ-derived tf floor reached the parquet source
+    val planStr = served.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"),
+      s"single-term plan should be shuffle-free:\n$planStr")
+    assert(planStr.contains("GreaterThanOrEqual(tf,"),
+      s"tf floor missing from PushedFilters:\n$planStr")
+    // the floor actually prunes: the scan may emit only the impact head,
+    // never the full 3600-row list (top-20 are the tf-9 docs; the floor
+    // sits strictly above tf 8)
+    val cut = "GreaterThanOrEqual\\(tf,([0-9.Ee+]+)\\)".r
+      .findFirstMatchIn(planStr).get.group(1).toDouble
+    assert(cut > 8.0 && cut <= 9.0, s"unexpected cutoff $cut")
+    // absent term + single-term mix falls back gracefully
+    val mixWant = pairs(InvertedIndex.bm25TopK(spark, idx,
+      Seq("dom", "zznothere"), topK = 20))
+    assert(pairs(InvertedIndex.bm25TopKMaxScore(spark, idx,
+      Seq("dom", "zznothere"), topK = 20)) === mixWant)
+  }
+
+  test("block-max scan skip: θ-derived tf floor skips parquet row groups on a long list") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 8 * 1024)
+    hc.setInt("parquet.page.size", 2 * 1024)
+    val idx =
+      try {
+        val out = java.nio.file.Files.createTempDirectory("invidx_rgskip").toString
+        InvertedIndex.write(dominantFixture(), col("doc_id"), col("text"),
+          out, nBuckets = 1)
+        out
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+        if (oldPage == null) hc.unset("parquet.page.size")
+        else hc.set("parquet.page.size", oldPage)
+      }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    // the dominant+universals mix: θ (from dom's stored impacts) exceeds
+    // ΣUB(u1, u2) ≈ 1e-4, so dom's own list gets a pushed floor while
+    // the universals keep every row — and the answer stays exact
+    val ts = Seq("dom", "u1", "u2")
+    val want = pairs(InvertedIndex.bm25TopK(spark, idx, ts, topK = 20))
+    val served = InvertedIndex.bm25TopKMaxScore(spark, idx, ts, topK = 20)
+    assert(pairs(served) === want, "dominant-mix MaxScore drifted")
+    val planStr = served.queryExecution.executedPlan.toString
+    val cut = "GreaterThanOrEqual\\(tf,([0-9.Ee+]+)\\)".r
+      .findFirstMatchIn(planStr)
+      .getOrElse(fail(s"no pushed tf floor in:\n$planStr")).group(1).toDouble
+    assert(cut > 1.0, s"cutoff $cut cannot prune")
+    // the filter_test.go discipline applied to postings: open the bucket
+    // files with the SAME predicate the plan pushed and count the row
+    // groups parquet's stats filter keeps — the impact-ordered layout
+    // (term, tf desc) must let most of the dominant list's groups skip
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val pred = FilterApi.and(
+      FilterApi.eq(FilterApi.binaryColumn("term"), Binary.fromString("dom")),
+      FilterApi.gtEq(FilterApi.doubleColumn("tf"),
+        java.lang.Double.valueOf(cut)))
+    val files = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    var total = 0
+    var kept = 0
+    files.foreach { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), hc)
+      val rAll = ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(hc).build())
+      try total += rAll.getRowGroups.size finally rAll.close()
+      val rF = ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(hc)
+          .withRecordFilter(FilterCompat.get(pred)).build())
+      try kept += rF.getRowGroups.size finally rF.close()
+    }
+    assert(total >= 8, s"fixture too small to split row groups: $total")
+    // dom is 3600 of ~10800 postings rows and only its tf-9 ninth
+    // survives the floor: the stats filter must drop most groups
+    assert(kept < total / 2,
+      s"row-group skip did not engage: kept $kept of $total")
+  }
+
+  test("AND serving: rarest-list candidacy is exact across thresholds and tombstones") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("invidx_and").toString
+    InvertedIndex.write(docs, col("doc_id"), col("text"), idx, nBuckets = 16)
+    val byDf = docs
+      .select(explode(array_distinct(
+        TextStats.tokens(lower(col("text"))))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mixes = Seq(
+      Seq(byDf.reverse.find(_._2 >= 5L).get._1, byDf(0)._1, byDf(1)._1),
+      byDf.take(3).map(_._1).toSeq,
+      Seq(byDf(0)._1, "zzabsent"),       // absent term → empty result
+      Seq(byDf(0)._1))                   // single term
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    for (ts <- mixes) {
+      val plain = pairs(InvertedIndex.bm25TopKAnd(spark, idx, ts, topK = 20,
+        minPruneRows = 1e12))              // forces the un-pruned plan
+      val pruned = pairs(InvertedIndex.bm25TopKAnd(spark, idx, ts, topK = 20,
+        minPruneRows = 0.0))               // forces rarest-list candidacy
+    assert(pruned === plain, s"AND candidacy drifted for $ts")
+    }
+    // sanity: the all-commons mix returns rows, and the absent mix none
+    assert(pairs(InvertedIndex.bm25TopKAnd(spark, idx, mixes(1), topK = 20,
+      minPruneRows = 0.0)).nonEmpty)
+    assert(pairs(InvertedIndex.bm25TopKAnd(spark, idx, mixes(2), topK = 20,
+      minPruneRows = 0.0)).isEmpty)
+    // tombstones pending: candidacy is containment, not a score
+    // argument, so the prune stays exact through the delete window
+    InvertedIndex.delete(spark, idx,
+      docs.where(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
+      col("doc_id"))
+    val plainDel = pairs(InvertedIndex.bm25TopKAnd(spark, idx, mixes.head,
+      topK = 20, minPruneRows = 1e12))
+    val prunedDel = pairs(InvertedIndex.bm25TopKAnd(spark, idx, mixes.head,
+      topK = 20, minPruneRows = 0.0))
+    assert(prunedDel === plainDel, "AND candidacy drifted under tombstones")
   }
 }

@@ -76,6 +76,52 @@ object LongPostBench {
     val got = rows(InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k))
     require(got == want, s"MaxScore != plain on $corpusDir for $terms")
 
+    // SINGLE-DOMINANT-TERM serve (round 14): the purest block-max shape —
+    // one long list whose impact head alone decides the top-k. The
+    // pruned plan is scan→project→TakeOrdered with the θ-derived tf
+    // floor PUSHED into parquet (row-group/page skips over the low-tf
+    // tail); plain pays the full-list aggregation + shuffle.
+    val domTerm = byDf.head._1
+    require(rows(InvertedIndex.bm25TopKMaxScore(spark, idx, Seq(domTerm),
+        topK = k)) ==
+      rows(InvertedIndex.bm25TopK(spark, idx, Seq(domTerm), topK = k)),
+      s"single-term pruned serve != plain on $corpusDir for $domTerm")
+    val domPick = InvertedIndex.pickStrategy(spark, idx, Seq(domTerm))
+
+    // AND-semantics serve (VERDICT r13 item 5): rarest-list candidacy —
+    // the rare seed's list is a complete candidate superset, so the
+    // pruned aggregation is |rarest|-bounded instead of Σdf-bounded
+    def andRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    require(andRows(InvertedIndex.bm25TopKAnd(spark, idx, terms, topK = k,
+        minPruneRows = 0.0)) ==
+      andRows(InvertedIndex.bm25TopKAnd(spark, idx, terms, topK = k,
+        minPruneRows = Double.MaxValue)),
+      s"AND rarest-list candidacy != plain on $corpusDir for $terms")
+
+    // FILTERED serving crossover (VERDICT r13 item 6): the filtered
+    // MaxScore path pays a probe action the unfiltered path no longer
+    // has — measure the auto pick against forced-plain under a
+    // SELECTIVE (5%) and a PERMISSIVE (90%) allowed set, single and
+    // batch. Allowed sets are prebuilt dimensions (written outside the
+    // timing — at scale an ACL table, not a corpus scan).
+    val filters: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("selective", docs.where(pmod(col("doc_id"), lit(20)) === 0)),
+      ("permissive", docs.where(pmod(col("doc_id"), lit(10)) =!= 0))
+    ).map { case (label, d) =>
+      val dir = graft.TempDirs.create(s"longpost_acl_$label")
+      d.select("doc_id").coalesce(1).write.mode("overwrite").parquet(dir)
+      label -> spark.read.parquet(dir)
+    }
+    def filtOnce(ok: org.apache.spark.sql.DataFrame, minPrune: Double) =
+      InvertedIndex.bm25TopKFiltered(spark, idx, terms, ok, col("doc_id"),
+        topK = k, minPruneRows = minPrune)
+    filters.foreach { case (label, ok) =>
+      require(rows(filtOnce(ok, InvertedIndex.DefaultMinPruneRows)) ==
+        rows(filtOnce(ok, Double.MaxValue)),
+        s"filtered auto serve != plain under $label filter on $corpusDir")
+    }
+
     // the BATCH endpoints under measurement: every member is the
     // long-postings shape (the shared rare seed with varying common
     // terms — the corpus's shared-vocab construction leaves only one
@@ -115,9 +161,26 @@ object LongPostBench {
     def plainOnce() = InvertedIndex.bm25TopK(spark, idx, terms, topK = k)
     def wandOnce() = InvertedIndex.bm25TopKMaxScore(spark, idx, terms, topK = k)
     def autoOnce() = InvertedIndex.bm25TopKAuto(spark, idx, terms, topK = k)
+    def domPlainOnce() = InvertedIndex.bm25TopK(spark, idx, Seq(domTerm), topK = k)
+    def domPrunedOnce() =
+      InvertedIndex.bm25TopKMaxScore(spark, idx, Seq(domTerm), topK = k)
+    def andPlainOnce() = InvertedIndex.bm25TopKAnd(spark, idx, terms, topK = k,
+      minPruneRows = Double.MaxValue)
+    def andPrunedOnce() = InvertedIndex.bm25TopKAnd(spark, idx, terms, topK = k)
+    def fbatchDf(ok: org.apache.spark.sql.DataFrame, minPrune: Double) =
+      InvertedIndex.bm25TopKFilteredBatch(spark, idx, queriesDf, col("qid"),
+        col("terms"), ok, col("doc_id"), topK = k, minPruneRows = minPrune)
     // warm every path (JIT + caches) before measuring
     (1 to 2).foreach { _ =>
       runMs(plainOnce()); runMs(wandOnce()); runMs(autoOnce())
+      runMs(domPlainOnce()); runMs(domPrunedOnce())
+      runMs(andPlainOnce()); runMs(andPrunedOnce())
+      filters.foreach { case (_, ok) =>
+        runMs(filtOnce(ok, Double.MaxValue))
+        runMs(filtOnce(ok, InvertedIndex.DefaultMinPruneRows))
+        runMs(fbatchDf(ok, Double.MaxValue))
+        runMs(fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))
+      }
       runMs(batchDf(Double.MaxValue))
       runMs(batchDf(InvertedIndex.DefaultMinPruneRows))
     }
@@ -127,36 +190,62 @@ object LongPostBench {
     // warm-up (running right after a sibling leaves its broadcast/
     // codegen hot) spreads evenly instead of always favoring whichever
     // runs last
-    val plainS = collection.mutable.ArrayBuffer.empty[Double]
-    val wandS = collection.mutable.ArrayBuffer.empty[Double]
-    val autoS = collection.mutable.ArrayBuffer.empty[Double]
-    val bPlainS = collection.mutable.ArrayBuffer.empty[Double]
-    val bAutoS = collection.mutable.ArrayBuffer.empty[Double]
-    val singles: Vector[() => Unit] = Vector(
-      () => plainS += sampled(runMs(plainOnce())),
-      () => wandS += sampled(runMs(wandOnce())),
-      () => autoS += sampled(runMs(autoOnce())))
-    val batches: Vector[() => Unit] = Vector(
-      () => bPlainS += sampled(runMs(batchDf(Double.MaxValue))) / batch.size,
-      () => bAutoS += sampled(runMs(
-        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size)
+    class Series { val buf = collection.mutable.ArrayBuffer.empty[Double]
+      def sorted: IndexedSeq[Double] = buf.sorted.toIndexedSeq }
+    val plainS = new Series; val wandS = new Series; val autoS = new Series
+    val domPlainS = new Series; val domPrunedS = new Series
+    val andPlainS = new Series; val andPrunedS = new Series
+    val fPlainS = filters.map { case (l, _) => l -> new Series }.toMap
+    val fAutoS = filters.map { case (l, _) => l -> new Series }.toMap
+    val bPlainS = new Series; val bAutoS = new Series
+    val fbPlainS = filters.map { case (l, _) => l -> new Series }.toMap
+    val fbAutoS = filters.map { case (l, _) => l -> new Series }.toMap
+    val singles: Vector[() => Unit] = Vector[() => Unit](
+      () => plainS.buf += sampled(runMs(plainOnce())),
+      () => wandS.buf += sampled(runMs(wandOnce())),
+      () => autoS.buf += sampled(runMs(autoOnce())),
+      () => domPlainS.buf += sampled(runMs(domPlainOnce())),
+      () => domPrunedS.buf += sampled(runMs(domPrunedOnce())),
+      () => andPlainS.buf += sampled(runMs(andPlainOnce())),
+      () => andPrunedS.buf += sampled(runMs(andPrunedOnce()))) ++
+      filters.flatMap { case (l, ok) => Vector[() => Unit](
+        () => fPlainS(l).buf += sampled(runMs(filtOnce(ok, Double.MaxValue))),
+        () => fAutoS(l).buf += sampled(runMs(
+          filtOnce(ok, InvertedIndex.DefaultMinPruneRows)))) }
+    val batches: Vector[() => Unit] = Vector[() => Unit](
+      () => bPlainS.buf += sampled(runMs(batchDf(Double.MaxValue))) / batch.size,
+      () => bAutoS.buf += sampled(runMs(
+        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size) ++
+      filters.flatMap { case (l, ok) => Vector[() => Unit](
+        () => fbPlainS(l).buf +=
+          sampled(runMs(fbatchDf(ok, Double.MaxValue))) / batch.size,
+        () => fbAutoS(l).buf += sampled(runMs(
+          fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))) / batch.size) }
     (0 until reps).foreach { i =>
-      (0 until 3).foreach(j => singles((i + j) % 3)())
-      (0 until 2).foreach(j => batches((i + j) % 2)())
+      singles.indices.foreach(j => singles((i + j) % singles.size)())
+      batches.indices.foreach(j => batches((i + j) % batches.size)())
     }
-    val plain = plainS.sorted.toIndexedSeq
-    val wand = wandS.sorted.toIndexedSeq
-    val auto = autoS.sorted.toIndexedSeq
-    val bPlain = bPlainS.sorted.toIndexedSeq
-    val bAuto = bAutoS.sorted.toIndexedSeq
+    val plain = plainS.sorted
+    val wand = wandS.sorted
+    val auto = autoS.sorted
+    val bPlain = bPlainS.sorted
+    val bAuto = bAutoS.sorted
 
     val nDocs = InvertedIndex.readStats(spark, idx).nDocs.toLong
     def f(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     def ratio(a: Double, b: Double) =
       BigDecimal(a / b).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val dfStr = terms.map(t => s""""$t":${dfs(t)}""").mkString("{", ",", "}")
+    def p50(s: Series) = pct(s.sorted, 0.5)
+    val domStr =
+      s""""dominant":{"term":"$domTerm","df":${dfs(domTerm)},"pick":"$domPick","plain_p50_ms":${f(p50(domPlainS))},"pruned_p50_ms":${f(p50(domPrunedS))},"ratio_p50":${ratio(p50(domPrunedS), p50(domPlainS))}}"""
+    val andStr =
+      s""""and":{"plain_p50_ms":${f(p50(andPlainS))},"pruned_p50_ms":${f(p50(andPrunedS))},"ratio_p50":${ratio(p50(andPrunedS), p50(andPlainS))}}"""
+    val filtStr = filters.map { case (l, _) =>
+      s"""{"filter":"$l","plain_p50_ms":${f(p50(fPlainS(l)))},"auto_p50_ms":${f(p50(fAutoS(l)))},"ratio_p50":${ratio(p50(fAutoS(l)), p50(fPlainS(l)))},"batch_plain_ms_per_req_p50":${f(p50(fbPlainS(l)))},"batch_auto_ms_per_req_p50":${f(p50(fbAutoS(l)))},"batch_ratio_p50":${ratio(p50(fbAutoS(l)), p50(fbPlainS(l)))}}"""
+    }.mkString("\"filtered\":[", ",", "]")
     val line =
-      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"$rare","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${ratio(pct(wand, 0.5), pct(plain, 0.5))},"batch_n":${batch.size},"batch_plain_ms_per_req_p50":${f(pct(bPlain, 0.5))},"batch_auto_ms_per_req_p50":${f(pct(bAuto, 0.5))},"batch_ratio_p50":${ratio(pct(bAuto, 0.5), pct(bPlain, 0.5))},"reps":$reps,"steal_retries":${lat.retries},"steal_discard_ms":${f(lat.discardMs)},"cpus":$cpus,"corpus":"$corpusDir"}"""
+      s"""{${Provenance.jsonFields},${quiet.jsonFields},"metric":"longpost","n_docs":$nDocs,"terms_df":$dfStr,"seed":"$rare","plain_p50_ms":${f(pct(plain, 0.5))},"plain_p95_ms":${f(pct(plain, 0.95))},"maxscore_p50_ms":${f(pct(wand, 0.5))},"maxscore_p95_ms":${f(pct(wand, 0.95))},"auto_p50_ms":${f(pct(auto, 0.5))},"auto_pick":"$autoPick","ratio_p50":${ratio(pct(wand, 0.5), pct(plain, 0.5))},$domStr,$andStr,$filtStr,"batch_n":${batch.size},"batch_plain_ms_per_req_p50":${f(pct(bPlain, 0.5))},"batch_auto_ms_per_req_p50":${f(pct(bAuto, 0.5))},"batch_ratio_p50":${ratio(pct(bAuto, 0.5), pct(bPlain, 0.5))},"reps":$reps,"steal_retries":${lat.retries},"steal_discard_ms":${f(lat.discardMs)},"cpus":$cpus,"corpus":"$corpusDir"}"""
     println(line)
     artifact.foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))

@@ -279,7 +279,15 @@ object QueriesQuality {
     * slices), derives the same codes, and sums the same four rounded
     * table entries in subspace order.
     */
-  val PqM = 4
+  /** m = 8 subquantizers (round 14, VERDICT r13 item 1): the r13 sizing
+    * table exposed end-to-end rerank recall stuck at 0.40 because the
+    * m=4 ADC shortlist ordering fed a fixed R=50; the r14 m × R sweep
+    * (IVFSIZING_sf10_r14 `pq_sweep`) measured R as the dominant lever
+    * and m=8 as the best codebook: recall@20 0.40 → 0.85 at rerank p50
+    * 154 ms (vs 168 ms before — the deeper shortlist join costs less
+    * than the old mis-ordering wasted).
+    */
+  val PqM = 8
   val PqK = 16
   val PqIters = 2
   val PqTopK = 20
@@ -954,7 +962,13 @@ object QueriesQuality {
     * of raw vectors fetched (n_rerank / corpus). The oracle composes
     * the q_ivfpq_recall CTEs with the exact-distance re-rank tail.
     */
-  val IvfRerankR = 50
+  /** Rerank depth 200 (round 14, with [[PqM]]'s note): the sweep showed
+    * recall@20 rising 0.5 → 0.85 from R=50 → 200 at m=8 with FLAT p50 —
+    * the exact-distance kernel over R stored vectors is broadcast-join
+    * bounded, so depth is nearly free until R approaches the probed
+    * row count.
+    */
+  val IvfRerankR = 200
 
   val qIvfPqRerank: Q = (s, dir) => {
     import graft.llm.{IvfPq, ProductQuant}

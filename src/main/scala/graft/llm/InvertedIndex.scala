@@ -829,15 +829,25 @@ object InvertedIndex {
     * when the (allowed) seed postings hold fewer than k docs. Returns
     * (θ, seed): the seed term's list holds the k backing docs, so it is
     * the structural anchor exactly as in [[thetaFromStats]].
+    *
+    * `allowedCount` (the filtered caller's one cheap count over its ACL
+    * relation) picks the probe's join DIRECTION: a PERMISSIVE filter is
+    * much bigger than the seed list, so the seed postings broadcast into
+    * a stream over the ACL scan (round 14 — the r13 shape built a
+    * broadcast of the whole allowed set per probe, which dominated the
+    * probe's cost); a selective one broadcasts as before.
     */
   private def probeTheta(spark: SparkSession, path: String,
       stats: Map[String, TermStats], st: Stats, topK: Int,
-      asOfGen: Option[Long],
-      allowed: Option[DataFrame]): Option[(Double, String)] = {
+      asOfGen: Option[Long], allowed: Option[DataFrame],
+      allowedCount: Double = Double.MaxValue): Option[(Double, String)] = {
     val seed = stats.minBy { case (t, ts) => (ts.df, t) }._1
     val post0 = probedPostings(spark, path, Seq(seed), st.nBuckets, asOfGen)
-    val post = allowed.fold(post0)(ok =>
-      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val post = allowed.fold(post0) { ok =>
+      if (stats(seed).df <= allowedCount)
+        ok.join(broadcast(post0), Seq("doc_id"))
+      else post0.join(broadcast(ok), Seq("doc_id"), "left_semi")
+    }
     val probeTop = post
       .select((lit(idfOf(st)(stats(seed).df)) * col("tf") * (Bm25.K1 + 1) /
         (col("tf") + lit(Bm25.K1) *
@@ -1019,33 +1029,54 @@ object InvertedIndex {
   private def maxScorePlan(spark: SparkSession, path: String,
       qts: Seq[String], stats: Map[String, TermStats], st: Stats,
       theta: Double, anchor: String, topK: Int, asOfGen: Option[Long],
-      allowed: Option[DataFrame]): Option[DataFrame] = {
+      allowed: Option[DataFrame],
+      allowedCount: Double = Double.MaxValue): Option[DataFrame] = {
     val nonEssential = nonEssentialSuffix(stats, ubOf(stats, st), theta, anchor)
     if (nonEssential.isEmpty || nonEssential.size == stats.size) return None
     val essential = stats.keys.filterNot(nonEssential).toSeq
+    val essMass = essential.iterator.map(stats(_).df).sum
     val cutoffs = tfCutoffs(stats, st, theta)
     val post0 = probedPostings(spark, path, qts, st.nBuckets, asOfGen)
     val postSkip = post0.where(skipFilterCol(stats.keys.toSeq, cutoffs))
-    // candidacy narrows under a filter; df stays whole-corpus (Lucene
-    // filtered-query semantics), served from the sidecar cache
-    val post = allowed.fold(postSkip)(ok =>
-      postSkip.join(ok, Seq("doc_id"), "left_semi"))
     val dfTable = dfTableFor(spark, path, qts, st.nBuckets, asOfGen, post0)
+    // Under a PERMISSIVE filter (ACL bigger than the candidate scale)
+    // the ACL is applied AFTER the candidate-pruned aggregation: scoring
+    // a few disallowed candidates costs candidate-sized rows, while
+    // semi-joining the ACL into the scans would rebuild a huge broadcast
+    // (the r13 shape paid that build 2-3× per serve — measured dominant
+    // at sv10's 90% filter). Exact: candidacy is a SUPERSET argument
+    // (every allowed doc reaching the probe's filtered θ sits in an
+    // essential list), and the aggregated scores are corpus-stat scores,
+    // so filtering them post-hoc returns exactly the plain filtered
+    // rows. A SELECTIVE filter (ACL under the candidate scale) keeps the
+    // r13 pre-aggregation semi-joins — there the ACL broadcast is tiny
+    // and cuts every stage. df stays whole-corpus either way (Lucene
+    // filtered-query semantics).
+    val aclPostAgg = allowed.isDefined && allowedCount > essMass
+    val post =
+      if (aclPostAgg) postSkip
+      else allowed.fold(postSkip)(ok =>
+        postSkip.join(ok, Seq("doc_id"), "left_semi"))
     // candidates from a scan pruned to the ESSENTIAL terms' buckets only
     // (essential terms are the rare ones — the broadcast build never
     // reads a common term's bucket), tf-floored like the scoring scan
     val essPost0 = probedPostings(spark, path, essential, st.nBuckets, asOfGen)
       .where(skipFilterCol(essential, cutoffs))
-    val candidates = allowed.fold(essPost0)(ok =>
-        essPost0.join(ok, Seq("doc_id"), "left_semi"))
+    val candidates = (if (aclPostAgg) essPost0
+      else allowed.fold(essPost0)(ok =>
+        essPost0.join(ok, Seq("doc_id"), "left_semi")))
       .select("doc_id")
-    Some(post.join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
+    val scored = post
+      .join(broadcast(candidates.distinct()), Seq("doc_id"), "left_semi")
       .join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("doc_id").as("id"))
       .agg(round(sum("part"), 4).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK))
+    val visible =
+      if (!aclPostAgg) scored
+      else allowed.get.join(broadcast(scored),
+        col("doc_id") === col("id")).select("id", "score")
+    Some(visible.orderBy(col("score").desc, col("id")).limit(topK))
   }
 
   /** MaxScore / WAND-lite serving (VERDICT r10 item 3's early-
@@ -1223,20 +1254,38 @@ object InvertedIndex {
       val st = readStats(spark, path, asOfGen)
       val stats = termStatsFor(spark, path, qts, st.nBuckets, asOfGen)
         .collect { case (t, Some(ts)) if ts.df > 0 => t -> ts }
-      if (stats.size > 1) {
-        // the probed (allowed-restricted) θ re-checks profit — the
-        // pickStrategy screen above reasoned under the UNFILTERED
-        // stored-impacts θ, a heuristic for the filtered case
-        val pruned = probeTheta(spark, path, stats, st, topK, asOfGen, Some(ok))
-          .filter { case (theta, anchor) =>
-            essentialIfProfitable(stats, st, theta, anchor,
-              minPruneRows).isDefined
-          }
-          .flatMap { case (theta, anchor) =>
-            maxScorePlan(spark, path, qts, stats, st, theta, anchor,
-              topK, asOfGen, Some(ok))
-          }
-        if (pruned.isDefined) return pruned.get
+      val seedDf = if (stats.isEmpty) 0.0 else stats.values.map(_.df).min
+      val prunable = stats.values.map(_.df).sum - seedDf
+      // FRAC-AWARE screen (round 14, measured at sv10): the filtered
+      // pruned serve's savings scale with the ALLOWED FRACTION — the
+      // plain filtered aggregation only moves frac·Σdf rows to begin
+      // with — while its probe still scans the whole seed list. Under a
+      // selective ACL there is nothing left to prune, so the serve pays
+      // ONE cheap count over the caller's ACL relation (pre-distinct:
+      // an ACL is a key relation; at scale a metadata-priced count, far
+      // under the probe's posting scan) and requires the discounted
+      // prunable mass net of the probe's seed scan to clear the same
+      // crossover the unfiltered pick uses. The frac=1 bound screens
+      // first, so short queries never pay even the count.
+      if (stats.size > 1 && prunable - seedDf >= minPruneRows) {
+        val nAllowed = allowed.select(id.cast("long")).count().toDouble
+        val frac = math.min(1.0, nAllowed / st.nDocs)
+        if (frac * prunable - seedDf >= minPruneRows) {
+          // the probed (allowed-restricted) θ re-checks profit — the
+          // pickStrategy screen above reasoned under the UNFILTERED
+          // stored-impacts θ, a heuristic for the filtered case
+          val pruned = probeTheta(spark, path, stats, st, topK, asOfGen,
+              Some(ok), nAllowed)
+            .filter { case (theta, anchor) =>
+              essentialIfProfitable(stats, st, theta, anchor,
+                minPruneRows).isDefined
+            }
+            .flatMap { case (theta, anchor) =>
+              maxScorePlan(spark, path, qts, stats, st, theta, anchor,
+                topK, asOfGen, Some(ok), nAllowed)
+            }
+          if (pruned.isDefined) return pruned.get
+        }
       }
     }
     val st = readStats(spark, path, asOfGen)
@@ -1403,6 +1452,16 @@ object InvertedIndex {
     // query may forgo profitable pruning — it still serves exactly,
     // via the plain plan, and the screen keeps hopeless queries out of
     // the probe action.
+    // the batch's shared ACL count, paid AT MOST ONCE and only when some
+    // member survives the jobless frac=1 bound — prices the frac-aware
+    // screen (single-serve discipline: savings scale with the allowed
+    // fraction, the probe's seed scan doesn't) and picks the pruned
+    // plan's ACL join direction
+    lazy val okCount: Double =
+      allowedIds.fold(Double.MaxValue)(_.count().toDouble)
+    def seedDfOf(q: String) = subStats(q).values.map(_.df).min
+    def prunableOf(q: String) =
+      subStats(q).values.map(_.df).sum - seedDfOf(q)
     val essByQid: Map[String, (Seq[String], Double, String)] = allowedIds match {
       case None =>
         msEligible.iterator.flatMap { q =>
@@ -1413,21 +1472,31 @@ object InvertedIndex {
           }
         }.toMap
       case Some(ok) if msEligible.nonEmpty =>
-        val screened = msEligible.filter { q =>
-          thetaFromStats(subStats(q), st, topK) match {
-            case Some((th, anc)) =>
-              essentialIfProfitable(subStats(q), st, th, anc,
-                minPruneRows).isDefined
-            case None => true // no jobless screen; the probe decides
-          }
+        val optimistic = msEligible.filter { q =>
+          prunableOf(q) - seedDfOf(q) >= minPruneRows &&
+            (thetaFromStats(subStats(q), st, topK) match {
+              case Some((th, anc)) =>
+                essentialIfProfitable(subStats(q), st, th, anc,
+                  minPruneRows).isDefined
+              case None => true // no jobless screen; the probe decides
+            })
         }
+        val screened =
+          if (optimistic.isEmpty) optimistic
+          else {
+            val frac = math.min(1.0, okCount / st.nDocs)
+            optimistic.filter { q =>
+              frac * prunableOf(q) - seedDfOf(q) >= minPruneRows
+            }
+          }
         if (screened.isEmpty) Map.empty
         else {
           val seeds = screened.iterator.map { q =>
             q -> subStats(q).minBy { case (t, ts) => (ts.df, t) }._1
           }.toMap
           val byTerm = probeThetaBatch(spark, path,
-            seeds.values.toSeq.distinct, stats, st, topK, asOfGen, ok)
+            seeds.values.toSeq.distinct, stats, st, topK, asOfGen, ok,
+            okCount)
           seeds.iterator.flatMap { case (q, t) =>
             byTerm.get(t).flatMap(th =>
               essentialIfProfitable(subStats(q), st, th, t, minPruneRows)
@@ -1458,8 +1527,10 @@ object InvertedIndex {
         if (cs.nonEmpty && cs.forall(_.isDefined)) Some(t -> cs.map(_.get).min)
         else None
       }.toMap
+    val essMassBatch = essPairs.map(_._2).distinct
+      .map(t => stats(t).df).sum
     val ms = bm25TopKBatchMaxScore(spark, path, msPairs, essPairs,
-      batchCutoffs, topK, asOfGen, allowedIds, st)
+      batchCutoffs, topK, asOfGen, allowedIds, st, okCount, essMassBatch)
     if (plainPairs.isEmpty) ms
     else ms.unionByName(bm25TopKBatchPlain(spark, path, plainPairs, topK,
       asOfGen, allowedIds, st))
@@ -1502,16 +1573,30 @@ object InvertedIndex {
   private def bm25TopKBatchMaxScore(spark: SparkSession, path: String,
       msPairs: Seq[(String, String)], essPairs: Seq[(String, String)],
       cutoffs: Map[String, Double], topK: Int, asOfGen: Option[Long],
-      allowedIds: Option[DataFrame], st: Stats): DataFrame = {
+      allowedIds: Option[DataFrame], st: Stats,
+      allowedCount: Double = Double.MaxValue,
+      candScale: Double = Double.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val terms = msPairs.map(_._2).distinct.toIndexedSeq
     val wanted = msPairs.toDF("qid", "term")
     val ess = essPairs.toDF("qid", "term")
+    // PERMISSIVE ACLs apply AFTER the candidate-pruned aggregation (the
+    // [[maxScorePlan]] round-14 argument, batch-shaped: the aggregated
+    // (qid, doc, score) rows are candidate-sized, so scoring a few
+    // disallowed candidates is cheaper than rebuilding an ACL broadcast
+    // into both scans); selective ACLs keep the pre-aggregation
+    // semi-joins. Exactness per query follows from the single-serve
+    // superset argument — the rank window runs on allowed rows only.
+    // `candScale` = the caller's Σdf over the batch's essential terms,
+    // the driver-side bound on the aggregated row count.
+    val aclPostAgg = allowedIds.isDefined && allowedCount > candScale
     val post0 = probedPostings(spark, path, terms, st.nBuckets, asOfGen)
       .where(skipFilterCol(terms, cutoffs))
-    val post = allowedIds.fold(post0)(ok =>
-      post0.join(ok, Seq("doc_id"), "left_semi"))
+    val post =
+      if (aclPostAgg) post0
+      else allowedIds.fold(post0)(ok =>
+        post0.join(ok, Seq("doc_id"), "left_semi"))
     val dfTable = dfTableFor(spark, path, terms, st.nBuckets, asOfGen,
       probedPostings(spark, path, terms, st.nBuckets, asOfGen))
     // candidates from a scan pruned to the batch's ESSENTIAL terms'
@@ -1520,8 +1605,9 @@ object InvertedIndex {
     val essTerms = essPairs.map(_._2).distinct
     val essPost0 = probedPostings(spark, path, essTerms,
       st.nBuckets, asOfGen).where(skipFilterCol(essTerms, cutoffs))
-    val candidates = allowedIds.fold(essPost0)(ok =>
-        essPost0.join(ok, Seq("doc_id"), "left_semi"))
+    val candidates = (if (aclPostAgg) essPost0
+      else allowedIds.fold(essPost0)(ok =>
+        essPost0.join(ok, Seq("doc_id"), "left_semi")))
       .join(broadcast(ess), "term")
       .select("qid", "doc_id").distinct()
     // the candidates join IS the fan: an inner broadcast join on doc_id
@@ -1531,12 +1617,17 @@ object InvertedIndex {
     // row (at sv10: ~0.2M joined rows instead of 2.3M fanned) — and the
     // (qid, term) membership filter is a local-relation semi-join. One
     // data-derived broadcast build total (the candidate pairs).
-    post.join(broadcast(candidates), Seq("doc_id"))
+    val scored = post.join(broadcast(candidates), Seq("doc_id"))
       .join(broadcast(wanted), Seq("qid", "term"), "left_semi")
       .join(broadcast(dfTable), "term")
       .withColumn("part", bm25Part(st.nDocs, st.avgdl))
       .groupBy(col("qid"), col("doc_id").as("id"))
       .agg(round(sum("part"), 4).as("score"))
+    val visible =
+      if (!aclPostAgg) scored
+      else allowedIds.get.join(broadcast(scored),
+        col("doc_id") === col("id")).select("qid", "id", "score")
+    visible
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
       .where(col("rk") <= topK).drop("rk")
@@ -1550,14 +1641,19 @@ object InvertedIndex {
     */
   private def probeThetaBatch(spark: SparkSession, path: String,
       seedTerms: Seq[String], stats: Map[String, TermStats], st: Stats,
-      topK: Int, asOfGen: Option[Long],
-      allowed: DataFrame): Map[String, Double] = {
+      topK: Int, asOfGen: Option[Long], allowed: DataFrame,
+      allowedCount: Double = Double.MaxValue): Map[String, Double] = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val idfDf = seedTerms.map(t => (t, idfOf(st)(stats(t).df)))
       .toDF("term", "_idf")
-    probedPostings(spark, path, seedTerms, st.nBuckets, asOfGen)
-      .join(allowed, Seq("doc_id"), "left_semi")
+    val seedPost = probedPostings(spark, path, seedTerms, st.nBuckets, asOfGen)
+    val seedMass = seedTerms.iterator.map(stats(_).df).sum
+    // join direction by size (the single-probe round-14 discipline):
+    // permissive ACLs stream over a broadcast of the seed postings
+    (if (seedMass <= allowedCount)
+       allowed.join(broadcast(seedPost), Seq("doc_id"))
+     else seedPost.join(broadcast(allowed), Seq("doc_id"), "left_semi"))
       .join(broadcast(idfDf), "term")
       .select(col("term"), (col("_idf") * col("tf") * (Bm25.K1 + 1) /
         (col("tf") + lit(Bm25.K1) *

@@ -170,26 +170,15 @@ object LongPostBench {
     def fbatchDf(ok: org.apache.spark.sql.DataFrame, minPrune: Double) =
       InvertedIndex.bm25TopKFilteredBatch(spark, idx, queriesDf, col("qid"),
         col("terms"), ok, col("doc_id"), topK = k, minPruneRows = minPrune)
-    // warm every path (JIT + caches) before measuring
-    (1 to 2).foreach { _ =>
-      runMs(plainOnce()); runMs(wandOnce()); runMs(autoOnce())
-      runMs(domPlainOnce()); runMs(domPrunedOnce())
-      runMs(andPlainOnce()); runMs(andPrunedOnce())
-      filters.foreach { case (_, ok) =>
-        runMs(filtOnce(ok, Double.MaxValue))
-        runMs(filtOnce(ok, InvertedIndex.DefaultMinPruneRows))
-        runMs(fbatchDf(ok, Double.MaxValue))
-        runMs(fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))
-      }
-      runMs(batchDf(Double.MaxValue))
-      runMs(batchDf(InvertedIndex.DefaultMinPruneRows))
-    }
-    // INTERLEAVED reps with a ROTATING order: each rep measures every
-    // strategy back to back so all percentiles see the same cache
-    // state, and the starting strategy rotates per rep so adjacency
-    // warm-up (running right after a sibling leaves its broadcast/
-    // codegen hot) spreads evenly instead of always favoring whichever
-    // runs last
+    // PHASE-ISOLATED interleaves (round 14): each comparison group
+    // measures alone, its members interleaved round-robin with a
+    // rotating start — the r13 discipline. A single global rotation
+    // over every serve in the file (the first r14 cut) put ~15 heavy
+    // foreign plans between two samples of the same series, and the
+    // churn inflated the HEADLINE trio ~60% over its r13 readings while
+    // leaving within-phase ratios meaningless across phases. Ratios are
+    // only ever computed WITHIN a phase; phase A reproduces r13's exact
+    // rotation so its numbers stay comparable across rounds.
     class Series { val buf = collection.mutable.ArrayBuffer.empty[Double]
       def sorted: IndexedSeq[Double] = buf.sorted.toIndexedSeq }
     val plainS = new Series; val wandS = new Series; val autoS = new Series
@@ -200,30 +189,56 @@ object LongPostBench {
     val bPlainS = new Series; val bAutoS = new Series
     val fbPlainS = filters.map { case (l, _) => l -> new Series }.toMap
     val fbAutoS = filters.map { case (l, _) => l -> new Series }.toMap
-    val singles: Vector[() => Unit] = Vector[() => Unit](
+    def phase(warm: Seq[() => Unit], series: Vector[() => Unit]): Unit = {
+      (1 to 2).foreach(_ => warm.foreach(_.apply()))
+      (0 until reps).foreach { i =>
+        series.indices.foreach(j => series((i + j) % series.size)())
+      }
+    }
+    // phase A — the r13-comparable headline, REP STRUCTURE IDENTICAL to
+    // the r13 artifact's: per rep, the single trio rotates then the
+    // batch pair rotates
+    (1 to 2).foreach { _ =>
+      runMs(plainOnce()); runMs(wandOnce()); runMs(autoOnce())
+      runMs(batchDf(Double.MaxValue))
+      runMs(batchDf(InvertedIndex.DefaultMinPruneRows))
+    }
+    val aSingles: Vector[() => Unit] = Vector(
       () => plainS.buf += sampled(runMs(plainOnce())),
       () => wandS.buf += sampled(runMs(wandOnce())),
-      () => autoS.buf += sampled(runMs(autoOnce())),
-      () => domPlainS.buf += sampled(runMs(domPlainOnce())),
-      () => domPrunedS.buf += sampled(runMs(domPrunedOnce())),
-      () => andPlainS.buf += sampled(runMs(andPlainOnce())),
-      () => andPrunedS.buf += sampled(runMs(andPrunedOnce()))) ++
-      filters.flatMap { case (l, ok) => Vector[() => Unit](
-        () => fPlainS(l).buf += sampled(runMs(filtOnce(ok, Double.MaxValue))),
-        () => fAutoS(l).buf += sampled(runMs(
-          filtOnce(ok, InvertedIndex.DefaultMinPruneRows)))) }
-    val batches: Vector[() => Unit] = Vector[() => Unit](
+      () => autoS.buf += sampled(runMs(autoOnce())))
+    val aBatches: Vector[() => Unit] = Vector(
       () => bPlainS.buf += sampled(runMs(batchDf(Double.MaxValue))) / batch.size,
       () => bAutoS.buf += sampled(runMs(
-        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size) ++
-      filters.flatMap { case (l, ok) => Vector[() => Unit](
-        () => fbPlainS(l).buf +=
-          sampled(runMs(fbatchDf(ok, Double.MaxValue))) / batch.size,
-        () => fbAutoS(l).buf += sampled(runMs(
-          fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))) / batch.size) }
+        batchDf(InvertedIndex.DefaultMinPruneRows))) / batch.size)
     (0 until reps).foreach { i =>
-      singles.indices.foreach(j => singles((i + j) % singles.size)())
-      batches.indices.foreach(j => batches((i + j) % batches.size)())
+      (0 until 3).foreach(j => aSingles((i + j) % 3)())
+      (0 until 2).foreach(j => aBatches((i + j) % 2)())
+    }
+    // phase B — dominant single term and AND semantics
+    phase(
+      Seq(() => runMs(domPlainOnce()), () => runMs(domPrunedOnce()),
+        () => runMs(andPlainOnce()), () => runMs(andPrunedOnce())),
+      Vector(
+        () => domPlainS.buf += sampled(runMs(domPlainOnce())),
+        () => domPrunedS.buf += sampled(runMs(domPrunedOnce())),
+        () => andPlainS.buf += sampled(runMs(andPlainOnce())),
+        () => andPrunedS.buf += sampled(runMs(andPrunedOnce()))))
+    // phase C — filtered crossover, one phase per filter (single + batch)
+    filters.foreach { case (l, ok) =>
+      phase(
+        Seq(() => runMs(filtOnce(ok, Double.MaxValue)),
+          () => runMs(filtOnce(ok, InvertedIndex.DefaultMinPruneRows)),
+          () => runMs(fbatchDf(ok, Double.MaxValue)),
+          () => runMs(fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))),
+        Vector(
+          () => fPlainS(l).buf += sampled(runMs(filtOnce(ok, Double.MaxValue))),
+          () => fAutoS(l).buf += sampled(runMs(
+            filtOnce(ok, InvertedIndex.DefaultMinPruneRows))),
+          () => fbPlainS(l).buf +=
+            sampled(runMs(fbatchDf(ok, Double.MaxValue))) / batch.size,
+          () => fbAutoS(l).buf += sampled(runMs(
+            fbatchDf(ok, InvertedIndex.DefaultMinPruneRows))) / batch.size))
     }
     val plain = plainS.sorted
     val wand = wandS.sorted

@@ -123,6 +123,7 @@ object InvertedIndex {
     * makes one single-directory listStatus call per cached read.
     */
   private val relationCache = new RelationCache()
+  private val aclCountCache = new PlanCountCache()
 
   private def readCached(spark: SparkSession, path: String,
       dir: String): DataFrame = {
@@ -1266,9 +1267,15 @@ object InvertedIndex {
       // under the probe's posting scan) and requires the discounted
       // prunable mass net of the probe's seed scan to clear the same
       // crossover the unfiltered pick uses. The frac=1 bound screens
-      // first, so short queries never pay even the count.
+      // first, so short queries never pay even the count — and the
+      // count is MEMOIZED per (session, canonical ACL plan)
+      // ([[PlanCountCache]]): a serving tier reuses its ACLs across
+      // requests, so the steady-state decision is back to zero jobs
+      // (measured: the count job was the whole 1.17× selective-side
+      // overhead at sv10).
       if (stats.size > 1 && prunable - seedDf >= minPruneRows) {
-        val nAllowed = allowed.select(id.cast("long")).count().toDouble
+        val nAllowed = aclCountCache.getOrCount(spark,
+          allowed.select(id.cast("long")))
         val frac = math.min(1.0, nAllowed / st.nDocs)
         if (frac * prunable - seedDf >= minPruneRows) {
           // the probed (allowed-restricted) θ re-checks profit — the
@@ -1456,9 +1463,11 @@ object InvertedIndex {
     // member survives the jobless frac=1 bound — prices the frac-aware
     // screen (single-serve discipline: savings scale with the allowed
     // fraction, the probe's seed scan doesn't) and picks the pruned
-    // plan's ACL join direction
+    // plan's ACL join direction; memoized per (session, canonical ACL
+    // plan) like the single serve's, so a reused ACL is jobless
     lazy val okCount: Double =
-      allowedIds.fold(Double.MaxValue)(_.count().toDouble)
+      allowedIds.fold(Double.MaxValue)(ok =>
+        aclCountCache.getOrCount(spark, ok))
     def seedDfOf(q: String) = subStats(q).values.map(_.df).min
     def prunableOf(q: String) =
       subStats(q).values.map(_.df).sum - seedDfOf(q)

@@ -71,6 +71,21 @@ object InvertedIndex {
     */
   private val EmptyDocTerm = ""
 
+  /** Phase timing for the maintenance verbs, stderr-only and off unless
+    * SPARK_GRAFT_PHASE_LOG is set — a measurement aid for attributing
+    * build-verb cost to its actions (guide §1: measure first), never on
+    * in driver runs.
+    */
+  private val phaseLog = sys.env.contains("SPARK_GRAFT_PHASE_LOG")
+  private def phase[T](name: String)(f: => T): T =
+    if (!phaseLog) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    }
+
   private def postings(docs: DataFrame, id: Column, text: Column,
       withPositions: Boolean = false): (DataFrame, Observation) = {
     val obs = Observation()
@@ -229,23 +244,37 @@ object InvertedIndex {
   private def writeTermStats(spark: SparkSession, path: String,
       postRows: DataFrame, gen: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
-    // top-impact rank INSIDE the same (bucket, term) shuffle the
-    // aggregation needs — the window's partitioning is reused by the
-    // groupBy, so the impact metadata costs no extra exchange; the
-    // collect_list is bounded at StoredImpacts rows per term (never a
-    // whole posting list — a corpus-frequent term at 100 TB would
-    // otherwise make this agg unbounded)
+    // SPLIT SHAPE (round 14, guide §2.3 "aggregate before you shuffle"):
+    // the r13 shape ranked ALL postings through one full-sort
+    // (bucket, term) window exchange — an index-sized sort-shuffle per
+    // build. Split instead into (a) the scalar aggregation, which
+    // partial-aggregates map-side so the exchange carries vocab-sized
+    // partial rows, and (b) the top-[[StoredImpacts]] pairs through a
+    // rank window whose `_rn <= k` filter Catalyst rewrites into a
+    // WindowGroupLimit: each map partition pre-prunes to its local
+    // top-k per (bucket, term) BEFORE the exchange, so the sort-shuffle
+    // carries ≤ k·vocab·partitions rows instead of every posting. The
+    // two aggregates share hash(bucket, term) partitioning, so the join
+    // adds no exchange. Same rows as the r13 shape (selection rank and
+    // final array ordering identical — spec-pinned); a trailing
+    // repartition(bucket) lands ONE file per bucket per generation
+    // (guide §6: the cold serve's bucket-pruned `_terms` probe reads
+    // one file, not one per writer task).
+    val base = postRows
+      .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
+    val scalars = base.groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"),
+        max("tf").as("tf_max"), min("dl").as("dl_min"))
     val rn = row_number().over(Window.partitionBy("bucket", "term")
       .orderBy(col("tf").desc, col("dl").asc, col("doc_id")))
-    postRows
-      .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
-      .withColumn("_rn", rn)
+    val tops = base.withColumn("_rn", rn)
+      .where(col("_rn") <= StoredImpacts)
       .groupBy("bucket", "term")
-      .agg(count(lit(1)).cast("double").as("df"),
-        max("tf").as("tf_max"), min("dl").as("dl_min"),
-        sort_array(collect_list(when(col("_rn") <= StoredImpacts,
-          struct(col("tf"), col("dl")))), asc = false).as("tops"))
+      .agg(sort_array(collect_list(struct(col("tf"), col("dl"))),
+        asc = false).as("tops"))
+    scalars.join(tops, Seq("bucket", "term"))
       .withColumn("gen", lit(gen))
+      .repartition(col("bucket"))
       .write.mode(if (gen == 0L) "overwrite" else "append")
       .partitionBy("bucket").parquet(termsPath(path))
     termCache.remove(path)
@@ -370,11 +399,14 @@ object InvertedIndex {
     */
   private def writeStats(spark: SparkSession, path: String,
       st: Stats, gen: Long): Unit = {
-    import spark.implicits._
-    val mode = if (gen == 0L) "overwrite" else "append"
-    Seq((st.nDocs, st.sumDl, st.nBuckets, gen))
-      .toDF("n_docs", "sum_dl", "n_buckets", "gen")
-      .coalesce(1).write.mode(mode).parquet(s"$path/_stats")
+    // driver-direct one-row write (round 14): the sidecar row is index
+    // METADATA — pointer-file sized — and writing it as a Spark job cost
+    // every maintenance verb a full job's scheduling + commit overhead
+    // (~0.1-0.15 s each on the bench box). Same parquet bytes on disk.
+    SidecarIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_stats", overwrite = gen == 0L,
+      Seq("n_docs" -> st.nDocs, "sum_dl" -> st.sumDl,
+        "n_buckets" -> st.nBuckets, "gen" -> gen))
     // this writer's own cache entry is stale the instant the write
     // lands; the file-signature check would catch it on next read, but
     // dropping it here makes the writer-side invalidation unconditional
@@ -420,10 +452,14 @@ object InvertedIndex {
     val hit = statsCache.get(path)
     if (hit != null && hit._1 == sig) hit._2
     else {
-      val rows = spark.read.parquet(s"$path/_stats").collect()
-        .map(r => StatsGen(r.getAs[Double]("n_docs"),
-          r.getAs[Double]("sum_dl"), r.getAs[Int]("n_buckets"),
-          r.getAs[Long]("gen")))
+      // driver-direct read (round 14): the sidecar is a handful of
+      // one-row files — reading it through a Spark job put a whole
+      // job's latency on every COLD serve's construction path
+      val rows = SidecarIO.readRows(spark.sparkContext.hadoopConfiguration,
+          s"$path/_stats")
+        .map(m => StatsGen(m("n_docs").asInstanceOf[Double],
+          m("sum_dl").asInstanceOf[Double], m("n_buckets").asInstanceOf[Int],
+          m("gen").asInstanceOf[Long]))
         .sortBy(-_.gen).toVector
       statsCache.put(path, (sig, rows))
       rows
@@ -480,17 +516,23 @@ object InvertedIndex {
     // impact-ordered layout: within each bucket file, postings sort by
     // (term, tf desc) so a term's heaviest postings lead its row groups
     // (tighter term dictionary/stats pruning; block-max-friendly)
-    post.withColumn("bucket", bucketCol(col("term"), nBuckets))
-      .withColumn("gen", lit(0L))
-      .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    phase("write.postings") {
+      post.withColumn("bucket", bucketCol(col("term"), nBuckets))
+        .withColumn("gen", lit(0L))
+        .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    }
     val (nDocs, sumDl) = observed(obs)
     val st = Stats(nDocs, sumDl, nBuckets)
-    writeStats(spark, path, st, gen = 0L)
+    phase("write.stats") { writeStats(spark, path, st, gen = 0L) }
     // term stats from the written postings: an index-sized read-back
     // (never a corpus re-tokenize), the compact-stats discipline
-    writeTermStats(spark, path, spark.read.parquet(path), gen = 0L)
-    if (storedFields) writeStoredDocs(docs, id, text, path, nBuckets, gen = 0L)
+    phase("write.term_stats") {
+      writeTermStats(spark, path, spark.read.parquet(path), gen = 0L)
+    }
+    if (storedFields) phase("write.stored_docs") {
+      writeStoredDocs(docs, id, text, path, nBuckets, gen = 0L)
+    }
     (nDocs, st.avgdl)
   }
 
@@ -513,25 +555,36 @@ object InvertedIndex {
     // the delta inherits the index's layout: positional stays positional
     val (post, obs) = postings(docs, id, text, isPositional(spark, path))
     val bucketed = post.withColumn("bucket", bucketCol(col("term"), old.nBuckets))
-    bucketed
-      .withColumn("gen", lit(gen))
-      .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    val (dN, dSum) = observed(obs)
-    val st = Stats(old.nDocs + dN, old.sumDl + dSum, old.nBuckets)
-    writeStats(spark, path, st, gen)
-    // delta-sized stats advance: re-derive the DELTA's term rows (a
-    // delta re-scan, cost ∝ delta) rather than re-reading the whole
-    // index to find the new generation's rows. Fresh postings plan —
-    // an Observation is single-action, so the written plan can't rerun.
-    if (hasTermStats(spark, path)) {
-      val (statPost, _) = postings(docs, id, text, isPositional(spark, path))
-      writeTermStats(spark, path,
-        statPost.withColumn("bucket", bucketCol(col("term"), old.nBuckets)), gen)
+    // ONE delta scan for both the postings write and the `_terms`
+    // advance (round 14): the r13 shape re-tokenized and re-aggregated
+    // the whole delta a second time for the sidecar rows (an
+    // Observation is single-action, so the written plan can't rerun) —
+    // persisting the delta postings across the two actions trades that
+    // second pass for a delta-sized (bounded by contract) cache. The
+    // observation still fires on the first materialization (the write).
+    val needTermStats = hasTermStats(spark, path)
+    if (needTermStats) bucketed.persist()
+    try {
+      phase("append.postings") {
+        bucketed
+          .withColumn("gen", lit(gen))
+          .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+          .write.mode("append").partitionBy("bucket").parquet(path)
+      }
+      val (dN, dSum) = observed(obs)
+      val st = Stats(old.nDocs + dN, old.sumDl + dSum, old.nBuckets)
+      phase("append.stats") { writeStats(spark, path, st, gen) }
+      if (needTermStats) phase("append.term_stats") {
+        writeTermStats(spark, path, bucketed, gen)
+      }
+      if (hasStoredFields(spark, path)) phase("append.stored_docs") {
+        writeStoredDocs(docs, id, text, path, old.nBuckets, gen)
+      }
+      (st.nDocs, st.avgdl)
+    } finally {
+      if (needTermStats) bucketed.unpersist()
+      ()
     }
-    if (hasStoredFields(spark, path))
-      writeStoredDocs(docs, id, text, path, old.nBuckets, gen)
-    (st.nDocs, st.avgdl)
   }
 
   /** The writer's bucket function, as a column — shared by the serving
@@ -658,32 +711,37 @@ object InvertedIndex {
     // generations reset to 0: with the tombstones gone, history is
     // spent. Schema-preserving: a positional index keeps its positions
     // through the rewrite.
-    survivors
-      .drop("gen").withColumn("gen", lit(0L))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    phase("compact.postings") {
+      survivors
+        .drop("gen").withColumn("gen", lit(0L))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
     // exact survivor stats off the rewritten (index-sized) relation:
     // one row per (doc, dl) thanks to the sentinel discipline. Explicit
     // schema: a compact that tombstoned EVERY doc writes an empty
     // directory, and schema inference would fail where count() = 0 is
     // the true answer.
     val rewritten = spark.read.schema(survivors.schema).parquet(tmp)
-    val d = rewritten
-      .select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    val d = phase("compact.stats_agg") {
+      rewritten
+        .select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    }
     writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets),
       gen = 0L)
     // fresh per-term stats off the same rewritten relation (df is again
     // exactly live-postings df, so serving returns to the sidecar path)
-    writeTermStats(spark, tmp, rewritten, gen = 0L)
+    phase("compact.term_stats") { writeTermStats(spark, tmp, rewritten, gen = 0L) }
     // stored fields: live doc rows rewritten before the original dir is
     // deleted (the write action materializes eagerly)
-    if (hasStoredFields(spark, path))
+    if (hasStoredFields(spark, path)) phase("compact.stored_docs") {
       liveRows(spark, path, spark.read.parquet(docsPath(path)))
         .drop("gen").withColumn("gen", lit(0L))
         .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(docsPath(tmp))
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -2004,19 +2062,23 @@ object InvertedIndex {
     val live = sources.map(p => liveRows(spark, p, spark.read.parquet(p)))
     val merged = live.reduce(_ unionByName _)
       .drop("gen").withColumn("gen", lit(0L))
-    merged
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
-      .write.mode("overwrite").partitionBy("bucket").parquet(dst)
+    phase("merge.postings") {
+      merged
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+        .write.mode("overwrite").partitionBy("bucket").parquet(dst)
+    }
     // explicit schema: all-tombstoned sources merge to an empty
     // directory, where inference would fail and count() = 0 is right
     val written = spark.read.schema(merged.schema).parquet(dst)
-    val d = written
-      .select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    val d = phase("merge.stats_agg") {
+      written
+        .select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+    }
     val st = Stats(d.getDouble(0), d.getDouble(1), stats.head.nBuckets)
     writeStats(spark, dst, st, gen = 0L)
-    writeTermStats(spark, dst, written, gen = 0L)
+    phase("merge.term_stats") { writeTermStats(spark, dst, written, gen = 0L) }
     if (withStored.head)
       sources.map(p => liveRows(spark, p,
           spark.read.parquet(docsPath(p))))

@@ -124,17 +124,19 @@ object IvfPq {
     append(feed.where(op === "upsert"), id, vec, cents, pqCents, path)
   }
 
-  private def writeGen(spark: SparkSession, path: String, gen: Long): Unit = {
-    import spark.implicits._
-    Seq(gen).toDF("gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_gen")
-  }
+  private def writeGen(spark: SparkSession, path: String, gen: Long): Unit =
+    // driver-direct one-row write (round 14): the generation pointer is
+    // metadata; a Spark job per verb was pure scheduling overhead
+    SidecarIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_gen", overwrite = true, Seq("gen" -> gen))
 
   /** The index's current generation (0 after a fresh write, compact, or
-    * merge) — the [[graft.llm.InvertedIndex.readGen]] twin.
+    * merge) — the [[graft.llm.InvertedIndex.readGen]] twin. Driver-direct
+    * read: one tiny file, no Spark job.
     */
   def readGen(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/_gen").head().getLong(0)
+    SidecarIO.readRows(spark.sparkContext.hadoopConfiguration,
+      s"$path/_gen").head("gen").asInstanceOf[Long]
 
   private def encoded(df: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]],

@@ -352,17 +352,20 @@ object Multimodal {
     * is a sidecar-sized read that never scans a payload byte.
     */
   private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, nBuckets: Int, gen: Long, nRows: Long): Unit = {
-    import spark.implicits._
-    Seq((nBuckets, gen, nRows)).toDF("n_buckets", "gen", "n_rows").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta")
-  }
+      path: String, nBuckets: Int, gen: Long, nRows: Long): Unit =
+    // driver-direct one-row write (round 14): store metadata is
+    // pointer-file sized; a Spark job per maintenance verb was pure
+    // scheduling overhead
+    SidecarIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", overwrite = true,
+      Seq("n_buckets" -> nBuckets, "gen" -> gen, "n_rows" -> nRows))
 
   private def storeMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Long, Long) = {
-    val r = spark.read.parquet(s"$path/_meta")
-      .select("n_buckets", "gen", "n_rows").head()
-    (r.getInt(0), r.getLong(1), r.getLong(2))
+    val m = SidecarIO.readRows(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta").head
+    (m("n_buckets").asInstanceOf[Int], m("gen").asInstanceOf[Long],
+      m("n_rows").asInstanceOf[Long])
   }
 
   /** The store's bucket count, from its `_meta` sidecar. */

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scratch profiler for the inverted-index BUILD path (guide §1:
+  * measure first): times the pieces of [[graft.llm.InvertedIndex.write]]
+  * in isolation against the sf dir in SPARK_GRAFT_SF_DIR — corpus scan +
+  * tokenize, the postings aggregation, the parquet write, and the two
+  * candidate `_terms` aggregation shapes (full-sort window vs partial-agg
+  * + rank-filtered window join). Prints one line per timed piece; not
+  * part of the driver surface.
+  */
+object BuildProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.{Tables, TempDirs}
+    val docs = Tables.documents(spark, sfDir)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-28s min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    // warmup
+    noop(docs.limit(100))
+
+    val toks = docs.select(col("doc_id"),
+      graft.llm.TextStats.tokens(lower(col("text"))).as("t"),
+      graft.llm.TextStats.tokenCount(col("text")).cast("double").as("dl"))
+    time("scan_only")(noop(docs.select("doc_id")))
+    time("scan_tokenize")(noop(toks))
+    val exploded = toks.select(col("doc_id"), col("dl"),
+      explode_outer(col("t")).as("term0"))
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("term0"), lit("")).as("term"))
+    time("tokenize_explode")(noop(exploded))
+    val post = exploded.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    time("postings_agg")(noop(post))
+    val nB = graft.QueriesQuality.PostingsBuckets
+    val bucketed = post
+      .withColumn("bucket", graft.llm.InvertedIndex.bucketCol(col("term"), nB))
+      .withColumn("gen", lit(0L))
+    time("postings_noop")(noop(
+      bucketed.sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)))
+    val out = TempDirs.create("buildprof_idx")
+    time("postings_write", 3) {
+      bucketed.sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    }
+    println("[prof] rows=" + spark.read.parquet(out).count() +
+      " terms=" + spark.read.parquet(out).select("term").distinct().count())
+
+    val postRows = spark.read.parquet(out)
+    // current shape: full-sort window + groupBy sharing one exchange
+    def termStatsWindow(): DataFrame = {
+      val rn = row_number().over(Window.partitionBy("bucket", "term")
+        .orderBy(col("tf").desc, col("dl").asc, col("doc_id")))
+      postRows
+        .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
+        .withColumn("_rn", rn)
+        .groupBy("bucket", "term")
+        .agg(count(lit(1)).cast("double").as("df"),
+          max("tf").as("tf_max"), min("dl").as("dl_min"),
+          sort_array(collect_list(when(col("_rn") <= 32,
+            struct(col("tf"), col("dl")))), asc = false).as("tops"))
+    }
+    // candidate shape: partial-aggregated scalar agg + rank-filtered
+    // window (WindowGroupLimit prunes to <=32 rows per group before the
+    // exchange), joined vocab-sized
+    def termStatsSplit(): DataFrame = {
+      val base = postRows
+        .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
+      val scalars = base.groupBy("bucket", "term")
+        .agg(count(lit(1)).cast("double").as("df"),
+          max("tf").as("tf_max"), min("dl").as("dl_min"))
+      val rn = row_number().over(Window.partitionBy("bucket", "term")
+        .orderBy(col("tf").desc, col("dl").asc, col("doc_id")))
+      val tops = base.withColumn("_rn", rn).where(col("_rn") <= 32)
+        .groupBy("bucket", "term")
+        .agg(sort_array(collect_list(struct(col("tf"), col("dl"))),
+          asc = false).as("tops"))
+      scalars.join(tops, Seq("bucket", "term"))
+    }
+    time("term_stats_window")(noop(termStatsWindow()))
+    time("term_stats_split")(noop(termStatsSplit()))
+    val t1 = TempDirs.create("buildprof_terms_w")
+    time("term_stats_window_write") {
+      termStatsWindow().withColumn("gen", lit(0L))
+        .write.mode("overwrite").partitionBy("bucket").parquet(t1)
+    }
+    val t2 = TempDirs.create("buildprof_terms_s")
+    time("term_stats_split_write") {
+      termStatsSplit().withColumn("gen", lit(0L))
+        .write.mode("overwrite").partitionBy("bucket").parquet(t2)
+    }
+    // equality check of the two shapes
+    val a = spark.read.parquet(t1).selectExpr("bucket", "term", "df",
+      "tf_max", "dl_min", "tops")
+    val b = spark.read.parquet(t2).selectExpr("bucket", "term", "df",
+      "tf_max", "dl_min", "tops")
+    println("[prof] shape_diff=" +
+      (a.exceptAll(b).count() + b.exceptAll(a).count()))
+    // one-row stats write: Spark job vs direct driver write
+    import spark.implicits._
+    time("stats_write_spark", 5) {
+      Seq((1.0, 2.0, nB, 0L)).toDF("n_docs", "sum_dl", "n_buckets", "gen")
+        .coalesce(1).write.mode("overwrite").parquet(out + "_stats_probe")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -10,17 +10,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation memo for the base tables (round 14 — the
+    * [[graft.llm.InvertedIndex]] readCached discipline applied to the
+    * corpus inputs): every `spark.read.parquet` pays a file listing +
+    * footer schema read at CONSTRUCTION time, and the suite constructs
+    * each base table hundreds of times per run. The memo keys on the
+    * file's (length, mtime) signature, so a regenerated fixture can
+    * never serve stale metadata; the DATA is still scanned from parquet
+    * by every action — only the resolved relation (schema + file index)
+    * is reused.
+    */
+  private val relationCache = new graft.llm.RelationCache()
+
+  private def fileSig(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = fs.getFileStatus(p)
+    s"${s.getLen}:${s.getModificationTime}"
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       // events.ts has shipped under two physical encodings across fixture
       // generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
       // rejects — [PARQUET_TYPE_ILLEGAL] — unless read as a nanos long) and
       // TIMESTAMP(MICROS). The conf makes nanos files readable; it is a
       // no-op for micros files. normalizeEventTs dispatches on whichever
-      // type actually arrived.
+      // type actually arrived. Set BEFORE resolution — the cached relation
+      // was resolved under it too.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+      relationCache.getOrResolve(spark, path, fileSig(spark, path))(
+        normalizeEventTs(spark.read.parquet(path)))
+    } else
+      relationCache.getOrResolve(spark, path, fileSig(spark, path))(
+        spark.read.parquet(path))
   }
 
   /** Shared by the batch and streaming events readers. Output contract,

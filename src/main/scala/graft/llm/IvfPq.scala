@@ -142,11 +142,25 @@ object IvfPq {
       cents: Array[Array[Double]],
       pqCents: Array[Array[Array[Double]]],
       keepRaw: Boolean = false): DataFrame = {
-    val base = ProductQuant.encode(df, id, vec, pqCents)
-      .join(Cluster.assignWith(df, id, vec, cents)
-        .select(col("id"), col("cluster")), "id")
-    if (keepRaw) base.join(df.select(id.as("id"), vec.as("vec")), "id")
-    else base
+    // ONE projection (round 14, guide §2.4): PQ codes, the coarse
+    // cluster, and the optional raw vector are all per-row kernels over
+    // the same row — the r13 shape computed them as separate relations
+    // and re-stitched with two id joins, i.e. two corpus-wide exchanges
+    // per build/append for values that never left the row. Kernels and
+    // models are unchanged (same codes, same cluster, spec-pinned
+    // append ≡ rebuild), so the written rows are identical.
+    val m = pqCents.length
+    val sub = pqCents(0)(0).length
+    val bcPq = df.sparkSession.sparkContext.broadcast(pqCents)
+    val codesU = udf { (v: Seq[Float]) =>
+      Array.tabulate(m)(j =>
+        Cluster.assign(v.slice(j * sub, (j + 1) * sub), bcPq.value(j))._1)
+    }
+    val clusterU = udf { (v: Seq[Float]) => Cluster.assign(v, cents)._1 }
+    val cols = Seq(id.as("id"), codesU(vec).as("codes"),
+      clusterU(vec).as("cluster")) ++
+      (if (keepRaw) Seq(vec.as("vec")) else Seq.empty)
+    df.select(cols: _*)
   }
 
   /** Lucene-style deletes for the vector index: an O(|delete|)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so a long-lived multi-index driver can't accumulate unbounded schema +
   * file-index state.
   */
-private[llm] final class RelationCache(cap: Int = 64) {
+private[graft] final class RelationCache(cap: Int = 64) {
 
   private val map = new java.util.LinkedHashMap[
       (String, String), (String, DataFrame)](16, 0.75f, /*accessOrder=*/ true) {

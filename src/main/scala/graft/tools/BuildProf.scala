@@ -105,6 +105,18 @@ object BuildProf {
       termStatsSplit().withColumn("gen", lit(0L))
         .write.mode("overwrite").partitionBy("bucket").parquet(t2)
     }
+    val t3 = TempDirs.create("buildprof_terms_sr")
+    time("term_stats_split_repart") {
+      termStatsSplit().withColumn("gen", lit(0L))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(t3)
+    }
+    val t4 = TempDirs.create("buildprof_terms_c1")
+    time("term_stats_split_coal1") {
+      termStatsSplit().withColumn("gen", lit(0L))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("bucket").parquet(t4)
+    }
     // equality check of the two shapes
     val a = spark.read.parquet(t1).selectExpr("bucket", "term", "df",
       "tf_max", "dl_min", "tops")

@@ -673,11 +673,19 @@ object QueriesCurate {
       .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("term"))
     val tf = occ.groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val tot = tf.groupBy("term").agg(sum("tf").as("f"))
-    val nSources = tf.select("source").distinct().count()
-    val a = occ.count().toDouble / nSources // mean tokens per source
+    // A (mean tokens per source) as a one-row broadcast INSIDE the plan
+    // (round 14, guide §1.2): the r13 shape ran TWO extra driver actions
+    // — a distinct-source count and a token count, each a whole
+    // tokenize pass over the corpus — for one scalar the main job can
+    // compute itself. Same arithmetic: count/countDistinct over occ
+    // equals occ.count / distinct sources (tf groups occ's rows, so the
+    // source sets agree), double division as before.
+    val aDf = occ.agg((count(lit(1)).cast("double") /
+      countDistinct("source").cast("double")).as("_a"))
     val scored = tf.join(broadcast(tot), "term")
+      .crossJoin(broadcast(aDf))
       .withColumn("score",
-        round(col("tf") * log(lit(1d) + lit(a) / col("f")), 6))
+        round(col("tf") * log(lit(1d) + col("_a") / col("f")), 6))
     graft.operators.TopK.perGroup(scored, col("source"), col("score"),
       col("term"), k = 5)
       .select(col("source"), col("rk").cast("long").as("rk"), col("term"),

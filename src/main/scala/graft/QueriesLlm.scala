@@ -477,8 +477,7 @@ object QueriesLlm {
     */
   val qEmbedTopk: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val query = emb.where(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
+    val query = Anchors.vecF(s, dir, 0)
     Similarity.topK(emb.where(col("vec_id") =!= 0), col("vec_id"),
       col("embedding"), query, 20)
       .withColumn("rank", row_number().over(
@@ -1166,8 +1165,7 @@ object QueriesLlm {
   val qHybridRrf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
-    val query = emb.where(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
+    val query = Anchors.vecF(s, dir, 0)
     val cos = Similarity.topK(emb.where(col("vec_id") =!= 0), col("vec_id"),
         col("embedding"), query, 20)
       .withColumn("rank",
@@ -1255,10 +1253,8 @@ object QueriesLlm {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val anchorIds = HybridBatch.map(_._3)
-    val anchorVecs: Map[Long, Array[Float]] = emb
-      .where(col("vec_id").isin(anchorIds: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val anchorVecs: Map[Long, Array[Float]] =
+      anchorIds.map(i => i -> Anchors.vecF(s, dir, i)).toMap
     val queriesDf = HybridBatch.map { case (q, t, _) => (q, t) }.toDF("qid", "terms")
     val lex = graft.llm.InvertedIndex.bm25TopKBatch(s, hybridIndexOf(s, dir),
         queriesDf, col("qid"), col("terms"), topK = 20)

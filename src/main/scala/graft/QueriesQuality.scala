@@ -308,8 +308,7 @@ object QueriesQuality {
   val qPqTopk: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val cents = pqCentsOf(s, dir)
-    val query = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val query = Anchors.vecD(s, dir, PqAnchor)
     graft.llm.ProductQuant.adcTopK(emb, col("vec_id"), col("embedding"),
         cents, query, topK = PqTopK)
       .select(col("id").as("vec_id"), col("codes"), col("adc"))
@@ -434,8 +433,7 @@ object QueriesQuality {
   val qPqRecall: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val cents = pqCentsOf(s, dir)
-    val query = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val query = Anchors.vecD(s, dir, PqAnchor)
     val adc = graft.llm.ProductQuant.adcTopK(emb, col("vec_id"),
       col("embedding"), cents, query, topK = PqTopK).select(col("id"))
     val exact = graft.llm.ProductQuant.exactTopK(emb, col("vec_id"),
@@ -675,8 +673,7 @@ object QueriesQuality {
       .withColumn("ratio", RandomProjection.normRatio(col("embedding"), col("p"), JlK))
     val anchorP = proj.where(col("vec_id") === JlAnchor)
       .select("p").head().getSeq[Double](0).toArray
-    val anchorV = emb.where(col("vec_id") === JlAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, JlAnchor)
     val topProj = proj
       .select(col("vec_id").as("pid"),
         RandomProjection.dist2(col("p"), anchorP).as("pd2"))
@@ -778,8 +775,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val assigned = Cluster.assignWith(emb, col("vec_id"), col("embedding"), cents)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     // probe order: 6-dp-rounded squared L2 anchor→centroid, ties to the
     // lower cid — k scalars on the driver, same discipline as the cells
     val probes = cents.zipWithIndex.map { case (c, i) =>
@@ -862,8 +858,7 @@ object QueriesQuality {
     // [[IvfPq]] serving API itself takes the query vector as a
     // client-supplied array (VERDICT r8 item 9 — a production lookup
     // never runs a Spark job to obtain its own query)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     // the persisted index: (vec_id, m code bytes) partitioned by coarse
     // cluster — cluster dirs + codes are ALL the serving path reads
     val out = TempDirs.create("graft_ivfpq")
@@ -975,8 +970,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     val out = TempDirs.create("graft_ivfpq_rr")
     IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
     val candCodes = IvfPq.probedCodes(s, out, cents, anchorV, IvfNProbe)
@@ -1089,8 +1083,7 @@ object QueriesQuality {
     */
   val qHybridIndexed: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     graft.llm.Fusion.rrfFromIndexes(s, QueriesLlm.hybridIndexOf(s, dir),
         ivfRawIndexOf(s, dir), PostingsTerms, anchorV,
         QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir),
@@ -1197,11 +1190,8 @@ object QueriesQuality {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
     val ids = HybridIdxBatch.map(_._3)
-    val anchors: Map[Long, Array[Double]] = emb
-      .where(col("vec_id").isin(ids: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
-      .toMap
+    val anchors: Map[Long, Array[Double]] =
+      ids.map(i => i -> Anchors.vecD(s, dir, i)).toMap
     val queriesDf = HybridIdxBatch.map { case (q, t, _) => (q, t) }
       .toDF("qid", "terms")
     val lex = graft.llm.InvertedIndex.bm25TopKBatch(s,
@@ -1259,8 +1249,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     val out = TempDirs.create("graft_ivfpq_incr")
     IvfPq.write(emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
       col("vec_id"), col("embedding"), cents, pqCents, out)
@@ -1290,8 +1279,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     val out = TempDirs.create("graft_ivfpq_del")
     IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
     IvfPq.delete(s, out,
@@ -1319,8 +1307,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     val a = TempDirs.create("graft_ivfpq_mrg_a")
     val b = TempDirs.create("graft_ivfpq_mrg_b")
     val dst = TempDirs.create("graft_ivfpq_mrg")
@@ -1361,8 +1348,7 @@ object QueriesQuality {
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
     val anchors = BatchAnchors.map { case (qid, vid) =>
-      qid -> emb.where(col("vec_id") === vid).select("embedding")
-        .head().getSeq[Float](0).toArray.map(_.toDouble)
+      qid -> Anchors.vecD(s, dir, vid)
     }
     val out = TempDirs.create("graft_ivfpq_batch")
     IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
@@ -1880,8 +1866,7 @@ object QueriesQuality {
     val emb = Tables.embeddings(s, dir)
     val cents = QueriesPipeline.kmeansCentsOf(s, dir)
     val pqCents = pqCentsOf(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     val out = TempDirs.create("graft_ivfpq_filt")
     IvfPq.write(emb, col("vec_id"), col("embedding"), cents, pqCents, out)
     IvfPq.serveFiltered(s, out, cents, pqCents, anchorV,
@@ -1964,8 +1949,7 @@ object QueriesQuality {
     */
   val qIvfPqRerankFilt: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val anchorV = emb.where(col("vec_id") === PqAnchor)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val anchorV = Anchors.vecD(s, dir, PqAnchor)
     graft.llm.IvfPq.serveRerankedFiltered(s, ivfRawIndexOf(s, dir),
         QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir), anchorV,
         nProbe = IvfNProbe, rerankR = IvfRerankR, topK = PqTopK,
@@ -2036,11 +2020,8 @@ object QueriesQuality {
   val qIvfPqRerankFiltBatch: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val ids = RerankFiltBatch.map(_._2)
-    val anchors: Map[Long, Array[Double]] = emb
-      .where(col("vec_id").isin(ids: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
-      .toMap
+    val anchors: Map[Long, Array[Double]] =
+      ids.map(i => i -> Anchors.vecD(s, dir, i)).toMap
     graft.llm.IvfPq.serveRerankedFilteredBatch(s, ivfRawIndexOf(s, dir),
         QueriesPipeline.kmeansCentsOf(s, dir), pqCentsOf(s, dir),
         RerankFiltBatch.map { case (q, a) => (q, anchors(a)) },

@@ -106,6 +106,11 @@ object Decontaminate {
     val bc = corpus.sparkSession.sparkContext.broadcast(benchVecs)
     val maxSim = udf { (v: Seq[Double]) =>
       val bs = bc.value
+      // raw max first, ONE rounding after (round 14): the 6-dp HALF_UP
+      // snap is monotone non-decreasing, so max(round(x_i)) ==
+      // round(max(x_i)) — the r13 kernel allocated a BigDecimal per
+      // (corpus row × bench vector) pair; this allocates one per row.
+      // Same BigDecimal.decimal semantics, bit-identical output.
       var best = Double.NegativeInfinity
       var i = 0
       while (i < bs.length) {
@@ -114,12 +119,11 @@ object Decontaminate {
         var j = 0
         val m = math.min(b.length, v.length)
         while (j < m) { d += v(j) * b(j); j += 1 }
-        val sim = BigDecimal.decimal(d)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (sim > best) best = sim
+        if (d > best) best = d
         i += 1
       }
-      best
+      BigDecimal.decimal(best)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     corpus.select(id.as("id"), Similarity.normalized(vec).as("_v"))
       .withColumn("max_sim", maxSim(col("_v")))

@@ -37,8 +37,13 @@ object LangModel {
     val tl = df.select(id.as("id"), TextStats.tokens(lower(text)).as("t"))
     val uni = tl.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-    // V: the one driver-side scalar (distinct vocabulary size)
-    val v = uni.count().toDouble
+    // V (distinct vocabulary size) as a one-row broadcast INSIDE the
+    // plan (round 14, guide §1.2): the r13 shape ran uni.count() as a
+    // separate driver action — a whole extra tokenize + aggregate pass
+    // over the corpus per invocation — for one scalar the main job can
+    // compute itself. Same double (count cast to double), same
+    // arithmetic downstream.
+    val vDf = uni.agg(count(lit(1)).cast("double").as("_v"))
     val bg = tl.where(size(col("t")) >= 2)
       .select(col("id"), explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
@@ -48,8 +53,9 @@ object LangModel {
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     bg.join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vDf))
       .groupBy("id")
-      .agg(avg(log((col("cb") + 1).cast("double") / (col("cu") + lit(v))))
+      .agg(avg(log((col("cb") + 1).cast("double") / (col("cu") + col("_v"))))
         .as("logprob"))
   }
 }

@@ -452,10 +452,16 @@ object TextStats {
                      text: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(id.as("id"), explode(tokens(lower(text))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum("cnt")).head().getLong(0).toDouble
+    // corpus token total as a one-row broadcast INSIDE the plan (round
+    // 14, guide §1.2): the r13 shape ran vocab.agg(sum).head() as a
+    // separate driver action — a whole extra tokenize + aggregate pass
+    // per invocation — for one scalar the main job computes itself.
+    // Same double (long sum cast), same arithmetic downstream.
+    val totDf = vocab.agg(sum("cnt").cast("double").as("_tot"))
     toks.join(vocab, "tok")
+      .crossJoin(broadcast(totDf))
       .groupBy("id")
-      .agg(avg(log(col("cnt").cast("double") / total)).as("logprob"))
+      .agg(avg(log(col("cnt").cast("double") / col("_tot"))).as("logprob"))
   }
 
   /** Per-document KL divergence KL(p_doc ‖ p_corpus) over unigrams — the

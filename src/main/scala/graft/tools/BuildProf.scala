@@ -13,6 +13,69 @@ import org.apache.spark.sql.expressions.Window
   * part of the driver surface.
   */
 object BuildProf {
+
+  /** Formatted-plan dump of the internal build jobs whose shape round 14
+    * changed: the `_terms` aggregation (r13 full-sort window vs r14
+    * split partial-agg + WindowGroupLimit-pruned rank join) and the
+    * IVF-PQ encode relation (r13 three-relations-two-joins vs r14 one
+    * projection). Both variants are expressed here verbatim as in the
+    * library (the r14 shapes mirror InvertedIndex.writeTermStats /
+    * IvfPq.encoded; BuildProf's timing path pins their row-equality).
+    * Source of the committed plans/r14/internal_*.txt files.
+    */
+  private def explainInternal(spark: SparkSession, sfDir: String): Unit = {
+    import graft.{Tables, TempDirs}
+    val docs = Tables.documents(spark, sfDir)
+    val nB = graft.QueriesQuality.PostingsBuckets
+    val out = TempDirs.create("plandump_idx")
+    graft.llm.InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+      nBuckets = nB)
+    val postRows = spark.read.parquet(out)
+      .select(col("bucket"), col("term"), col("tf"), col("dl"), col("doc_id"))
+    val rn = row_number().over(Window.partitionBy("bucket", "term")
+      .orderBy(col("tf").desc, col("dl").asc, col("doc_id")))
+    println("\n========== internal: _terms aggregation (r13 shape: full-sort window) ==========")
+    postRows.withColumn("_rn", rn)
+      .groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"),
+        max("tf").as("tf_max"), min("dl").as("dl_min"),
+        sort_array(collect_list(when(col("_rn") <= 32,
+          struct(col("tf"), col("dl")))), asc = false).as("tops"))
+      .explain("formatted")
+    println("\n========== internal: _terms aggregation (r14 shape: split agg + rank-filtered tops) ==========")
+    val scalars = postRows.groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"),
+        max("tf").as("tf_max"), min("dl").as("dl_min"))
+    val tops = postRows.withColumn("_rn", rn).where(col("_rn") <= 32)
+      .groupBy("bucket", "term")
+      .agg(sort_array(collect_list(struct(col("tf"), col("dl"))),
+        asc = false).as("tops"))
+    scalars.join(tops, Seq("bucket", "term"))
+      .withColumn("gen", lit(0L)).repartition(col("bucket"))
+      .explain("formatted")
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.QueriesPipeline.kmeansCentsOf(spark, sfDir)
+    val pqCents = graft.QueriesQuality.pqCentsOf(spark, sfDir)
+    println("\n========== internal: IVF-PQ encode (r13 shape: three relations, two id joins) ==========")
+    graft.llm.ProductQuant.encode(emb, col("vec_id"), col("embedding"), pqCents)
+      .join(graft.llm.Cluster.assignWith(emb, col("vec_id"), col("embedding"),
+          cents).select(col("id"), col("cluster")), "id")
+      .explain("formatted")
+    println("\n========== internal: IVF-PQ encode (r14 shape: one projection) ==========")
+    val m = pqCents.length
+    val sub = pqCents(0)(0).length
+    val bcPq = spark.sparkContext.broadcast(pqCents)
+    val codesU = udf { (v: Seq[Float]) =>
+      Array.tabulate(m)(j =>
+        graft.llm.Cluster.assign(v.slice(j * sub, (j + 1) * sub), bcPq.value(j))._1)
+    }
+    val clusterU = udf { (v: Seq[Float]) =>
+      graft.llm.Cluster.assign(v, cents)._1 }
+    emb.select(col("vec_id").as("id"), codesU(col("embedding")).as("codes"),
+      clusterU(col("embedding")).as("cluster"))
+      .explain("formatted")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.trim.toInt).getOrElse(32)
@@ -34,6 +97,15 @@ object BuildProf {
     }
     // warmup
     noop(docs.limit(100))
+
+    // SPARK_GRAFT_EXPLAIN_ONLY=1: print formatted plans of the internal
+    // build jobs' r13 vs r14 shapes (the `_terms` aggregation and the
+    // IVF-PQ encode relation) and exit — the plans/r14 evidence dump.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_ONLY").contains("1")) {
+      explainInternal(spark, sfDir)
+      spark.stop()
+      sys.exit(0)
+    }
 
     val toks = docs.select(col("doc_id"),
       graft.llm.TextStats.tokens(lower(col("text"))).as("t"),

@@ -268,20 +268,17 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify candidates against exact shingle Jaccard. ONE corpus pass and
-    // ONE join: each pair explodes to its two member ids, the corpus
+    // verify candidates against exact shingle Jaccard. ONE shingle pass and
+    // ONE join: each pair explodes to its two member ids, the shingle table
     // joins once by id (AQE broadcasts the candidate side when it is
     // small), and the pair reassembles by grouping — vs joining separate
     // A/B shingle projections, which would scan AND shuffle the shingled
-    // corpus twice. The shingle UDF sits ABOVE the join (round 14, guide
-    // §1.2: don't compute what you throw away): below it, every corpus
-    // row paid the tokenize+hash kernel; above it, only candidate-member
-    // rows do — a pair whose side shingles to null is dropped by the
-    // ignoreNulls/isNotNull discipline exactly as before.
+    // corpus twice
+    val sh = shinglesUdf(shingleSize)(text).as("sh")
+    val shingled = df.select(id.as("id"), sh).where(col("sh").isNotNull)
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("id"))
-    sides.join(df.select(id.as("id"), text.as("_txt")), "id")
-      .withColumn("sh", shinglesUdf(shingleSize)(col("_txt")))
+    sides.join(shingled, "id")
       .groupBy("id_a", "id_b")
       .agg(
         first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_a"),
@@ -335,16 +332,13 @@ object Dedup {
         Seq("band_idx", "band_key"))
       .select("id_new", "id_old")
       .dropDuplicates("id_new", "id_old")
-    // shingle UDFs ABOVE the joins (round 14, the minhashNearDupPairs
-    // discipline): only candidate-member rows pay the tokenize+hash
-    // kernel, never the whole corpus; null-shingle sides drop post-join
-    // exactly as the old pre-join filter dropped them
+    val shNew = newDf.select(newId.as("id_new"),
+      shinglesUdf(shingleSize)(newText).as("sh_new")).where(col("sh_new").isNotNull)
+    val shOld = oldDf.select(oldId.as("id_old"),
+      shinglesUdf(shingleSize)(oldText).as("sh_old")).where(col("sh_old").isNotNull)
     candidates
-      .join(newDf.select(newId.as("id_new"), newText.as("_tn")), "id_new")
-      .join(oldDf.select(oldId.as("id_old"), oldText.as("_to")), "id_old")
-      .withColumn("sh_new", shinglesUdf(shingleSize)(col("_tn")))
-      .withColumn("sh_old", shinglesUdf(shingleSize)(col("_to")))
-      .where(col("sh_new").isNotNull && col("sh_old").isNotNull)
+      .join(shNew, "id_new")
+      .join(shOld, "id_old")
       .withColumn("jaccard", jaccardUdf(col("sh_new"), col("sh_old")))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))

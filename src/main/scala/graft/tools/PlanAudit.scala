@@ -20,6 +20,9 @@ object PlanAudit {
   private val allowedCartesian = Set(
     "q_embed_neardup", // id-bounded (maxId) theta-join: candidate set fixed-size by construction
     "q_tfidf",         // crossJoin(broadcast(nDocs)): ONE-row scalar side (corpus doc count)
+    "q_unigram_logprob", // crossJoin(broadcast(total)): ONE-row scalar side (r14 — replaced a separate driver count action)
+    "q_bigram_logprob",  // crossJoin(broadcast(V)): ONE-row scalar side (r14 — replaced a separate driver count action)
+    "q_ctfidf",        // crossJoin(broadcast(A)): ONE-row scalar side (r14 — replaced two driver count actions)
     "q_ivf_recall",    // crossJoin of two ONE-row aggregates (overlap count × candidate count)
     "q_jl_project",    // crossJoin of two ONE-row aggregates (overlap count × mean ratio)
     "q_ivfpq_recall",  // crossJoins of three ONE-row aggregates (overlap × candidates × total)

@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external driver stores the final 2000 chars of `sbt runMain
+// graft.Bench` STDOUT and JSON-parses them for the one-line bench
+// artifact. sbt decorated the forked run's stdout to "[info] {…}" and
+// appended its own "[success] Total time: …" line AFTER it, so the
+// driver's parse failed every round (BENCH_r01..r14 all carry
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through
+// undecorated; showSuccess drops the trailing [success] line, so the
+// bench's compact JSON line is the LAST thing on stdout. Scoped to
+// `run` — test output keeps its [info] framing.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task, which
+// trips the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,14 +18,17 @@ object Anchors {
 
   private val memo = ModelMemo.perSession[Array[Float]]
 
-  /** The anchor embedding as the stored floats. Callers must not
-    * mutate the returned array (shared per session).
+  /** The anchor embedding as the stored floats — a defensive CLONE of
+    * the memoized array (ADVICE r14: handing out the shared array relied
+    * on a doc-comment contract; any future in-place normalization would
+    * have silently corrupted every later query in the session). The
+    * arrays are embedding-dim-sized; the memo still amortizes the job.
     */
   def vecF(s: SparkSession, dir: String, vecId: Long): Array[Float] =
     memo.getOrFit(s, s"anchor:$dir:$vecId") {
       Tables.embeddings(s, dir).where(col("vec_id") === vecId)
         .select("embedding").head().getSeq[Float](0).toArray
-    }
+    }.clone()
 
   /** [[vecF]] widened to doubles (fresh array per call — safe to hold). */
   def vecD(s: SparkSession, dir: String, vecId: Long): Array[Double] =

@@ -505,7 +505,7 @@ object Bench {
     // 2000 chars of stdout and json-parses them; every round 1-6 shipped a
     // single >2000-char line, so BENCH_r*.json carried "parsed": null.
     // Emit a compact line and degrade precision until it provably fits.
-    def compact(dp: Int, topN: Int): String = {
+    def compact(dp: Int, topN: Int, withLat: Boolean): String = {
       def f(d: Double) = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
       // when the full per-query map can't fit, keep the SLOWEST topN
       // entries (the ones a perf comparison needs) rather than none
@@ -514,15 +514,19 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = results.size - kept.size
       val omittedStr = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      val latPart = if (latencies.isEmpty) "" else s""","serve_latency_ms":$latStr"""
+      val latPart =
+        if (latencies.isEmpty || !withLat) "" else s""","serve_latency_ms":$latStr"""
       s"""{"metric":"total","value":${f(total)},"unit":"sec","total_build":${f(totalBuild)},"total_serve":${f(totalServe)}$latPart,"queries":$q$omittedStr,"reps":$reps,"cpus":$cpus,"sf":"$sfDir","failures":$failStr}"""
     }
-    // full map at decreasing precision first; then shed the fastest
-    // queries (total + failures always survive; bench_detail.json keeps
-    // the full map regardless)
-    val candidates = Seq(compact(3, results.size), compact(2, results.size),
-      compact(1, results.size)) ++
-      Seq(80, 64, 48, 32, 16, 8).map(n => compact(2, n))
+    // the per-query map is what the driver's PERF comparison consumes, so
+    // it gets the byte budget: full map + latency sidecar when both fit
+    // (small/partial runs), else shed the ~570-char latency map first
+    // (bench_detail.json and the stderr detail keep it in full), then the
+    // FASTEST queries a few at a time — r14 shipped only the slowest 48
+    // of 156 because the latency map rode every candidate line
+    val candidates = Seq(compact(3, results.size, true),
+      compact(2, results.size, true), compact(2, results.size, false)) ++
+      (results.size to 1 by -4).map(n => compact(2, n, false))
     val line = candidates.find(_.length <= 1900).getOrElse(
       s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":{},"reps":$reps,"sf":"$sfDir","failures":$failStr,"note":"see bench_detail.json"}""")
     println(line)

@@ -26,7 +26,16 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = fs.getFileStatus(p)
-    s"${s.getLen}:${s.getModificationTime}"
+    // a DIRECTORY-shaped dataset signs by its child listing (ADVICE r14:
+    // replacing a part file in place changes neither the dir's length
+    // nor, on some filesystems, its mtime — the root-status signature
+    // could serve a stale file index); the single-file fixtures keep the
+    // one-status fast path
+    if (s.isDirectory)
+      fs.listStatus(p).map(c =>
+          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+        .sorted.mkString("|")
+    else s"${s.getLen}:${s.getModificationTime}"
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

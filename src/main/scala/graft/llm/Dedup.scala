@@ -225,12 +225,6 @@ object Dedup {
     if (s.isEmpty) None else Some(s)
   }
 
-  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
-    val sa = a.toSet; val sb = b.toSet
-    val union = sa.union(sb).size
-    if (union == 0) 0d else sa.intersect(sb).size.toDouble / union
-  }
-
   /** Corpus passes are bounded and slim by construction (no persist — a
     * cache here would leak into the caller's session):
     *
@@ -250,9 +244,13 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
     val bandsOnly = shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb")
     // candidate generation shuffles (band, id) pairs only — shingle arrays
-    // never enter the LSH shuffle
+    // never enter the LSH shuffle. NO isNotNull filter on the UDF output:
+    // posexplode drops null-struct rows (short docs) by generator
+    // semantics anyway, and a filter referencing the UDF column gets
+    // pushed below the projection and re-evaluates the whole
+    // shingle+MinHash kernel per corpus row (guide §4.4 duplication,
+    // round 15 — plan-verified two ScalaUDF sites before the fix)
     val exploded = df.select(id.as("id"), bandsOnly)
-      .where(col("sb").isNotNull)
       .select(col("id"), posexplode(col("sb._2")).as(Seq("band_idx", "band_key")))
     // skew guard: degenerate signatures (boilerplate/near-empty docs) can
     // produce quadratic hot buckets; truncate oversized buckets to their
@@ -274,18 +272,32 @@ object Dedup {
     // small), and the pair reassembles by grouping — vs joining separate
     // A/B shingle projections, which would scan AND shuffle the shingled
     // corpus twice
+    // no isNotNull filter on the UDF column (§4.4: it would re-evaluate
+    // the shingle kernel per corpus row below the pushed filter); short
+    // docs carry a null sh but can never match a candidate id (candidates
+    // come from banded = shingled docs), so the inner join excludes them
     val sh = shinglesUdf(shingleSize)(text).as("sh")
-    val shingled = df.select(id.as("id"), sh).where(col("sh").isNotNull)
+    val shingled = df.select(id.as("id"), sh)
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("id"))
+    // jaccard computed INSIDE the aggregate's result projection (round
+    // 15): the threshold filter then references the Aggregate's output
+    // attribute, which Catalyst cannot push below a non-grouping column
+    // — ONE evaluation of the set arithmetic per pair, where the r13
+    // shape evaluated the jaccard UDF in both the pushed filter and the
+    // output projection. The set ops are the codegen'd array built-ins
+    // ([[jaccard]]); on distinct shingle arrays they compute the exact
+    // integer intersection/union sizes the old Set-based UDF did, so the
+    // double (and its 6-dp rounding) is bit-identical.
+    val shA = first(when(col("id") === col("id_a"), col("sh")),
+      ignoreNulls = true)
+    val shB = first(when(col("id") === col("id_b"), col("sh")),
+      ignoreNulls = true)
     sides.join(shingled, "id")
       .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("id") === col("id_b"), col("sh")), ignoreNulls = true).as("sh_b"))
-      .where(col("sh_a").isNotNull && col("sh_b").isNotNull)
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
+      .agg(shA.as("sh_a"), shB.as("sh_b"), jaccard(shA, shB).as("jaccard"))
+      .where(col("sh_a").isNotNull && col("sh_b").isNotNull &&
+        col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -316,10 +328,12 @@ object Dedup {
     require(maxBucketSize >= 1,
       s"maxBucketSize must be >= 1 (got $maxBucketSize)")
     def sideTags(df: DataFrame, id: Column, text: Column, idName: String) = {
+      // no isNotNull filter on the UDF output (§4.4 — a pushed filter
+      // re-evaluates the shingle+MinHash kernel per row); posexplode
+      // drops the null-struct short-doc rows by generator semantics
       val tagged = df
         .select(id.as(idName),
           shingleBandsUdf(shingleSize, numHashes, bands)(text).as("sb"))
-        .where(col("sb").isNotNull)
         .select(col(idName),
           posexplode(col("sb._2")).as(Seq("band_idx", "band_key")))
       val w = Window.partitionBy("band_idx", "band_key").orderBy(col(idName))
@@ -332,14 +346,27 @@ object Dedup {
         Seq("band_idx", "band_key"))
       .select("id_new", "id_old")
       .dropDuplicates("id_new", "id_old")
+    // no isNotNull filters on the UDF columns (§4.4 — each pushed filter
+    // re-evaluated the shingle kernel per corpus row); null-sh short docs
+    // can never match a candidate id (candidates come from banded docs,
+    // and banded ⟺ shingled), so the inner joins exclude them unchanged
     val shNew = newDf.select(newId.as("id_new"),
-      shinglesUdf(shingleSize)(newText).as("sh_new")).where(col("sh_new").isNotNull)
+      shinglesUdf(shingleSize)(newText).as("sh_new"))
     val shOld = oldDf.select(oldId.as("id_old"),
-      shinglesUdf(shingleSize)(oldText).as("sh_old")).where(col("sh_old").isNotNull)
+      shinglesUdf(shingleSize)(oldText).as("sh_old"))
+    // jaccard behind a one-element generate (round 15): the threshold
+    // filter cannot push through a generator's output attribute, so the
+    // set arithmetic runs ONCE per candidate pair — the r13 shape pushed
+    // `jaccardUdf(...) >= threshold` into the join while ALSO computing
+    // the UDF in the output projection (two evaluations per pair). The
+    // codegen'd [[jaccard]] built-in computes the same integer set sizes
+    // as the old Set-based UDF on these distinct arrays — bit-identical
+    // doubles and 6-dp rounding.
     candidates
       .join(shNew, "id_new")
       .join(shOld, "id_old")
-      .withColumn("jaccard", jaccardUdf(col("sh_new"), col("sh_old")))
+      .select(col("id_new"), col("id_old"),
+        explode(array(jaccard(col("sh_new"), col("sh_old")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -86,6 +86,105 @@ object InvertedIndex {
       r
     }
 
+  /** One posting of the per-doc tf kernel ([[docTermFreqs]]). */
+  private[llm] final case class TermTf(term: String, tf: Double)
+  private[llm] final case class TermTfPos(term: String, tf: Double,
+      positions: Array[Int])
+
+  /** Per-document term frequencies, computed doc-locally: one hash-map
+    * pass over the token array. Row-for-row identical to the groupBy
+    * shape (same sentinel for token-less docs; tf = occurrence count).
+    */
+  private[llm] def docTermFreqs(toks: Seq[String]): Array[TermTf] =
+    if (toks == null || toks.isEmpty) Array(TermTf(EmptyDocTerm, 1.0))
+    else {
+      val m = new java.util.LinkedHashMap[String, Int]()
+      val n = toks.length
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        m.put(t, m.getOrDefault(t, 0) + 1)
+        i += 1
+      }
+      val out = new Array[TermTf](m.size)
+      val it = m.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = TermTf(e.getKey, e.getValue.toDouble)
+        j += 1
+      }
+      out
+    }
+
+  /** [[docTermFreqs]] with each term's ASCENDING occurrence offsets —
+    * the positional variant (offsets accumulate in scan order, so they
+    * are sorted by construction, matching sort_array(collect_list)).
+    */
+  private[llm] def docTermFreqsPos(toks: Seq[String]): Array[TermTfPos] =
+    if (toks == null || toks.isEmpty)
+      Array(TermTfPos(EmptyDocTerm, 1.0, Array.empty[Int]))
+    else {
+      val m = new java.util.LinkedHashMap[
+        String, scala.collection.mutable.ArrayBuilder.ofInt]()
+      val n = toks.length
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        var b = m.get(t)
+        if (b == null) {
+          b = new scala.collection.mutable.ArrayBuilder.ofInt
+          m.put(t, b)
+        }
+        b += i
+        i += 1
+      }
+      val out = new Array[TermTfPos](m.size)
+      val it = m.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        val pos = e.getValue.result()
+        out(j) = TermTfPos(e.getKey, pos.length.toDouble, pos)
+        j += 1
+      }
+      out
+    }
+
+  private val tfKernelUdf = udf(docTermFreqs _)
+  private val tfPosKernelUdf = udf(docTermFreqsPos _)
+
+  /** Whether the postings build should compute tf with the per-doc
+    * kernel (NO shuffle) instead of the explode + groupBy shape (one
+    * index-sized exchange). The (term, doc_id, dl) groups are DOC-LOCAL
+    * — doc ids are unique by the index contract (the same contract
+    * [[append]] relies on), so every group lives inside one document's
+    * exploded rows and the exchange merges nothing (guide §2.4): at
+    * scale it is pure cost that grows with the index. The exchange is
+    * kept only while the input's scan parallelism sits BELOW the
+    * session's target parallelism, where it doubles as the parquet
+    * sort+encode's parallelism provider (at bench SFs the corpus reads
+    * as 1-2 splits; single-threading the write there costs more than
+    * the shuffle saves — measured round 14). The gate is metadata-only:
+    * the optimizer's size estimate over maxPartitionBytes approximates
+    * the scan's split count; no job runs. Overridable for A/B and
+    * equivalence tests via spark.graft.postingsShape=kernel|shuffle
+    * (or the SPARK_GRAFT_POSTINGS_SHAPE env).
+    */
+  private def useTfKernel(docs: DataFrame): Boolean = {
+    val spark = docs.sparkSession
+    spark.conf.getOption("spark.graft.postingsShape")
+      .orElse(sys.env.get("SPARK_GRAFT_POSTINGS_SHAPE"))
+      .getOrElse("auto") match {
+      case "kernel" => true
+      case "shuffle" => false
+      case _ =>
+        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val split = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+        est >= split * spark.sparkContext.defaultParallelism
+    }
+  }
+
   private def postings(docs: DataFrame, id: Column, text: Column,
       withPositions: Boolean = false): (DataFrame, Observation) = {
     val obs = Observation()
@@ -100,8 +199,23 @@ object InvertedIndex {
     // A POSITIONAL index additionally keeps each term's sorted
     // occurrence offsets (Lucene's positions list) — the sentinel row's
     // null position vanishes from collect_list, leaving an empty array.
+    // The kernel branch produces the SAME rows with no exchange — see
+    // [[useTfKernel]] for when each shape runs.
     val post =
-      if (withPositions)
+      if (useTfKernel(docs)) {
+        if (withPositions)
+          base
+            .select(col("doc_id"), col("dl"),
+              explode(tfPosKernelUdf(col("t"))).as("e"))
+            .select(col("e.term").as("term"), col("doc_id"), col("dl"),
+              col("e.tf").as("tf"), col("e.positions").as("positions"))
+        else
+          base
+            .select(col("doc_id"), col("dl"),
+              explode(tfKernelUdf(col("t"))).as("e"))
+            .select(col("e.term").as("term"), col("doc_id"), col("dl"),
+              col("e.tf").as("tf"))
+      } else if (withPositions)
         base
           .select(col("doc_id"), col("dl"),
             posexplode_outer(col("t")).as(Seq("pos", "term0")))
@@ -118,6 +232,19 @@ object InvertedIndex {
           .groupBy("term", "doc_id", "dl")
           .agg(count(lit(1)).cast("double").as("tf"))
     (post, obs)
+  }
+
+  /** Internal plan/evidence hook (tools.BuildProf): the bucketed,
+    * sorted postings relation exactly as [[write]] materializes it,
+    * pre-write — for formatted-plan dumps and shape A/B timings of the
+    * round-15 kernel-vs-shuffle split. Not a serving or build surface.
+    */
+  private[graft] def postingsRelation(docs: DataFrame, id: Column,
+      text: Column, nBuckets: Int, positions: Boolean = false): DataFrame = {
+    val (post, _) = postings(docs, id, text, positions)
+    post.withColumn("bucket", bucketCol(col("term"), nBuckets))
+      .withColumn("gen", lit(0L))
+      .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
   }
 
   /** Whether the index at `path` carries per-posting position lists. */
@@ -718,19 +845,40 @@ object InvertedIndex {
         .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
-    // exact survivor stats off the rewritten (index-sized) relation:
-    // one row per (doc, dl) thanks to the sentinel discipline. Explicit
-    // schema: a compact that tombstoned EVERY doc writes an empty
-    // directory, and schema inference would fail where count() = 0 is
-    // the true answer.
     val rewritten = spark.read.schema(survivors.schema).parquet(tmp)
+    // exact survivor stats by SUBTRACTION (round 15, guide §1.2(1) —
+    // the r14 shape re-read the whole just-rewritten index and pushed
+    // every (doc, dl) pair through a distinct exchange). The sidecar's
+    // latest (n_docs, sum_dl) counts every appended document VERSION
+    // (appends add, deletes don't subtract — Lucene-stale by design),
+    // so survivors = sidecar totals minus the tombstone-killed
+    // versions. Both are integer-valued-double sums, exact in IEEE
+    // until 2^53 tokens, so the subtraction lands on the identical
+    // double a fresh distinct-count would (spec-pinned compact ≡
+    // rebuild). Cost: NO tombstones (the common maintenance compact
+    // healing append's small files) = zero stats jobs; with tombstones,
+    // one doc_id/gen/dl-pruned scan of the OLD index semi-joined to the
+    // delete-sized tombstone broadcast, whose distinct exchange carries
+    // dead versions only — never the whole index. Distinct is over
+    // (doc_id, gen, dl): a version = one append of one id (all its rows
+    // share gen and dl, the sentinel discipline makes it visible), and
+    // versions of one id must count separately even when their dl ties.
     val d = phase("compact.stats_agg") {
-      rewritten
-        .select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+      tombstones(spark, path) match {
+        case None => (st.nDocs, st.sumDl)
+        case Some(t) =>
+          val dead = t.select(col("doc_id").as("_t_id"), col("gen").as("_t_gen"))
+          val rows = spark.read.parquet(path).select("doc_id", "gen", "dl")
+          val killed = rows.join(broadcast(dead),
+              rows("doc_id") === col("_t_id") && rows("gen") < col("_t_gen"),
+              "left_semi")
+            .distinct()
+            .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0)))
+            .head()
+          (st.nDocs - killed.getDouble(0), st.sumDl - killed.getDouble(1))
+      }
     }
-    writeStats(spark, tmp, Stats(d.getDouble(0), d.getDouble(1), st.nBuckets),
-      gen = 0L)
+    writeStats(spark, tmp, Stats(d._1, d._2, st.nBuckets), gen = 0L)
     // fresh per-term stats off the same rewritten relation (df is again
     // exactly live-postings df, so serving returns to the sidecar path)
     phase("compact.term_stats") { writeTermStats(spark, tmp, rewritten, gen = 0L) }
@@ -2071,12 +2219,33 @@ object InvertedIndex {
     // explicit schema: all-tombstoned sources merge to an empty
     // directory, where inference would fail and count() = 0 is right
     val written = spark.read.schema(merged.schema).parquet(dst)
+    // merged stats by per-source SUBTRACTION (round 15 — same argument
+    // as [[compact]]'s: each source's sidecar counts its appended
+    // versions; its tombstone-killed versions come off via a pruned
+    // dead-rows distinct, and tombstone-free sources cost zero jobs).
+    // Σ per-source live = the union's distinct count because merge
+    // sources are DISJOINT by contract (spec-pinned "merge of disjoint
+    // indexes equals a fresh build"; overlapping sources already
+    // double-count postings/df, so they were never mergeable). The r14
+    // shape re-read the whole merged index through a distinct exchange.
     val d = phase("merge.stats_agg") {
-      written
-        .select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0))).head()
+      sources.zip(stats).map { case (p, sp) =>
+        tombstones(spark, p) match {
+          case None => (sp.nDocs, sp.sumDl)
+          case Some(t) =>
+            val dead = t.select(col("doc_id").as("_t_id"), col("gen").as("_t_gen"))
+            val rows = spark.read.parquet(p).select("doc_id", "gen", "dl")
+            val killed = rows.join(broadcast(dead),
+                rows("doc_id") === col("_t_id") && rows("gen") < col("_t_gen"),
+                "left_semi")
+              .distinct()
+              .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0)))
+              .head()
+            (sp.nDocs - killed.getDouble(0), sp.sumDl - killed.getDouble(1))
+        }
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     }
-    val st = Stats(d.getDouble(0), d.getDouble(1), stats.head.nBuckets)
+    val st = Stats(d._1, d._2, stats.head.nBuckets)
     writeStats(spark, dst, st, gen = 0L)
     phase("merge.term_stats") { writeTermStats(spark, dst, written, gen = 0L) }
     if (withStored.head)

@@ -58,12 +58,24 @@ private[graft] object SidecarIO {
       fields: Seq[Field]): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    if (overwrite && fs.exists(d)) fs.delete(d, true)
     fs.mkdirs(d)
+    // stage under a dot-prefixed name and rename into place (ADVICE r14:
+    // the delete-then-write shape had a crash window where a reader could
+    // observe a missing or truncated sidecar; readRows skips dot-files,
+    // so the staged file is invisible until the rename). On overwrite the
+    // OLD files are removed only after the new row is durable — a crash
+    // leaves old or old+new, never neither.
+    val old =
+      if (overwrite) fs.listStatus(d).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)
+      else Array.empty[Path]
     val name = f"part-${System.nanoTime()}%019d-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(d, s".$name.staged")
     val schema = schemaOf(fields)
     val out: OutputFile = org.apache.parquet.hadoop.util.HadoopOutputFile
-      .fromPath(new Path(d, name), conf)
+      .fromPath(tmp, conf)
     val w = ExampleParquetWriter.builder(out)
       .withConf(conf)
       .withType(schema)
@@ -79,6 +91,9 @@ private[graft] object SidecarIO {
       }
       w.write(g)
     } finally w.close()
+    if (!fs.rename(tmp, new Path(d, name)))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $name")
+    old.foreach(fs.delete(_, false))
   }
 
   /** All rows of every data file under `dir`, as name → value maps

@@ -403,13 +403,22 @@ object Similarity {
         round(dot(col("v"), lit(cv)), 6).as(s"_csim_$i")
       }
       val withSims = s.select(col("id") +: col("v") +: simCols: _*)
-      val seed = struct(col("_csim_0").as("sim"), lit(centroids.head._1).as("cid"))
-      val best = centroids.zipWithIndex.tail.foldLeft(seed: Column) {
-        case (acc, ((cid, _), i)) =>
-          when(col(s"_csim_$i") > acc.getField("sim"),
-            struct(col(s"_csim_$i").as("sim"), lit(cid).as("cid")))
-            .otherwise(acc)
+      // LINEAR argmax (round 15): the old when/otherwise foldLeft
+      // referenced its accumulator twice per step (condition + otherwise),
+      // so the expression tree — and the generated code — DOUBLED per
+      // centroid: 2^k nodes, which at k = 20 cost the optimizer minutes
+      // of TreeNode transforms per query (guide §7.3 "planning a huge
+      // query") and blew past JIT code-size limits. greatest() over
+      // (sim, -index, cid) structs is one k-child expression: struct
+      // ordering compares sim first, then -index, so equal sims resolve
+      // to the EARLIEST centroid — exactly the fold's strict-> tie-break
+      // (spec-pinned value-identical against the broadcast kernel).
+      val entries = centroids.zipWithIndex.map { case ((cid, _), i) =>
+        struct(col(s"_csim_$i").as("sim"), lit(-i).as("_ord"),
+          lit(cid).as("cid"))
       }
+      val best =
+        if (entries.length == 1) entries.head else greatest(entries.toIndexedSeq: _*)
       withSims.withColumn("cid", best.getField("cid"))
         .drop(centroids.indices.map(i => s"_csim_$i"): _*)
     } else {

@@ -74,6 +74,19 @@ object BuildProf {
     emb.select(col("vec_id").as("id"), codesU(col("embedding")).as("codes"),
       clusterU(col("embedding")).as("cluster"))
       .explain("formatted")
+    // round 15: the postings build's two shapes — the r14 explode +
+    // (term, doc_id, dl) groupBy (one index-sized Exchange) vs the
+    // per-doc tf kernel (no Exchange). Source of plans/r15/internal_
+    // postings_*.txt.
+    println("\n========== internal: postings build (shuffle shape: explode + groupBy) ==========")
+    spark.conf.set("spark.graft.postingsShape", "shuffle")
+    graft.llm.InvertedIndex.postingsRelation(docs, col("doc_id"),
+      col("text"), nB).explain("formatted")
+    println("\n========== internal: postings build (kernel shape: per-doc tf map) ==========")
+    spark.conf.set("spark.graft.postingsShape", "kernel")
+    graft.llm.InvertedIndex.postingsRelation(docs, col("doc_id"),
+      col("text"), nB).explain("formatted")
+    spark.conf.unset("spark.graft.postingsShape")
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,6 +146,24 @@ object BuildProf {
     }
     println("[prof] rows=" + spark.read.parquet(out).count() +
       " terms=" + spark.read.parquet(out).select("term").distinct().count())
+
+    // round-15 shape A/B: the postings relation under the shuffle shape
+    // (explode + groupBy exchange) vs the per-doc tf kernel (no
+    // exchange), noop-sunk (§1.4) and as the full partitioned write
+    def shapedPostings(shape: String): DataFrame = {
+      spark.conf.set("spark.graft.postingsShape", shape)
+      try graft.llm.InvertedIndex.postingsRelation(docs, col("doc_id"),
+        col("text"), nB)
+      finally spark.conf.unset("spark.graft.postingsShape")
+    }
+    for (shape <- Seq("shuffle", "kernel", "shuffle", "kernel")) {
+      time(s"postings_${shape}_noop")(noop(shapedPostings(shape)))
+      val d = TempDirs.create(s"buildprof_$shape")
+      time(s"postings_${shape}_write") {
+        shapedPostings(shape)
+          .write.mode("overwrite").partitionBy("bucket").parquet(d)
+      }
+    }
 
     val postRows = spark.read.parquet(out)
     // current shape: full-sort window + groupBy sharing one exchange

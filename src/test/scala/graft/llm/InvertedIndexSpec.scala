@@ -1129,4 +1129,33 @@ class InvertedIndexSpec extends SparkSpec {
       topK = 20, minPruneRows = 0.0))
     assert(prunedDel === plainDel, "AND candidacy drifted under tombstones")
   }
+
+  test("postings tf kernel equals the groupBy shape row-for-row (plain and positional)") {
+    import spark.implicits._
+    // fixture corpus + hand edge cases: token-less docs (sentinel row),
+    // null text, repeated tokens, mixed whitespace
+    val edge = Seq((900001L, "alpha beta alpha alpha"), (900002L, ""),
+      (900003L, null.asInstanceOf[String]), (900004L, "beta  beta\tgamma"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    def build(shape: String, positional: Boolean) = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"invidx_shape_$shape").toString
+      spark.conf.set("spark.graft.postingsShape", shape)
+      try InvertedIndex.write(docs, col("doc_id"), col("text"), out,
+        nBuckets = 8, positions = positional)
+      finally spark.conf.unset("spark.graft.postingsShape")
+      spark.read.parquet(out)
+    }
+    for (positional <- Seq(false, true)) {
+      val a = build("shuffle", positional)
+      val b = build("kernel", positional)
+      assert(a.schema.fieldNames.sorted.toSeq === b.schema.fieldNames.sorted.toSeq)
+      val cols = a.schema.fieldNames.sorted.map(col).toIndexedSeq
+      assert(a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
+        b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty,
+        s"postings shapes diverged (positional=$positional)")
+    }
+  }
 }

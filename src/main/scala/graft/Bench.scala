@@ -23,6 +23,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: tz-dependent queries must bench the verified work
+      // shared session tuning (see SessionTuning); env override for A/B
+      // isolation of the rule exclusion alone
+      .config("spark.sql.optimizer.excludedRules",
+        sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES", SessionTuning.ExcludedRules))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

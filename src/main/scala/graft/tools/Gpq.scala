@@ -26,6 +26,7 @@ object Gpq {
       .master(s"local[$cpus]")
       .appName("gpq")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.excludedRules", graft.SessionTuning.ExcludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -37,6 +37,7 @@ object IvfSizing {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.optimizer.excludedRules", graft.SessionTuning.ExcludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // a √n-sized coarse quantizer means >32 cluster directories, which

@@ -83,6 +83,7 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.excludedRules", graft.SessionTuning.ExcludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       // AQE wraps the plan in AdaptiveSparkPlanExec and hides the subtree
       // until execution; static audit needs the fully-prepared plan

@@ -13,6 +13,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", graft.SessionTuning.ExcludedRules)
       .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,6 +27,11 @@ object Bench {
       // isolation of the rule exclusion alone
       .config("spark.sql.optimizer.excludedRules",
         sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES", SessionTuning.ExcludedRules))
+      // measurement knob for the serve-latency AQE-floor experiment
+      // (VERDICT r14 item 6): LAT_ONLY A/B runs flip it; the default —
+      // and every driver-comparable run — keeps AQE on
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

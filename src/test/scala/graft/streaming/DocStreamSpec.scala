@@ -282,7 +282,11 @@ class DocStreamSpec extends SparkSpec {
       .start()
     val streamed =
       try {
-        q.awaitTermination(180000)
+        // processAllAvailable, not awaitTermination: the
+        // ProcessingTimeTimeout state operator keeps the AvailableNow
+        // query alive for its (long) TTL timers, so awaitTermination
+        // burned its full 180 s timeout — ~3 min of pure suite wait
+        q.processAllAvailable()
         spark.table("dupflags_out")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       } finally q.stop() // never leave a zombie query competing for cores
@@ -340,7 +344,11 @@ class DocStreamSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .start()
       try {
-        q.awaitTermination(180000)
+        // processAllAvailable commits every available batch (state +
+        // sink) before returning — the restart semantics under test —
+        // where awaitTermination waited out its full timeout on the
+        // TTL-timer-held AvailableNow query (~6 min across both runs)
+        q.processAllAvailable()
         spark.read.schema(flagSchema).parquet(outDir)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       } finally q.stop()

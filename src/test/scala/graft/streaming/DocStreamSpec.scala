@@ -16,6 +16,17 @@ object DocStreamSpec {
 class DocStreamSpec extends SparkSpec {
   import DocStreamSpec.Item
 
+  /** Poll `cond` (5/s) until true or `ms` elapse — the stateful
+    * AvailableNow queries in this suite never terminate on their own
+    * (TTL timers hold them), so tests wait on observable results, never
+    * on query lifecycle. Times out silently: the caller's assertion
+    * then reports the actual observed state.
+    */
+  private def awaitUntil(ms: Long)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + ms * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+  }
+
   private def corpus(n: Int): Seq[DocStream.Doc] = {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
@@ -282,13 +293,16 @@ class DocStreamSpec extends SparkSpec {
       .start()
     val streamed =
       try {
-        // processAllAvailable, not awaitTermination: the
-        // ProcessingTimeTimeout state operator keeps the AvailableNow
-        // query alive for its (long) TTL timers, so awaitTermination
-        // burned its full 180 s timeout — ~3 min of pure suite wait
-        q.processAllAvailable()
-        spark.table("dupflags_out")
+        // poll the SINK for the expected result instead of waiting on
+        // query lifecycle: the ProcessingTimeTimeout state operator
+        // holds the AvailableNow query alive for its (long) TTL timers,
+        // so awaitTermination burned its full 180 s timeout (~3 min of
+        // pure suite wait) and processAllAvailable never gets its
+        // no-new-data signal at all
+        def read() = spark.table("dupflags_out")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        awaitUntil(120000)(read() == batchFlags)
+        read()
       } finally q.stop() // never leave a zombie query competing for cores
 
     assert(streamed.nonEmpty, "streaming emitted no flags")
@@ -336,7 +350,26 @@ class DocStreamSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("dup_of", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("est_jaccard", org.apache.spark.sql.types.DoubleType)))
-    def runBatch(): Set[(Long, Long)] = {
+    // poll OBSERVABLE completion (a new checkpoint commit + the expected
+    // sink rows) instead of query lifecycle: the ProcessingTimeTimeout
+    // state operator holds the AvailableNow query alive for its TTL
+    // timers — awaitTermination waited out its full timeout (~6 min
+    // across both runs) and processAllAvailable never gets signaled.
+    // The commit file is the restart semantics under test: state for
+    // the batch is durable once ckpt/commits/<n> lands.
+    def commitCount(): Int = {
+      val d = java.nio.file.Paths.get(s"$ckpt/commits")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.filter(p => !p.getFileName.toString.startsWith(".")).count().toInt
+        finally s.close()
+      }
+    }
+    def runBatch(expected: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val commits0 = commitCount()
+      def read() = spark.read.schema(flagSchema).parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val q = DocStream.nearDupFlags(mem.toDS())
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -344,19 +377,14 @@ class DocStreamSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .start()
       try {
-        // processAllAvailable commits every available batch (state +
-        // sink) before returning — the restart semantics under test —
-        // where awaitTermination waited out its full timeout on the
-        // TTL-timer-held AvailableNow query (~6 min across both runs)
-        q.processAllAvailable()
-        spark.read.schema(flagSchema).parquet(outDir)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        awaitUntil(120000)(commitCount() > commits0 && read() == expected)
+        read()
       } finally q.stop()
     }
     mem.addData(Seq(original, unrelated))
-    assert(runBatch().isEmpty) // nothing dup yet
+    assert(runBatch(Set.empty).isEmpty) // nothing dup yet
     mem.addData(Seq(dup)) // arrives after a full stop/restart
-    val flags = runBatch()
+    val flags = runBatch(Set((2L, 1L)))
     assert(flags == Set((2L, 1L)),
       s"expected doc 2 flagged against doc 1 from the EARLIER run's state, got $flags")
   }

@@ -160,30 +160,27 @@ object InvertedIndex {
     * — doc ids are unique by the index contract (the same contract
     * [[append]] relies on), so every group lives inside one document's
     * exploded rows and the exchange merges nothing (guide §2.4): at
-    * scale it is pure cost that grows with the index. The exchange is
-    * kept only while the input's scan parallelism sits BELOW the
-    * session's target parallelism, where it doubles as the parquet
-    * sort+encode's parallelism provider (at bench SFs the corpus reads
-    * as 1-2 splits; single-threading the write there costs more than
-    * the shuffle saves — measured round 14). The gate is metadata-only:
-    * the optimizer's size estimate over maxPartitionBytes approximates
-    * the scan's split count; no job runs. Overridable for A/B and
-    * equivalence tests via spark.graft.postingsShape=kernel|shuffle
-    * (or the SPARK_GRAFT_POSTINGS_SHAPE env).
+    * scale it is pure cost that grows with the index.
+    *
+    * Measured (round 15, BuildProf forced-shape A/B): the kernel wins
+    * at EVERY corpus size — sf0.1 write 1.15→0.92 s, sf1 1.41→0.99 s,
+    * and asymptotically it removes an index-sized exchange — including
+    * the few-splits regime r14 predicted would need the exchange as the
+    * write's parallelism provider (the exchange + 32-task sort of tiny
+    * partitions costs more than the single-split write saves). So auto
+    * = kernel. The `shuffle` conf value remains as the escape hatch for
+    * the one regime a metadata gate cannot detect: a corpus stuck in
+    * few HUGE unsplittable splits (e.g. one giant gzip), where the
+    * exchange is the only source of parquet-encode parallelism — the
+    * guide's §2.5 input-skew case, better fixed at the source.
+    * Override via spark.graft.postingsShape=kernel|shuffle (conf) or
+    * SPARK_GRAFT_POSTINGS_SHAPE (env); the shape-equivalence spec pins
+    * row-identical output.
     */
-  private def useTfKernel(docs: DataFrame): Boolean = {
-    val spark = docs.sparkSession
-    spark.conf.getOption("spark.graft.postingsShape")
+  private def useTfKernel(docs: DataFrame): Boolean =
+    docs.sparkSession.conf.getOption("spark.graft.postingsShape")
       .orElse(sys.env.get("SPARK_GRAFT_POSTINGS_SHAPE"))
-      .getOrElse("auto") match {
-      case "kernel" => true
-      case "shuffle" => false
-      case _ =>
-        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-        val split = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-        est >= split * spark.sparkContext.defaultParallelism
-    }
-  }
+      .getOrElse("auto") != "shuffle"
 
   private def postings(docs: DataFrame, id: Column, text: Column,
       withPositions: Boolean = false): (DataFrame, Observation) = {

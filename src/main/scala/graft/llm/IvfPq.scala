@@ -382,7 +382,16 @@ object IvfPq {
     import spark.implicits._
     val idx = spark.read.parquet(path)
     val rows = idx.count()
-    val nClusters = idx.select("cluster").distinct().count()
+    // populated clusters from ONE driver listing (round 15): the
+    // partitionBy writer lands exactly one cluster=<v> directory per
+    // populated cluster (and never an empty one), so distinct(cluster)
+    // over stored rows equals the directory count — the old
+    // distinct-scan job read every file's row-group metadata at scale
+    // where a LIST answers the same question
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nClusters = fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("cluster=")).toLong
     val gen = readGen(spark, path)
     val dead = tombstones(spark, path)
       .map(_.select("id").distinct().count()).getOrElse(0L)
